@@ -1,0 +1,241 @@
+"""Reference-parity pipeline, re-expressed as lazy Spark DataFrame plans.
+
+Mirrors the public API of the reference pandas ETL
+(/root/reference/wallmart_pipeline.py): ``extract`` → ``transform`` →
+``avg_weekly_sales_per_month`` → ``load`` → ``validation``, orchestrated by
+``main``.  Stage functions take and return DataFrames, exactly like the
+reference (its tests import ``transform`` / ``avg_weekly_sales_per_month``
+directly, wallmart_pipeline_pytest.py:3), so the same unit-test pattern works.
+
+Semantics ported with their edge cases (SURVEY.md §2.5 gotchas):
+
+- G1: pandas ``groupby`` drops null keys → explicit ``isNotNull`` filter.
+- G2: pandas sorts group keys ascending → explicit ``orderBy``.
+- G4: pandas ``round`` is half-to-even; ``F.round`` (HALF_UP) agrees on the
+  non-negative monetary values here and matches common SQL engines.
+- G6: imputation means are computed over the *post-join* table
+  (wallmart_pipeline.py:83-87 runs on merged_df).
+- G7: means are computed *before* the ``> 10000`` filter; using collected
+  literals preserves that ordering under lazy evaluation.
+
+Scale posture: every step is a Catalyst-optimizable plan node — the parquet
+side is column-pruned to the 4 needed columns of 13, the filter pushes into
+the scan, the join broadcasts the small side, and the group-by runs
+partial+final hash aggregation.  No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import (
+    CLEAN_COLUMNS,
+    DATE_FORMAT,
+    FILL_MEAN_COLUMNS,
+    GROCERY_SALES_SCHEMA,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def create_sql_tables(spark: SparkSession, database: str = "default") -> None:
+    """Engine-native DDL bootstrap (reference: wallmart_pipeline.py:17-36).
+
+    The reference issues PostgreSQL ``CREATE TABLE IF NOT EXISTS`` via
+    SQLAlchemy; the lakehouse-native equivalent registers managed parquet
+    tables in the session catalog.  (For an actual Postgres sink use
+    ``load(..., jdbc_url=...)`` which writes with overwrite semantics and
+    needs no pre-created tables.)
+    """
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {database}.clean_sales (
+            Store_ID INT,
+            Weekly_Sales DOUBLE,
+            IsHoliday BIGINT,
+            CPI DOUBLE,
+            Unemployment DOUBLE,
+            Month INT
+        ) USING parquet
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {database}.monthly_sales (
+            Month INT,
+            Avg_Sales DOUBLE
+        ) USING parquet
+        """
+    )
+
+
+def extract(spark: SparkSession, store_data: str, extra_data: str) -> DataFrame:
+    """Scan both sources and inner-join on ``index``.
+
+    Reference: wallmart_pipeline.py:39-65 — ``pd.read_csv`` +
+    ``pd.read_parquet`` + schema assertion + ``df.merge(on="index")``
+    (inner, both key sets unique → left-cardinality-preserving).
+
+    Spark-first notes:
+    - CSV gets an explicit schema (no ``inferSchema`` pass — at scale that
+      second scan is pure waste).
+    - The schema pre-flight mirrors the reference's ``KeyError`` on a
+      missing ``index`` column (wallmart_pipeline.py:55-57).
+    - The join side that is small (the CSV sales table here) is broadcast —
+      at production scale the *dimension-like* side should broadcast; AQE
+      will also convert to broadcast at runtime from observed sizes.
+    - Only the columns the pipeline ever uses survive Catalyst's column
+      pruning; the parquet scan reads 4 of 13 columns (the reference reads
+      all 13, SURVEY.md §4.1).
+    """
+    df = spark.read.option("header", True).schema(GROCERY_SALES_SCHEMA).csv(store_data)
+    extra_df = spark.read.parquet(extra_data)
+
+    if "index" not in df.columns or "index" not in extra_df.columns:
+        logger.error("The 'index' column is missing from one of the datasets.")
+        raise KeyError("The 'index' column is missing from one of the datasets.")
+
+    # No hardcoded broadcast hint: both inputs grow with the dataset, so the
+    # build side must be a runtime decision — AQE converts to broadcast-hash
+    # from observed sizes when either side fits. Left position preserved so
+    # the output column order matches the reference's merge (left cols first).
+    merged_df = df.join(extra_df, on="index", how="inner")
+    logger.info("Data successfully extracted and merged (lazy plan built).")
+    return merged_df
+
+
+def transform(raw_data: DataFrame) -> DataFrame:
+    """Clean + derive + filter + project (reference: wallmart_pipeline.py:68-102).
+
+    1. Fill nulls in Weekly_Sales / CPI / Unemployment with each column's
+       mean over the *input* (post-join) table — one job computing all three
+       means (two-pass literal imputation; an unpartitioned window would
+       serialize to a single task at scale, SURVEY.md O6).
+    2. Parse ``Date`` (ISO string) → timestamp; unparseable → null, matching
+       pandas ``errors="coerce"``.
+    3. Derive ``Month`` (null-propagating).
+    4. Keep rows with ``Weekly_Sales > 10000`` and project the 6 pipeline
+       columns.  Null months are *kept* here (dropped later by the
+       aggregation, exactly like pandas groupby's dropna).
+    """
+    means_row = raw_data.select(
+        *[F.avg(c).alias(c) for c in FILL_MEAN_COLUMNS]
+    ).first()
+    fill_values = {c: means_row[c] for c in FILL_MEAN_COLUMNS if means_row[c] is not None}
+
+    filled = raw_data.na.fill(fill_values)
+    with_month = (
+        filled.withColumn("Date", F.to_timestamp(F.col("Date").cast("string"), DATE_FORMAT))
+        .withColumn("Month", F.month("Date"))
+    )
+    clean_data = with_month.filter(F.col("Weekly_Sales") > 10000).select(*CLEAN_COLUMNS)
+    logger.info("Data transformation plan built.")
+    return clean_data
+
+
+def avg_weekly_sales_per_month(clean_data: DataFrame) -> DataFrame:
+    """Group-average of sales by month (reference: wallmart_pipeline.py:105-126).
+
+    pandas ``groupby("Month")["Weekly_Sales"].mean()`` drops null keys and
+    sorts them ascending (gotchas G1/G2) — both made explicit here.  Rounding
+    to 2 dp mirrors ``agg_data.round(2)`` (wallmart_pipeline.py:119).
+    Catalyst runs this as partial+final hash aggregation (map-side combine),
+    so the shuffle carries one row per (partition, month), not per input row.
+    """
+    agg_data = (
+        clean_data.filter(F.col("Month").isNotNull())
+        .groupBy("Month")
+        .agg(F.round(F.avg("Weekly_Sales"), 2).alias("Avg_Sales"))
+        .orderBy("Month")
+    )
+    logger.info("Average weekly sales per month plan built.")
+    return agg_data
+
+
+def load(
+    data_dict: dict[str, DataFrame],
+    output_dir: str = ".",
+    jdbc_url: str | None = None,
+    jdbc_properties: dict[str, str] | None = None,
+) -> list[str]:
+    """Write each table to ``{output_dir}/{name}.csv`` (single file, header)
+    and optionally to a JDBC database with overwrite semantics.
+
+    Reference: wallmart_pipeline.py:129-154 (``to_csv(index=False)`` +
+    optional ``to_sql(if_exists="replace")``).  The reference's
+    ``engine.dipose()`` typo (wallmart_pipeline.py:149) — which raised
+    AttributeError after every successful DB load — is intentionally not
+    reproduced.
+
+    These outputs are small aggregates, so ``coalesce(1)`` for a single CSV
+    part is correct; large fact-table sinks in this engine go through
+    ``sources.writers.write_parquet`` with ``partitionBy`` instead.
+    """
+    written: list[str] = []
+    for name, df in data_dict.items():
+        path = str(Path(output_dir) / f"{name}.csv")
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        logger.info("%s saved successfully.", path)
+        written.append(path)
+
+    if jdbc_url:
+        for name, df in data_dict.items():
+            df.write.mode("overwrite").jdbc(
+                jdbc_url, name, properties=jdbc_properties or {}
+            )
+        logger.info("Data successfully loaded into the JDBC database.")
+    return written
+
+
+def validation(spark: SparkSession, val_list: list[str]) -> dict[str, bool]:
+    """Read-back validation of produced sinks (reference: wallmart_pipeline.py:157-168).
+
+    The reference only checks file existence; a distributed engine should
+    verify the sink is actually readable and non-empty, so this reads each
+    CSV back and counts.
+    """
+    results: dict[str, bool] = {}
+    for file in val_list:
+        try:
+            ok = Path(file).exists() and spark.read.option("header", True).csv(file).count() > 0
+        except Exception:  # unreadable output == invalid
+            ok = False
+        results[file] = ok
+        if ok:
+            logger.info("%s validated successfully.", file)
+        else:
+            logger.error("Error: %s was not created.", file)
+    return results
+
+
+def main(
+    spark: SparkSession,
+    file_1: str,
+    file_2: str,
+    output_dir: str = ".",
+    jdbc_url: str | None = None,
+) -> dict[str, DataFrame]:
+    """Full pipeline (reference: wallmart_pipeline.py:171-201).
+
+    extract → transform → aggregate → load → validate.  Under Spark the
+    stages compose into one lazy plan; actions happen only at the fill-mean
+    collect and the sinks.
+    """
+    try:
+        logger.info("Starting data pipeline execution.")
+        merged_df = extract(spark, file_1, file_2)
+        clean_data = transform(merged_df)
+        agg_data = avg_weekly_sales_per_month(clean_data)
+
+        tables = {"clean_data": clean_data, "agg_data": agg_data}
+        written = load(tables, output_dir=output_dir, jdbc_url=jdbc_url)
+        validation(spark, written)
+        logger.info("Data pipeline execution completed successfully.")
+        return tables
+    except Exception:
+        logger.critical("Critical error in main()", exc_info=True)
+        raise

@@ -1,0 +1,6 @@
+from .explain import (  # noqa: F401
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
