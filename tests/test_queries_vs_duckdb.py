@@ -1,0 +1,98 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle at sf0.01, compare row count, column
+names, and (order-insensitively) the values themselves.
+
+The comparison is deliberately strict — exact equality for ints/strings,
+exact float equality for rounded doubles (both engines must emit the same
+bits after rounding, which is the property the driver's value-hash needs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF001
+from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF001}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    """Sort columns by name then rows by value, like the driver's hash."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                # guard against -0.0 vs 0.0 and NaN identity
+                if math.isnan(v):
+                    v = "NaN"
+                elif v == 0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [c for _, c in sorted(zip(range(len(columns)), columns), key=lambda p: columns[p[0]])], out
+
+
+ORACLE_QUERIES = sorted(q.oracle_map())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    query = q.REGISTRY[name]
+    sdf = query.fn(spark, SF001)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    ddf = duck.sql(query.oracle)
+    duck_cols = list(ddf.columns)
+    duck_rows = [tuple(r) for r in ddf.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+
+    _, s_norm = _normalize(spark_rows, spark_cols)
+    _, d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 1
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_registry_complete():
+    """Every oracle has a query; descriptions exist."""
+    for name, query in q.REGISTRY.items():
+        assert query.fn is not None
+        assert query.description, f"{name} missing description"

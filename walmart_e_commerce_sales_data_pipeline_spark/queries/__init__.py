@@ -1,0 +1,13 @@
+"""Named query registry — the driver contract surface.
+
+Importing this package populates ``REGISTRY`` with every implemented query
+(core relational, event-time, dedup, similarity, text analysis).
+"""
+
+from . import events, relational  # noqa: F401  (registration side effects)
+from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # noqa: F401
+
+try:  # extension modules land incrementally
+    from . import dedup, similarity, text  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,177 @@
+"""Event-time analytics over the ``events`` table (extension surface,
+SURVEY.md §2.11): calendar aggregation in the reference's flagship shape,
+tumbling windows, sessionization, and JSON property extraction.
+
+These are the batch forms; ``streaming/`` holds the ``readStream`` +
+watermark variants of the windowed aggregations (same logical plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .stable import cent_avg, cent_avg_sql, cent_sum, cent_sum_sql
+from .tables import table
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+_EV_AVG_SQL = cent_avg_sql("value", "avg_value")
+_EV_SUM_SQL = cent_sum_sql("value", "sum_value")
+
+
+@register(
+    "monthly_avg_value",
+    oracle=f"""
+    SELECT CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+           {_EV_AVG_SQL},
+           COUNT(*) AS n
+    FROM events
+    WHERE value > 100
+    GROUP BY 1
+    ORDER BY month
+    """,
+    description="the reference flagship query shape (parse ts → month → filter → "
+    "group avg → round → order) on the events table; "
+    "reference ops O7-O14 (/root/reference/wallmart_pipeline.py:89-119)",
+    tags=("date", "agg", "reference-shape"),
+)
+def monthly_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 100)
+        .withColumn("month", F.month("ts"))
+        .filter(F.col("month").isNotNull())  # gotcha G1: pandas drops null keys
+        .groupBy("month")
+        .agg(cent_avg("value", "avg_value"), F.count("*").alias("n"))
+        .orderBy("month")  # gotcha G2: pandas sorts group keys
+    )
+
+
+@register(
+    "events_hourly_window",
+    oracle=f"""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n,
+           {_EV_AVG_SQL},
+           {_EV_SUM_SQL}
+    FROM events
+    GROUP BY 1
+    ORDER BY hour_start
+    """,
+    description="tumbling 1-hour event-time window aggregation (batch form of "
+    "the Structured Streaming windowed agg)",
+    tags=("window", "event-time"),
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            cent_avg("value", "avg_value"),
+            cent_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n",
+            "avg_value",
+            "sum_value",
+        )
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH x AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+    flagged AS (
+        SELECT user_id, ts_ns,
+               CASE WHEN LAG(ts_ns) OVER w IS NULL
+                         OR ts_ns - LAG(ts_ns) OVER w > {SESSION_GAP_NS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)
+    ),
+    sessions AS (
+        SELECT user_id, ts_ns,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sess_id, COUNT(*) AS ev_cnt,
+               MAX(ts_ns) - MIN(ts_ns) AS dur_ns
+        FROM sessions GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(ev_cnt) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(dur_ns) AS BIGINT) / COUNT(*) / 1000000000.0, 1)
+               AS avg_session_sec
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="batch sessionization: 30-min-gap session assignment via "
+    "lag + running sum, then two-level rollup per user; ns-exact "
+    "gap arithmetic on the raw int64 timestamps",
+    tags=("window", "event-time", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("sess_id", F.sum("is_new").over(run))
+    per_session = sessions.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("ev_cnt"),
+        (F.max("ts_ns") - F.min("ts_ns")).alias("dur_ns"),
+    )
+    # Session durations stay exact int64 nanoseconds until the very last
+    # division, so the average is bit-identical to the oracle's.
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("ev_cnt").alias("n_events"),
+            F.round(
+                F.sum("dur_ns") / F.count(F.lit(1)) / F.lit(1_000_000_000.0), 1
+            ).alias("avg_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {_EV_AVG_SQL}
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    description="JSON property extraction from the props column + group agg "
+    "(multimodal/semistructured column handling)",
+    tags=("json", "scalar"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), cent_avg("value", "avg_value"))
+        .orderBy("k_bucket")
+    )
