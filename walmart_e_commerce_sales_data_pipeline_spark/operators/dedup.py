@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all pure DataFrame compositions (no Python UDFs):
+
+- exact        : hash group-by on the normalized content
+- n-gram Jaccard: exact all-pairs similarity over shared shingles
+- MinHash LSH  : banded signatures → candidate pairs → exact verification
+- SimHash      : 64-bit sign-of-sum signatures → chunk-blocked Hamming pairs
+- embedding    : cosine-threshold near-dup pairs (see operators.similarity)
+
+Scale posture (100 TB):
+- The shingle⋈shingle self-join is the classic quadratic trap; every pair
+  generator here first drops shingles whose document frequency exceeds
+  ``max_shingle_df`` (a near-universal shingle pairs almost every document
+  with every other and contributes nothing to discrimination).
+- MinHash keeps the per-document state at ``num_hashes`` longs regardless
+  of document size, and LSH banding turns the all-pairs problem into a
+  per-bucket join — the shuffle key is (band_idx, band_hash), which is
+  naturally well-distributed.
+- All hash functions are seeded ``xxhash64`` → deterministic across runs,
+  executors, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, word_shingles
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical form used by exact dedup: lowercased single-spaced tokens."""
+    return df.withColumn("_norm", F.concat_ws(" ", tokenize(text_col)))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+
+    Plain hash group-by: Catalyst runs partial+final agg, so the shuffle
+    carries one row per distinct text per partition, not per input row.
+    """
+    return (
+        normalize_text(df, text_col)
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_norm")
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Distinct (id, shingle) pairs; optionally drop ubiquitous shingles."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_shingles(tokenize(text_col), n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
+            .select("id", "shingle")
+        )
+    return sh
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via the shared-shingle self-join.
+
+    Returns (x, y, jaccard) with x < y and jaccard ≥ threshold.  The join
+    key is the shingle itself — only documents sharing at least one shingle
+    ever meet, so sparsity (helped by ``max_shingle_df``) keeps this far
+    below quadratic in practice.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("id").alias("x"), "shingle")
+    b = shingles.select(F.col("id").alias("y"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
+    sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    return (
+        inter.join(sx, "x")
+        .join(sy, "y")
+        .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle).  One groupBy with ``num_hashes`` min-aggregates —
+    constant per-doc state, single shuffle."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature and bucket-join: documents agreeing on any full
+    band become a candidate pair.  P(candidate | J) = 1-(1-J^r)^b with
+    r = num_hashes/bands; at r=2, b=16: J=0.9 → miss ≈ 5e-12."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *band_cols)
+    bucketed = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band_idx", "bb.band_hash")
+    a = bucketed.select(F.col("id").alias("x"), "band_idx", "band_hash")
+    b = bucketed.select(F.col("id").alias("y"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exactly verified.
+
+    candidates (LSH) → exact Jaccard on the candidate set only → threshold.
+    The expensive exact computation runs on the tiny candidate set, not on
+    all pairs; at J ≥ 0.5 with the default banding the candidate set
+    contains every qualifying pair with probability ≈ 1 - 1e-4 (and
+    deterministically so for a fixed dataset, since the hashes are seeded).
+    """
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("x"), "shingle")
+    b = sh.select(F.col("id").alias("y"), "shingle")
+    inter = (
+        cands.join(a, "x")
+        .join(b, ["y", "shingle"])
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
+    sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    return (
+        inter.join(sx, "x")
+        .join(sy, "y")
+        .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash: per document, bit b is the sign of Σ_tokens (±1 by bit b of
+    xxhash64(token)).  Computed as ``bits`` conditional-sum aggregates over
+    the exploded token stream — one shuffle, no UDFs."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    # OR the per-bit masks together; shiftleft wraps at bit 63 exactly like
+    # Java's 1L << 63, giving the correct sign-bit pattern.
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        sig = sig.bitwiseOR(F.when(F.col(f"s{b}") >= 0, mask).otherwise(F.lit(0).cast("long")))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit signature into ``chunks`` pieces;
+    any pair within Hamming ≤ chunks-1 agrees on at least one full chunk,
+    so the join key is (chunk_idx, chunk_value) — never all-pairs.
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = signatures.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("p"),
+    ).select("id", "simhash", "p.chunk_idx", "p.chunk_val")
+    a = pieces.select(F.col("id").alias("x"), F.col("simhash").alias("hx"), "chunk_idx", "chunk_val")
+    b = pieces.select(F.col("id").alias("y"), F.col("simhash").alias("hy"), "chunk_idx", "chunk_val")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", F.bit_count(F.col("hx").bitwiseXOR(F.col("hy"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

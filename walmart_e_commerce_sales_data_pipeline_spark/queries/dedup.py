@@ -1,0 +1,122 @@
+"""Deduplication queries over the ``documents`` table (extension surface,
+SURVEY.md §2.11): exact, exact n-gram Jaccard, MinHash-LSH (verified), and
+SimHash (no SQL equivalent → rows-only driver check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    normalize_text,
+    shingle_sets,
+    simhash_pairs,
+    simhash_signatures,
+)
+from .registry import register
+from .tables import table
+
+JACCARD_THRESHOLD = 0.5
+
+# Shared oracle CTE: distinct 3-word shingles per document, mirroring
+# functions.text.word_shingles (split on single space, 1-based windows).
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT x, y, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = x
+    JOIN sizes sb ON sb.id = y
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ORDER BY x, y
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH norm AS (
+        SELECT source,
+               array_to_string(string_split(lower(text), ' '), ' ') AS norm_text
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT norm_text) AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT norm_text) AS dup_docs
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="exact dedup accounting per source: hash group-by on the "
+    "normalized text (operators.dedup.exact_dedup)",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        normalize_text(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("_norm").alias("distinct_docs"),
+            (F.count("*") - F.countDistinct("_norm")).alias("dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_EXACT_JACCARD_SQL,
+    description="exact all-pairs 3-gram Jaccard near-dup pairs at J ≥ 0.5 "
+    "via the shared-shingle self-join (operators.dedup.jaccard_pairs)",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs)
+    return jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("x", "y")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_EXACT_JACCARD_SQL,
+    description="MinHash(32)+LSH(16 bands) candidate generation with exact "
+    "Jaccard verification — must reproduce the exact-pairs oracle at "
+    "J ≥ 0.5 (operators.dedup.minhash_dedup_pairs); miss probability at "
+    "J=0.9 is ~5e-12 and the planted near-dups all sit above 0.9",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy("x", "y")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    description="SimHash(64-bit) near-dup pairs at Hamming ≤ 3 with 16-bit "
+    "chunk blocking (operators.dedup.simhash_*); rows-only driver check, "
+    "recall vs exact Jaccard asserted in tests",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_pairs(sigs, max_hamming=3).orderBy("x", "y")

@@ -1,0 +1,98 @@
+"""Similarity-search queries over ``embeddings`` (extension surface,
+SURVEY.md §2.11): brute-force cosine threshold pairs and top-k as the
+correctness baseline, hyperplane-LSH as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_pairs, lsh_bucketed_pairs, topk_neighbors
+from .registry import register
+from .tables import table
+
+COSINE_THRESHOLD = 0.45
+TOPK_QUERY_LIMIT = 20
+TOPK_K = 3
+
+_PAIRS_SQL = f"""
+    SELECT a.vec_id AS x, b.vec_id AS y,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim_r
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}
+    ORDER BY x, y
+"""
+
+
+@register(
+    "similarity_pairs",
+    oracle=_PAIRS_SQL,
+    description="brute-force cosine near-neighbor pairs ≥ 0.45 over the "
+    "64-d float embeddings (operators.similarity.cosine_pairs; zip_with + "
+    "aggregate fold, no UDFs)",
+    tags=("similarity",),
+)
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        cosine_pairs(emb, threshold=COSINE_THRESHOLD)
+        .select("x", "y", F.round("sim", 4).alias("sim_r"))
+        .orderBy("x", "y")
+    )
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {TOPK_QUERY_LIMIT}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOPK_K}
+    ORDER BY query_id, rk
+    """,
+    description="exact top-3 cosine neighbors for the first 20 vectors "
+    "(operators.similarity.topk_neighbors: brute-force + per-query window)",
+    tags=("similarity", "topk"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return (
+        topk_neighbors(emb, queries, k=TOPK_K)
+        .select("query_id", F.col("rank").alias("rk"), "neighbor_id")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "similarity_lsh",
+    oracle=_PAIRS_SQL,
+    description="random-hyperplane LSH near-neighbor pairs with exact "
+    "cosine re-ranking (operators.similarity.lsh_bucketed_pairs) — must "
+    "reproduce the brute-force oracle at ≥ 0.45 with the default "
+    "(16 planes, 4 chunks) banding",
+    tags=("similarity", "lsh"),
+)
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucketed_pairs(emb, threshold=COSINE_THRESHOLD)
+        .select("x", "y", F.round("sim", 4).alias("sim_r"))
+        .orderBy("x", "y")
+    )

@@ -1,0 +1,155 @@
+"""Text-analysis queries over ``documents`` (extension surface, SURVEY.md
+§2.11): corpus statistics, quality scoring, language ID, fingerprinting.
+All pure Catalyst expressions (functions.text) with exact SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .registry import register
+from .stable import int_avg, int_avg_sql
+from .tables import table
+
+_TOKENS_SQL = "string_split(lower(text), ' ')"
+_TOKEN_CNT_SQL = f"len({_TOKENS_SQL})"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {int_avg_sql("n_chars", "avg_chars")},
+           {int_avg_sql(_TOKEN_CNT_SQL, "avg_tokens")},
+           MAX({_TOKEN_CNT_SQL}) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="corpus statistics per language: doc count, avg chars, "
+    "avg/max token count (functions.text.token_count)",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tc", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            int_avg("n_chars", "avg_chars"),
+            int_avg("tc", "avg_tokens"),
+            F.max("tc").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Quality score mirrored term-by-term (same operation order → same bits).
+_QUALITY_SQL = f"""(
+    LEAST(len({_TOKENS_SQL}) / 100.0, 1.0) * 0.4
+    + (1.0 - len(list_filter({_TOKENS_SQL},
+            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) / len({_TOKENS_SQL})) * 0.3
+    + LEAST(n_chars / 500.0, 1.0) * 0.3
+)"""
+
+
+@register(
+    "text_quality_buckets",
+    oracle=f"""
+    SELECT source,
+           CAST(FLOOR({_QUALITY_SQL} * 10) AS INTEGER) AS quality_bucket,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY source, quality_bucket
+    ORDER BY source, quality_bucket
+    """,
+    description="heuristic quality scoring (length/stopword-density/char "
+    "ratios, functions.text.quality_score) bucketed per source",
+    tags=("text", "quality"),
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10).cast("int")
+    return (
+        docs.groupBy("source", bucket.alias("quality_bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "quality_bucket")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, x -> x IN ({quoted}))) > 0"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang,
+           CASE WHEN {_marker_sql("en")} THEN 'en'
+                WHEN {_marker_sql("es")} THEN 'es'
+                WHEN {_marker_sql("de")} THEN 'de'
+                WHEN {_marker_sql("fr")} THEN 'fr'
+                ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+    """,
+    description="stopword-marker language ID (functions.text.lang_id) "
+    "cross-tabulated against the labeled lang column",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("labeled_lang"), lang_id("text").alias("predicted_lang")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(array_to_string(string_split(lower(text), ' '), ' ')) AS f
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT f) AS distinct_fingerprints,
+           MIN(f) AS min_fingerprint
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="content fingerprinting via md5 over the canonical token "
+    "join (functions.text.fingerprint; rolling-hash variant is Spark-only)",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("f", fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("f").alias("distinct_fingerprints"),
+            F.min("f").alias("min_fingerprint"),
+        )
+        .orderBy("source")
+    )
