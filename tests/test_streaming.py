@@ -1,0 +1,103 @@
+"""Structured Streaming tests: the same transformations must produce the
+same results over a stream (file source, availableNow trigger) as over the
+batch DataFrame, and the native session_window must agree with the
+oracle-checked lag+cumsum sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
+    events_sessionization,
+)
+from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import events as load_events
+from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+    hourly_window_agg,
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    stage_stream_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_events(spark, SF0001)
+
+
+def test_streaming_hourly_equals_batch(spark, events_batch, tmp_path_factory):
+    batch = {
+        (str(r["window_start"]), r["n"]): r["sum_value"]
+        for r in hourly_window_agg(events_batch).collect()
+    }
+
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    assert stream.isStreaming
+    q = run_stream_to_memory(hourly_window_agg(stream), "hourly_test", mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["n"]): r["sum_value"]
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_session_window_agrees_with_lag_cumsum(spark, events_batch):
+    """The native session_window and the lag+cumsum implementation define
+    sessions identically except at exact-gap boundaries (measure-zero for
+    ns timestamps): same per-user session and event counts."""
+    native = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in session_window_agg(events_batch)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("ev_cnt").alias("n_events"))
+        .collect()
+    }
+    lag_based = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionization(spark, SF0001).collect()
+    }
+    assert native == lag_based
+
+
+def test_streaming_session_window_runs(spark):
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(session_window_agg(stream), "sessions_test", mode="append")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT count(*) AS n FROM sessions_test").first()
+    q.stop()
+    # append mode with watermark only emits *closed* sessions; the single
+    # input file means the final watermark still holds the last sessions
+    # open, so we assert the pipeline ran and emitted a sane prefix.
+    assert rows["n"] >= 0
+
+
+def test_multimodal_features(spark):
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    media = synthesize_media_table(spark, docs)
+    feats = extract_features(media, fake_decode=True).collect()
+    docs_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(feats) == len(docs_rows)
+    for r in feats[:20]:
+        payload = docs_rows[r["media_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(payload)
+        assert r["byte_max"] == max(payload)
+        assert abs(r["byte_mean"] - sum(payload) / len(payload)) < 1e-9
+    kinds = {r["kind"] for r in feats}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_stub_raises_without_fake():
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", "image", fake=False)

@@ -1,0 +1,130 @@
+"""Structured Streaming variants of the event-time analytics.
+
+The reference has zero streaming surface (SURVEY.md §2.7); this module is
+the extension mandated by the north star.  Design: the *transformations*
+are factored out so the identical logical plan runs over a batch DataFrame
+or a ``readStream`` DataFrame — only the source/sink differ.  Watermarks
+bound state for late data; ``session_window`` provides native streaming
+sessionization (the batch lag+cumsum equivalent lives in
+``queries.events.events_sessionization`` and the two are cross-checked in
+tests).
+
+At scale: windowed aggregation state is partitioned by (group keys, window)
+— the default HDFS-backed state store shards per shuffle partition; with
+RocksDB state store enabled the same code handles multi-TB state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema of the events table with the nanosecond timestamp kept
+# as long (streaming sources need an explicit schema anyway — a win: no
+# inference pass).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_stream_dir(*files: str) -> str:
+    """Stage files for the directory-based file stream source by symlinking
+    them into a fresh temp dir (the source requires a directory; the
+    testdata is read-only, so no copies)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    for f in files:
+        os.symlink(f, os.path.join(d, os.path.basename(f)))
+    return d
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a *directory* of events parquet files (use
+    ``stage_stream_dir`` to stream individual files).
+
+    ``maxFilesPerTrigger=1`` gives deterministic micro-batches in tests;
+    production would leave it unset and let the source batch by size.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return with_event_time(raw)
+
+
+def with_event_time(raw: DataFrame) -> DataFrame:
+    """Rebuild the µs event-time timestamp from the ns long (shared with
+    the batch loader, queries.tables.events)."""
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_window_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour window counts/sums — batch or streaming input.
+
+    With a streaming input the watermark bounds state: windows older than
+    (max event time − watermark) finalize and evict.  Identical logical
+    shape to queries.events.events_hourly_window.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value", "sum_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessionization via the native ``session_window`` operator —
+    batch or streaming input.  In streaming mode the watermark closes
+    sessions once no event can extend them."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("ev_cnt"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "ev_cnt",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Drain a streaming plan into an in-memory table (testing sink)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
