@@ -1,0 +1,47 @@
+"""Physical-plan assertions: the scale story isn't 'it returns the right
+rows' but 'Catalyst chose the plan that survives 100×' — filters reach the
+parquet scan, projections prune columns, dimensions broadcast."""
+
+from __future__ import annotations
+
+from tests.conftest import SF001
+from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = q.REGISTRY["pricing_summary"].fn(spark, SF001)
+    plan = formatted_plan(df)
+    # shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df)), plan
+    # projection pruning: the scan must not read l_suppkey/l_partkey etc.
+    scan_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_suppkey" not in scan_schema
+    assert "l_quantity" in scan_schema
+    df.collect()  # AQE: codegen ids exist only in the final executed plan
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = q.REGISTRY["regional_revenue"].fn(spark, SF001)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # the orders date filter must push into the orders scan
+    assert any("o_orderdate" in f for f in pushed_filters(df)), plan
+
+
+def test_fact_dim_join_broadcasts(spark):
+    df = q.REGISTRY["join_customer_orders"].fn(spark, SF001)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    df = q.REGISTRY["top10_expensive_items"].fn(spark, SF001)
+    # global top-k must not be a full sort: TakeOrderedAndProject caps
+    # per-partition state at k rows
+    assert "TakeOrderedAndProject" in formatted_plan(df)

@@ -48,6 +48,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition inputs that arrive in fewer partitions than
+    cores (single small parquet files) so the expensive per-row expression
+    work below parallelizes; no-op for well-partitioned inputs."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -55,10 +65,17 @@ def shingle_sets(
     n: int = 3,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs; optionally drop ubiquitous shingles."""
+    """Distinct (id, shingle) pairs; optionally drop ubiquitous shingles.
+
+    Tokens are materialized into a column *before* shingling: expressions
+    inside lambda functions get no common-subexpression elimination, so
+    inlining ``tokenize`` into each of the n ``element_at`` calls would
+    re-run the split O(n·shingles) times per document (measured 10×).
+    """
     sh = (
-        df.select(F.col(id_col).alias("id"), word_shingles(tokenize(text_col), n).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
+        _spread_narrow(df)
+        .select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+        .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
         .distinct()
     )
     if max_shingle_df is not None:
@@ -127,7 +144,11 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
+    from pyspark import StorageLevel
+
     banded = signatures.select("id", *band_cols)
+    # Persisted: both sides of the self-join below would otherwise recompute
+    # the full signature aggregation.
     bucketed = banded.select(
         "id",
         F.explode(
@@ -136,7 +157,7 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "bb.band_idx", "bb.band_hash")
+    ).select("id", "bb.band_idx", "bb.band_hash").persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.select(F.col("id").alias("x"), "band_idx", "band_hash")
     b = bucketed.select(F.col("id").alias("y"), "band_idx", "band_hash")
     return (
@@ -165,24 +186,32 @@ def minhash_dedup_pairs(
     contains every qualifying pair with probability ≈ 1 - 1e-4 (and
     deterministically so for a fixed dataset, since the hashes are seeded).
     """
-    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    # The shingle set feeds two consumers (signatures and the verification
+    # arrays) — persist it so the scan+shingle work runs once.
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
 
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("x"), "shingle")
-    b = sh.select(F.col("id").alias("y"), "shingle")
-    inter = (
-        cands.join(a, "x")
-        .join(b, ["y", "shingle"])
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("inter"))
+    # Verification via per-doc shingle arrays: two joins + array_intersect
+    # instead of a five-way join chain (per-stage overhead dominates the
+    # tiny candidate set; at scale this also halves the shuffles).
+    doc_sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("shs"), F.count("*").alias("n_sh")
     )
-    sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
-    sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    ax = doc_sets.select(
+        F.col("id").alias("x"), F.col("shs").alias("shx"), F.col("n_sh").alias("nx")
+    )
+    ay = doc_sets.select(
+        F.col("id").alias("y"), F.col("shs").alias("shy"), F.col("n_sh").alias("ny")
+    )
     return (
-        inter.join(sx, "x")
-        .join(sy, "y")
+        cands.join(ax, "x")
+        .join(ay, "y")
+        .withColumn("inter", F.size(F.array_intersect("shx", "shy")))
         .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
@@ -195,7 +224,7 @@ def simhash_signatures(
     """SimHash: per document, bit b is the sign of Σ_tokens (±1 by bit b of
     xxhash64(token)).  Computed as ``bits`` conditional-sum aggregates over
     the exploded token stream — one shuffle, no UDFs."""
-    toks = df.select(
+    toks = _spread_narrow(df).select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
@@ -238,6 +267,9 @@ def simhash_pairs(
             ])
         ).alias("p"),
     ).select("id", "simhash", "p.chunk_idx", "p.chunk_val")
+    from pyspark import StorageLevel
+
+    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)  # self-joined below
     a = pieces.select(F.col("id").alias("x"), F.col("simhash").alias("hx"), "chunk_idx", "chunk_val")
     b = pieces.select(F.col("id").alias("y"), F.col("simhash").alias("hy"), "chunk_idx", "chunk_val")
     return (

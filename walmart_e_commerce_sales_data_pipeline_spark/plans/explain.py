@@ -40,5 +40,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer spans for the same plan =
-    wider fused pipelines = less row materialization between operators)."""
-    return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
+    wider fused pipelines = less row materialization between operators).
+
+    Parsed from simple-mode explain, where fused operators carry a
+    ``*(n)`` codegen-id prefix (formatted mode omits the markers).
+    Under AQE the markers only exist in the *final* plan — run an action
+    on the DataFrame first, then call this.
+    """
+    simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    return len(set(re.findall(r"\*\((\d+)\)", simple)))

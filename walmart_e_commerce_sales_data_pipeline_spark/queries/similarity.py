@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_pairs, lsh_bucketed_pairs, topk_neighbors
+from ..operators.similarity import (
+    block_cosine_pairs,
+    cosine_pairs,
+    lsh_bucketed_pairs,
+    topk_neighbors,
+)
 from .registry import register
 from .tables import table
 
@@ -77,6 +82,23 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_neighbors(emb, queries, k=TOPK_K)
         .select("query_id", F.col("rank").alias("rk"), "neighbor_id")
         .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "similarity_pairs_blocked",
+    oracle=_PAIRS_SQL,
+    description="exact cosine pairs via broadcast block-matrix GEMM "
+    "(operators.similarity.block_cosine_pairs) — the high-throughput path "
+    "when the corpus fits a broadcast; must equal the brute-force oracle",
+    tags=("similarity", "blocked"),
+)
+def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        block_cosine_pairs(emb, threshold=COSINE_THRESHOLD)
+        .select("x", "y", F.round("sim", 4).alias("sim_r"))
+        .orderBy("x", "y")
     )
 
 
