@@ -1,0 +1,257 @@
+"""Operator-library breadth, wave 3: window-frame suite (moving frames,
+ntile/percent_rank/cume_dist, first/last_value), explicit GROUPING SETS,
+as-of join (vs DuckDB's native ASOF JOIN as the oracle), bounded range
+join, and TF-IDF scoring over the documents corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join_pairs
+from .registry import register
+from .tables import table
+
+# ---------------------------------------------------------------------------
+# Window frames + ranking suite.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_frames_suite",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m, total,
+           ROUND(SUM(total) OVER (ORDER BY y, m
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3,
+           CAST(NTILE(4) OVER (ORDER BY total, y, m) AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY total), 6) AS cume,
+           FIRST_VALUE(total) OVER (ORDER BY y, m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_total
+    FROM monthly
+    ORDER BY y, m
+    """,
+    description="window-frame suite: bounded moving frame, ntile, "
+    "percent_rank, cume_dist, first_value with explicit frames "
+    "(rounded monthly cents → frame sums tie-free, rank ratios exact)",
+    tags=("window",),
+)
+def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    by_time = Window.orderBy("y", "m")
+    mov = by_time.rowsBetween(-2, Window.currentRow)
+    run = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_total = Window.orderBy("total")
+    return (
+        monthly.select(
+            "y",
+            "m",
+            "total",
+            F.round(F.sum("total").over(mov), 2).alias("moving_sum3"),
+            F.ntile(4).over(Window.orderBy("total", "y", "m")).alias("quartile"),
+            F.round(F.percent_rank().over(by_total), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(by_total), 6).alias("cume"),
+            F.first("total").over(run).alias("first_total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS through the SQL API.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    ORDER BY region_name, nation_name
+    """,
+    description="explicit GROUPING SETS (disjoint set list — not a rollup "
+    "prefix chain) via the SQL API",
+    tags=("agg", "groupingsets", "sql-api"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    table(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n
+        FROM gs_customer c
+        JOIN gs_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN gs_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY region_name, nation_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest order at-or-before each event, per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    WITH o AS (
+        -- unique right rows per (key, time): keep the max orderkey per date
+        SELECT o_custkey AS user_id, epoch_ns(o_orderdate) AS t,
+               MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    ), e AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events)
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           COUNT(o.o_orderkey) AS n_matched,
+           COUNT(DISTINCT o.o_orderkey) AS distinct_orders,
+           MAX(o.o_orderkey) AS latest_orderkey
+    FROM e
+    ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    description="as-of join (operators.temporal.asof_join: union-merge + "
+    "running last-ignorenulls window) — oracle is DuckDB's native ASOF "
+    "LEFT JOIN; latest order at-or-before each event per user",
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) * F.lit(1_000_000_000))
+            .alias("t_ns"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev, orders, key="user_id", left_time="ts_ns", right_time="t_ns",
+        right_value="o_orderkey",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("asof_o_orderkey").alias("n_matched"),
+            F.countDistinct("asof_o_orderkey").alias("distinct_orders"),
+            F.max("asof_o_orderkey").alias("latest_orderkey"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join: event pairs within 60 s per user.
+# ---------------------------------------------------------------------------
+
+_RANGE_TOL_NS = 60 * 1_000_000_000
+
+
+@register(
+    "range_join_close_events",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events)
+    SELECT a.user_id, COUNT(*) AS close_pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(a.t - b.t) <= {_RANGE_TOL_NS}
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    description="bounded range join (operators.temporal.range_join_pairs: "
+    "time-bucket pruning instead of a cross join) — event pairs within "
+    "60 s for the same user",
+    tags=("join", "range", "temporal"),
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
+    pairs = range_join_pairs(
+        ev, key="user_id", time_col="ts_ns", id_col="event_id", tolerance=_RANGE_TOL_NS
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("close_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: most distinctive tokens per language.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.token,
+               ROUND(tf.tf * LN(n.n_docs / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token, n
+    )
+    SELECT lang, token, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT lang, token, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY tfidf DESC, token) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    description="TF-IDF top-5 distinctive tokens per language: term "
+    "frequency per lang × ln(N/df) inverse document frequency — pure "
+    "joins/aggregations, no MLlib state",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").select(
+        "lang",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "tfidf", "rk")
+        .orderBy("lang", "rk")
+    )
