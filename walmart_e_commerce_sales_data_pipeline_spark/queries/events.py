@@ -154,6 +154,41 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slides AS (
+        SELECT value,
+               time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '15 minutes' AS window_start
+        FROM events, UNNEST(range(4)) AS u(k)
+    )
+    SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           {_EV_SUM_SQL}
+    FROM slides
+    GROUP BY slides.window_start
+    ORDER BY window_start
+    """,
+    description="sliding event-time window (1 h length, 15 min slide): "
+    "every event lands in 4 overlapping windows; oracle expands the "
+    "slide set explicitly",
+    tags=("window", "event-time", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), cent_sum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "events_json_extract",
     oracle=f"""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
