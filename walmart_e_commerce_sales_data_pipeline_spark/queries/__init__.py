@@ -7,4 +7,12 @@ Importing this package populates ``REGISTRY`` with every implemented query
 from . import events, relational  # noqa: F401  (registration side effects)
 from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # noqa: F401
 
-from . import dedup, relational2, relational3, similarity, streaming_media, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    product_analytics,
+    relational2,
+    relational3,
+    similarity,
+    streaming_media,
+    text,
+)
