@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — physical plans of the flagship queries.
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+COMMENT = {
+    "pricing_summary": "filter pushed to scan; 7/11 columns read; partial+final HashAggregate",
+    "regional_revenue": "all four joins broadcast at this toy scale (every side fits); "
+    "at production scale lineitem<->orders becomes the one sort-merge shuffle while the "
+    "three dimension joins stay broadcast — the explicit broadcast() hints pin the dims",
+    "shipping_priority_top10": "filters pushed into all three scans; TakeOrderedAndProject "
+    "caps the sort at k=10",
+    "window_topk_orders": "single shuffle on the window partition key; rank filter applied "
+    "before the final sort",
+    "top10_expensive_items": "no full sort: TakeOrderedAndProject with per-partition k-row state",
+    "dedup_minhash_lsh": "persisted shingle set reused; candidate join keyed by (band, hash)",
+    "events_sessionization": "one shuffle on user_id shared by both window functions and the "
+    "session aggregation",
+}
+
+
+def main() -> None:
+    from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import formatted_plan
+    from walmart_e_commerce_sales_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md"), "w") as f:
+        f.write("# PLANS — physical plans of the flagship queries (sf0.01, AQE on)\n\n")
+        f.write("Regenerate with `python tools/gen_plans.py` after plan-affecting changes.\n")
+        f.write(
+            "Each plan is the *pre-execution* formatted plan; AQE may further "
+            "coalesce partitions or convert join strategies at runtime.\n\n"
+        )
+        for name, comment in COMMENT.items():
+            df = q.REGISTRY[name].fn(spark, SF_DIR)
+            plan = formatted_plan(df)
+            tree = plan.split("\n\n(1)")[0]
+            scans = "\n".join(
+                line
+                for line in plan.splitlines()
+                if "PushedFilters" in line or "ReadSchema" in line
+            )
+            f.write(f"## {name}\n\n*{comment}*\n\n```\n{tree}\n{scans}\n```\n\n")
+    spark.stop()
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
