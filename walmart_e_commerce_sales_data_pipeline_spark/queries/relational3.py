@@ -199,6 +199,81 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated subquery: each order vs its own customer's average.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "correlated_subquery_orders",
+    oracle="""
+    WITH cust_avg AS (
+        SELECT o_custkey,
+               ROUND(SUM(o_totalprice * 100.0)) / 100.0 / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderstatus, COUNT(*) AS n_above_own_avg
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT avg_price FROM cust_avg c WHERE c.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    description="correlated scalar subquery (decorrelated by Catalyst into "
+    "an aggregate+join): orders above their own customer's average price",
+    tags=("subquery", "sql-api"),
+)
+def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus, COUNT(*) AS n_above_own_avg
+        FROM corr_orders o
+        WHERE o.o_totalprice > (
+            SELECT ROUND(SUM(i.o_totalprice * 100.0)) / 100.0 / COUNT(*)
+            FROM corr_orders i WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode (UNNEST) over array columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateral_explode_embeddings",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS pos, COUNT(*) AS n,
+           ROUND(CAST(MIN(embedding[i + 1]) AS DOUBLE), 6) AS min_val,
+           ROUND(CAST(MAX(embedding[i + 1]) AS DOUBLE), 6) AS max_val
+    FROM embeddings, UNNEST(range(8)) AS u(i)
+    GROUP BY i
+    ORDER BY pos
+    """,
+    description="lateral explode with position (posexplode / UNNEST WITH "
+    "ORDINALITY): per-dimension min/max over the first 8 embedding dims",
+    tags=("array", "explode"),
+)
+def lateral_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(F.col("val").cast("double")), 6).alias("min_val"),
+            F.round(F.max(F.col("val").cast("double")), 6).alias("max_val"),
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF: most distinctive tokens per language.
 # ---------------------------------------------------------------------------
 
