@@ -68,6 +68,10 @@ def main() -> None:
         fn = q.REGISTRY[name].fn
         best = float("inf")
         for _ in range(2):
+            # cache-cold per run: operators that persist intermediates
+            # (dedup LSH) must not let run 2 reuse run 1's cached state,
+            # and no query may inherit another's cache
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)

@@ -91,6 +91,18 @@ def test_end_to_end_load_and_validation(spark, tmp_path):
     assert out.count() == 12
 
 
+def test_csv_without_index_header_raises(spark, tmp_path):
+    """The CSV pre-flight must inspect the file's header line: with an
+    explicit schema Spark binds CSV columns by position, so a malformed
+    file would otherwise silently misbind (review finding)."""
+    bad = tmp_path / "reordered.csv"
+    bad.write_text('"a","b","c","d","e","f"\n1,2,3,4,5,6\n')
+    from walmart_e_commerce_sales_data_pipeline_spark.pipeline import extract
+
+    with pytest.raises(KeyError):
+        extract(spark, str(bad), f"{REFERENCE_DIR}/extra_data.parquet")
+
+
 def test_missing_index_column_raises(spark, tmp_path):
     # mirrors the reference's schema assertion (wallmart_pipeline.py:55-57)
     bad = tmp_path / "bad.csv"

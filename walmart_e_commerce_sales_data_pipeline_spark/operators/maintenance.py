@@ -27,9 +27,15 @@ def merge_upsert(
     """MERGE semantics onto a parquet directory: rows in ``updates`` replace
     target rows with the same key; new keys are appended.
 
-    Write-audit-swap: the merged result lands in a staging directory and
-    atomically replaces the target, so concurrent readers see either the
-    old or the new table, never a mixture.
+    Write-audit-swap: the merged result lands fully in a staging directory
+    before any change to the target, so readers never observe a *partial*
+    table.  The swap itself is two renames — POSIX offers no atomic
+    directory exchange — so there is a milliseconds-wide window where the
+    target path is absent (a concurrent reader would get PATH_NOT_FOUND
+    and should retry), and a crash inside the window leaves the data
+    intact in a ``.old-*`` sibling for manual recovery.  True atomic
+    MERGE needs a transactional table format (Delta/Iceberg ``MERGE
+    INTO``), which is the drop-in replacement for this call site.
     """
     target = Path(target_path)
     staging = target.with_name(f".{target.name}.staging-{uuid.uuid4().hex[:8]}")

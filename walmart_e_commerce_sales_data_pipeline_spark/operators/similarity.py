@@ -147,7 +147,13 @@ def _verify_pairs_blocked(
 ) -> DataFrame:
     """Exact-cosine verification of (x, y) candidate pairs using a
     broadcast id→normalized-vector lookup and vectorized numpy row dots —
-    the per-pair expression fold was the LSH bottleneck (measured 30×)."""
+    the per-pair expression fold was the LSH bottleneck (measured 30×).
+
+    Shares ``block_cosine_pairs``' constraint: the corpus is collected and
+    broadcast, so this verifier fits corpora up to broadcast size
+    (~10^6 × 64-d).  Beyond that, verify by joining candidates back to the
+    embeddings table twice and folding the cosine in expressions — slower
+    per pair but never driver-materialized."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     import numpy as np

@@ -84,10 +84,13 @@ def extract(spark: SparkSession, store_data: str, extra_data: str) -> DataFrame:
     - CSV gets an explicit schema (no ``inferSchema`` pass — at scale that
       second scan is pure waste).
     - The schema pre-flight mirrors the reference's ``KeyError`` on a
-      missing ``index`` column (wallmart_pipeline.py:55-57).
-    - The join side that is small (the CSV sales table here) is broadcast —
-      at production scale the *dimension-like* side should broadcast; AQE
-      will also convert to broadcast at runtime from observed sizes.
+      missing ``index`` column (wallmart_pipeline.py:55-57).  The CSV side
+      must be checked against the file's *header line*: with an explicit
+      schema Spark binds CSV columns by position, so ``df.columns`` always
+      echoes the schema and would never catch a malformed file.
+    - Join strategy is left to AQE (runtime broadcast conversion from
+      observed sizes) — both inputs grow with the dataset, so no build
+      side is pinned at plan time.
     - Only the columns the pipeline ever uses survive Catalyst's column
       pruning; the parquet scan reads 4 of 13 columns (the reference reads
       all 13, SURVEY.md §4.1).
@@ -95,7 +98,10 @@ def extract(spark: SparkSession, store_data: str, extra_data: str) -> DataFrame:
     df = spark.read.option("header", True).schema(GROCERY_SALES_SCHEMA).csv(store_data)
     extra_df = spark.read.parquet(extra_data)
 
-    if "index" not in df.columns or "index" not in extra_df.columns:
+    header = spark.read.text(store_data).first()
+    raw_header = (header["value"] if header else "").lstrip("﻿")  # BOM-tolerant
+    csv_columns = [c.strip().strip('"').strip("'") for c in raw_header.split(",")]
+    if "index" not in csv_columns or "index" not in extra_df.columns:
         logger.error("The 'index' column is missing from one of the datasets.")
         raise KeyError("The 'index' column is missing from one of the datasets.")
 
@@ -248,9 +254,13 @@ def main(
         agg_data = avg_weekly_sales_per_month(clean_data)
 
         tables = {"clean_data": clean_data, "agg_data": agg_data}
-        written = load(tables, output_dir=output_dir, jdbc_url=jdbc_url)
-        validation(spark, written)
-        clean_data.unpersist()
+        try:
+            written = load(tables, output_dir=output_dir, jdbc_url=jdbc_url)
+            validation(spark, written)
+        finally:
+            # always release the cache — a failed sink must not pin the
+            # persisted plan for the rest of the session
+            clean_data.unpersist()
         logger.info("Data pipeline execution completed successfully.")
         return tables
     except Exception:

@@ -54,7 +54,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     converters = converted.count()
     # floor(x+0.5), not round(): Python's round is half-to-even while the
     # oracle's ROUND is half-away — floor(x+0.5) ties identically in both.
-    rate = math.floor(converters * 1000.0 / viewers + 0.5) / 1000.0
+    # Zero-viewer guard: a dataset without 'view' events yields rate 0.0
+    # rather than a driver-side ZeroDivisionError.
+    rate = 0.0 if viewers == 0 else math.floor(converters * 1000.0 / viewers + 0.5) / 1000.0
     return spark.createDataFrame(
         [(viewers, converters, rate)],
         "viewers: long, converters: long, conversion_rate: double",

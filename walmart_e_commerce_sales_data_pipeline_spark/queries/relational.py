@@ -493,7 +493,9 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     u = a.union(b).distinct().selectExpr("'union' AS op")
     i = a.intersect(b).selectExpr("'intersect' AS op")
-    e = a.exceptAll(b).distinct().selectExpr("'except' AS op")
+    # subtract == SQL EXCEPT (set semantics); exceptAll().distinct() would
+    # diverge from the oracle whenever `a` held duplicates of a `b` row.
+    e = a.subtract(b).selectExpr("'except' AS op")
     return (
         u.unionAll(i).unionAll(e).groupBy("op").agg(F.count("*").alias("n")).orderBy("op")
     )

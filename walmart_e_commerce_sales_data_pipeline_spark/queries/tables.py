@@ -29,7 +29,11 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer `div`, never float division: ts_ns ≈ 1.7e18 exceeds double's
+    # 53-bit mantissa, so `/ 1000` floors ~1.6% of rows to the previous
+    # microsecond and events on exact window boundaries land in the wrong
+    # bucket.
     return (
         raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     )

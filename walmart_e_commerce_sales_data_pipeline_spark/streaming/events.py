@@ -73,9 +73,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def with_event_time(raw: DataFrame) -> DataFrame:
     """Rebuild the µs event-time timestamp from the ns long (shared with
-    the batch loader, queries.tables.events)."""
+    the batch loader, queries.tables.events).  Integer `div`: float
+    division loses ns precision above 2^53 (see queries/tables.py)."""
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
 
 
