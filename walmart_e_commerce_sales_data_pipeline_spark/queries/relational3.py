@@ -239,6 +239,64 @@ def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "min_price_per_type",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    ORDER BY p.p_type, p.p_partkey
+    """,
+    description="TPC-H Q2-style correlated MIN: parts priced at their type "
+    "class's minimum (equality on exact cent values — no float hazard)",
+    tags=("subquery", "sql-api"),
+)
+def min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("mp_part")
+    return spark.sql(
+        """
+        SELECT p.p_type, p.p_partkey, p.p_retailprice
+        FROM mp_part p
+        WHERE p.p_retailprice = (
+            SELECT MIN(p2.p_retailprice) FROM mp_part p2 WHERE p2.p_type = p.p_type
+        )
+        ORDER BY p.p_type, p.p_partkey
+        """
+    )
+
+
+@register(
+    "exists_not_exists_combo",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS finished_only_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'O')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    description="TPC-H Q21-style EXISTS + NOT EXISTS combination (semi-join "
+    "chained with anti-join on differently-filtered builds)",
+    tags=("subquery", "join"),
+)
+def exists_not_exists_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    o_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(f_orders, customer.c_custkey == f_orders.o_custkey, "left_semi")
+        .join(o_orders, F.col("c_custkey") == o_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("finished_only_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lateral explode (UNNEST) over array columns.
 # ---------------------------------------------------------------------------
