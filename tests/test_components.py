@@ -1,0 +1,40 @@
+"""Connected-components operator: correctness on adversarial shapes that
+the duplicate-cluster data (tiny diameters) never exercises."""
+
+from __future__ import annotations
+
+import pytest
+
+from walmart_e_commerce_sales_data_pipeline_spark.operators.components import (
+    connected_components,
+)
+
+
+def test_long_chain_converges_via_pointer_jumping(spark):
+    # a 201-node path needs O(log d) iterations with pointer jumping;
+    # plain one-hop propagation would need 200 and previously returned
+    # silently-wrong labels at the iteration cap
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)], "x: long, y: long")
+    labels = {r["id"]: r["component"] for r in connected_components(chain).collect()}
+    assert len(labels) == 201
+    assert all(v == 0 for v in labels.values())
+
+
+def test_disjoint_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "x: long, y: long",
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "x: long, y: long")
+    assert connected_components(empty).count() == 0
+
+
+def test_unconverged_raises(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "x: long, y: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)

@@ -1,0 +1,88 @@
+"""Connected components over near-duplicate pairs — the iterative
+algorithm that turns pairwise dedup output into duplicate *clusters*
+(SURVEY.md §2.11: 'band→bucket-join→connected components or rep-pick').
+
+Implementation: minimum-label propagation with pointer jumping, as a
+driver-side loop of DataFrame joins.  Each iteration (a) every node adopts
+the smallest label among itself and its neighbors, then (b) labels are
+compressed through the label graph (label := label-of-label), which makes
+the hop distance collapse geometrically — a path graph of diameter d
+converges in O(log d) iterations instead of O(d).  Convergence is detected
+by a changed-row count; an unconverged exit RAISES rather than silently
+returning partial labels.  Each iteration is localCheckpointed so the
+lineage doesn't grow unboundedly (the classic iterative-algorithm trap on
+Spark).
+
+At scale this is the moderate variant; billion-edge graphs want the
+large-star/small-star algorithm or GraphFrames — same driver-loop shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Label each node reachable through ``pairs`` (columns x, y) with the
+    minimum node id of its component.  Returns (id, component).
+
+    Raises ``RuntimeError`` if the labeling has not converged after
+    ``max_iterations`` (2^25-diameter components would be required).
+    """
+    edges = pairs.select("x", "y").union(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("x").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.x, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: follow the component's own label one step —
+        # halves the remaining hop distance every iteration
+        lut = propagated.select(
+            F.col("id").alias("lid"), F.col("component").alias("lcomp")
+        )
+        new_labels = (
+            propagated.join(lut, propagated.component == lut.lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("lcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage per iteration
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )

@@ -8,6 +8,7 @@ from . import events, relational  # noqa: F401  (registration side effects)
 from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # noqa: F401
 
 from . import (  # noqa: F401
+    clusters,
     dedup,
     product_analytics,
     relational2,

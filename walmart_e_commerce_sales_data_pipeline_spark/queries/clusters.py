@@ -1,0 +1,95 @@
+"""Duplicate-cluster and event-sequence queries.
+
+``dedup_clusters`` composes the exact Jaccard pair generator with the
+iterative connected-components operator; its oracle is a DuckDB recursive
+CTE computing the same min-reachable-id labeling — the one place the
+driver checks an *iterative* Spark algorithm against recursive SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import jaccard_pairs, shingle_sets
+from .dedup import _SHINGLE_CTE, JACCARD_THRESHOLD
+from .registry import register
+from .tables import table
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
+    SELECT component AS cluster_id,
+           COUNT(*) AS cluster_size,
+           MAX(id) AS max_doc_id
+    FROM comp
+    GROUP BY component
+    ORDER BY cluster_id
+    """,
+    description="near-duplicate clusters: exact Jaccard pairs (J ≥ 0.5) → "
+    "iterative min-label connected components "
+    "(operators.components.connected_components); oracle is a recursive "
+    "CTE computing the identical min-reachable-id labeling",
+    tags=("dedup", "iterative", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_doc_id"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, COUNT(*) AS n
+    FROM seq
+    WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    ORDER BY prev, next
+    """,
+    description="event-sequence transition matrix: per-user lag over "
+    "event-time order, counted per (prev, next) pair — the markov-chain "
+    "input for behavioral modeling",
+    tags=("event-time", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev", "next")
+    )
