@@ -1,0 +1,47 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``hash_split`` assigns every row to a named split (train/val/test…) from a
+seeded xxhash64 of its key — the assignment is a pure function of
+(key, seed, weights), so it is reproducible across runs, machines,
+cluster sizes, and re-partitioning, and rows added later never reshuffle
+existing assignments (unlike ``randomSplit``, whose outcome depends on
+partitioning).  This is the property training-data pipelines actually
+need: a document's split membership is stable for the lifetime of the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def split_column(key: Column | str, weights: dict[str, float], seed: int = 42) -> Column:
+    """Column expression assigning a split name per the weight ranges."""
+    total = sum(weights.values())
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(F.xxhash64(k, F.lit(seed)), F.lit(_BUCKETS))
+    expr: Column | None = None
+    upper = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        upper += w / total * _BUCKETS
+        cond = bucket < F.lit(int(upper))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return (expr.otherwise(last) if expr is not None else F.lit(last)).alias("split")
+
+
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], seed: int = 42
+) -> dict[str, DataFrame]:
+    """Partition ``df`` into named splits by hashed key.
+
+    Returns {name: DataFrame}; the frames are disjoint and their union is
+    the input.  Proportions converge to ``weights`` with the usual
+    hash-uniformity error (~1/sqrt(n) relative).
+    """
+    tagged = df.withColumn("split", split_column(key, weights, seed))
+    return {name: tagged.filter(F.col("split") == name).drop("split") for name in weights}

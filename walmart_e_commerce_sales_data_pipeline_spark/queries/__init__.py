@@ -9,6 +9,7 @@ from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # no
 
 from . import (  # noqa: F401
     clusters,
+    corpus,
     dedup,
     product_analytics,
     relational2,
