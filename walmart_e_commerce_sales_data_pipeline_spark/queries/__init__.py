@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     clusters,
     corpus,
     dedup,
+    grouped_pandas,
     product_analytics,
     relational2,
     relational3,
