@@ -63,7 +63,13 @@ def main() -> None:
     # min of 2 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
     # throughput at scale.
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        metrics_since,
+    )
+
     timings: dict[str, float] = {}
+    runtime: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
         best = float("inf")
@@ -72,10 +78,14 @@ def main() -> None:
             # (dedup LSH) must not let run 2 reuse run 1's cached state,
             # and no query may inherit another's cache
             spark.catalog.clearCache()
+            mark = execution_count(spark)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # shuffle/spill volume of the last run: wall-clock can stay flat at
+        # sf0.1 while shuffle volume doubles — the 100 TB regression signal
+        runtime[name] = metrics_since(spark, mark)
 
     # Reference-parity ETL on the reference's own bundled data (matches the
     # BASELINE.md measurement boundary: extract→transform→agg→load→validate).
@@ -103,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runtime_metrics": runtime,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

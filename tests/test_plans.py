@@ -45,3 +45,20 @@ def test_topk_uses_take_ordered(spark):
     # global top-k must not be a full sort: TakeOrderedAndProject caps
     # per-partition state at k rows
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_runtime_metrics_capture_shuffle(spark):
+    """metrics_since reads real shuffle volume from the SQL status store."""
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        metrics_since,
+    )
+
+    mark = execution_count(spark)
+    q.REGISTRY["regional_revenue"].fn(spark, SF001).collect()
+    m = metrics_since(spark, mark)
+    assert set(m) == {"shuffle_bytes", "spill_bytes"}
+    # a 3-table join + groupBy must shuffle at least the aggregation
+    assert m["shuffle_bytes"] > 0
+    # nothing at sf0.001 should spill on a 128 GiB heap
+    assert m["spill_bytes"] == 0

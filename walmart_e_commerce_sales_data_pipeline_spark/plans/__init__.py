@@ -4,3 +4,4 @@ from .explain import (  # noqa: F401
     pushed_filters,
     wholestage_codegen_spans,
 )
+from .metrics import execution_count, metrics_since  # noqa: F401

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join, range_join_pairs
 from .registry import register
+from .stable import unit_sum, unit_sum_sql
 from .tables import table
 
 # ---------------------------------------------------------------------------
@@ -387,4 +388,51 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "token", "tfidf", "rk")
         .orderBy("lang", "rk")
+    )
+
+
+_TSR_REV_SQL = unit_sum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_TSR_REV_SQL}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    description="TPC-H Q15-style top supplier: quarterly revenue view, "
+    "scalar MAX subquery selects the leader(s); the 1-row max and the "
+    "supplier dim both broadcast, so the only shuffle is the revenue "
+    "aggregation itself (map-side partials over l_suppkey); ties on the "
+    "rounded revenue surface every co-leader in both engines",
+    tags=("tpch", "subquery", "view"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(unit_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_rev)
+        .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
