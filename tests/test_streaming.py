@@ -101,3 +101,35 @@ def test_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"abc", "image", fake=False)
+
+
+def test_rocksdb_state_store_matches_default(spark, events_batch):
+    """The streaming suite runs unchanged on the RocksDB state store (the
+    multi-TB-state scale path) and produces the identical result."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        rocksdb_state_conf,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["n"]): r["sum_value"]
+        for r in hourly_window_agg(events_batch).collect()
+    }
+    saved = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    try:
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
+        stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+        q = run_stream_to_memory(hourly_window_agg(stream), "hourly_rocksdb", mode="complete")
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["n"]): r["sum_value"]
+            for r in spark.sql("SELECT * FROM hourly_rocksdb").collect()
+        }
+        q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == batch and len(got) > 0

@@ -129,3 +129,24 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session confs switching streaming state to the RocksDB provider.
+
+    The default HDFS-backed store keeps every state row on the executor
+    heap — fine for sf0.1 session windows, fatal for multi-TB keyspaces
+    (billions of users × open windows).  RocksDB spills state to local SSD
+    with bounded memory, and changelog checkpointing uploads only per-batch
+    deltas instead of full snapshots.  Read at query *start*, so set these
+    before ``.start()``; running queries are unaffected.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
