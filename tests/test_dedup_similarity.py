@@ -85,3 +85,51 @@ def test_topk_neighbors_shape(emb):
         sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ivf_recall_and_pruning_on_clustered_vectors(spark):
+    """On genuinely clustered data (the 100 TB case IVF exists for),
+    nprobe=2/12 scans a small corpus fraction yet keeps recall high."""
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        topk_neighbors,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(0)
+    n_blobs, dim, per_blob = 12, 24, 100
+    centers = rng.normal(size=(n_blobs, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = np.repeat(np.arange(n_blobs), per_blob)
+    x = centers[blob] + 0.15 * rng.normal(size=(n_blobs * per_blob, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    queries = df.filter("vec_id % 50 = 0")  # 24 queries, 2 per blob
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(df, queries, k=5).collect()
+    }
+    cents = train_ivf_centroids(df, n_cells=n_blobs, sample=n_blobs * per_blob)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    # pruning: candidates actually scanned (numpy replay of the same
+    # assignment math) must be a small fraction of the brute-force space
+    c = np.array(cents)
+    assign = np.argmax(x @ c.T, axis=1)
+    sizes = np.bincount(assign, minlength=n_blobs)
+    q_idx = np.arange(0, len(x), 50)
+    probed = np.argsort(-(x[q_idx] @ c.T), axis=1)[:, :2]
+    candidates = sizes[probed].sum()
+    frac = candidates / (len(q_idx) * len(x))
+    assert frac <= 0.35, f"IVF scanned {frac:.2%} of the corpus"
+    df.unpersist()

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     dedup,
     grouped_pandas,
     product_analytics,
+    profiling,
     relational2,
     relational3,
     similarity,

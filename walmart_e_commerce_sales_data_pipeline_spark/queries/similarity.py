@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ivf_topk,
+    train_ivf_centroids,
     block_cosine_pairs,
     cosine_pairs,
     lsh_bucketed_pairs,
@@ -117,4 +119,47 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucketed_pairs(emb, threshold=COSINE_THRESHOLD)
         .select("x", "y", F.round("sim", 4).alias("sim_r"))
         .orderBy("x", "y")
+    )
+
+
+_IVF_CELLS = 8
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {TOPK_QUERY_LIMIT}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOPK_K}
+    ORDER BY query_id, rk
+    """,
+    description="IVF top-k ANN (operators.similarity.ivf_topk): spherical "
+    "k-means coarse cells trained on a driver sample, expression-only cell "
+    "assignment, cell-key probe join, exact cosine re-rank.  Probed at "
+    "nprobe == n_cells here so the result is provably the brute-force "
+    "top-k (same oracle as similarity_topk); recall at nprobe < n_cells "
+    "is measured on clustered data in tests/test_dedup_similarity.py",
+    tags=("similarity", "topk", "ann", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    cents = train_ivf_centroids(emb, n_cells=_IVF_CELLS, sample=1024)
+    return (
+        ivf_topk(emb, queries, cents, k=TOPK_K, nprobe=_IVF_CELLS)
+        .select("query_id", F.col("rank").alias("rk"), "neighbor_id")
+        .orderBy("query_id", "rk")
     )
