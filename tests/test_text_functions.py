@@ -61,3 +61,16 @@ def test_fingerprint_is_normalization_invariant(spark):
     ).collect()
     assert rows[0]["same_md5"] and rows[0]["same_roll"]  # case-normalized equal
     assert not rows[1]["same_md5"] and not rows[1]["same_roll"]
+
+
+def test_bpe_token_count_known_strings(spark):
+    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("it's 42 tokens, right?",), ("hello world",), ("",)], "text string"
+    )
+    got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
+    # "it" "'s" " 42" " tokens" "," " right" "?"  /  "hello" " world"  /  ""
+    assert got == [7, 2, 0]

@@ -113,3 +113,20 @@ def rolling_fingerprint(text: Column | str, mod: int = (1 << 31) - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to ASCII classes and no
+# lookahead so the Java (Spark) and RE2 (DuckDB oracle) regex dialects
+# agree: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, then residual whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenization (the unit that matters
+    when budgeting a training corpus — whitespace counts undercount
+    punctuation-heavy text).  Pure ``regexp_count`` expression; the actual
+    merge-table lookup of a real BPE belongs in a dictionary join, not
+    here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))

@@ -9,7 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    BPE_PATTERN,
     LANG_MARKERS,
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_score,
@@ -150,6 +152,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.countDistinct("f").alias("distinct_fingerprints"),
             F.min("f").alias("min_fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS ws_tokens,
+           SUM(LENGTH(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))) AS bpe_tokens,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))) AS DOUBLE)
+               / SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="corpus token budgeting per source: whitespace tokens vs "
+    "GPT-2-style BPE pre-tokenizer counts (functions.text.bpe_token_count, "
+    "pure regexp_count — JVM-side, no UDF); ratio is one exact-int IEEE "
+    "division so both engines emit identical bits",
+    tags=("text", "tokens"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("ws_tokens"),
+            F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_ws",
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"),
         )
         .orderBy("source")
     )
