@@ -436,3 +436,51 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+_Q14_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS y,
+           CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS m,
+           {unit_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_Q14_REV} ELSE 0 END", "promo_revenue")},
+           {unit_sum_sql(_Q14_REV, "total_revenue")},
+           ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_Q14_REV} ELSE 0 END))
+               * 100.0 / ROUND(SUM({_Q14_REV})) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY y, m
+    ORDER BY y, m
+    """,
+    description="TPC-H Q14-style promo revenue share per ship month: "
+    "fact-dim join (part broadcasts) + conditional aggregation; the pct is "
+    "a ratio of two integer-rounded sums so one IEEE division gives both "
+    "engines identical bits; session TZ pinned UTC for the timestamp "
+    "year/month extraction",
+    tags=("tpch", "conditional-agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+        )
+        .agg(
+            unit_sum(promo, "promo_revenue"),
+            unit_sum(rev, "total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.col("promo_revenue") * 100.0 / F.col("total_revenue"),
+        )
+        .orderBy("y", "m")
+    )
