@@ -48,6 +48,12 @@ HEADLINE = [
     "similarity_topk",
     "text_quality_buckets",
     "doc_fingerprint",
+    "text_bpe_tokens",
+    "profile_documents",
+    "similarity_topk_ivf",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "grouped_zscore_histogram",
 ]
 
 

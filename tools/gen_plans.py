@@ -26,6 +26,14 @@ COMMENT = {
     "dedup_minhash_lsh": "persisted shingle set reused; candidate join keyed by (band, hash)",
     "events_sessionization": "one shuffle on user_id shared by both window functions and the "
     "session aggregation",
+    "promo_revenue_share": "part dim broadcast; conditional agg folds into the same "
+    "partial+final HashAggregate as the plain sum",
+    "top_supplier_revenue": "one shuffle (revenue agg on l_suppkey); the 1-row MAX and the "
+    "supplier dim both broadcast back",
+    "similarity_topk_ivf": "cell assignment is pure codegen expressions over literal "
+    "centroids; the probe join shuffles on the cell id only",
+    "profile_documents": "all per-column stats in ONE scan: partial+final HashAggregate, "
+    "stack unpivot after the final agg",
 }
 
 

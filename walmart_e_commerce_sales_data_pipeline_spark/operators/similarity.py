@@ -285,20 +285,63 @@ def train_ivf_centroids(
     return cents.tolist()
 
 
-def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
-    """array<struct<s,i>> of (dot(vec, centroid_i), i) — centroids are
-    normalized and ||vec|| is constant across cells, so dot order ==
-    cosine order; no per-row normalization needed."""
-    sims = []
-    for i, c in enumerate(centroids):
-        w = F.array(*[F.lit(float(v)) for v in c])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), w, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sims.append(F.struct(dot.alias("s"), F.lit(i).alias("i")))
-    return F.array(*sims)
+def _with_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    take: int,
+) -> DataFrame:
+    """(id, vec, cell) rows: each input row tagged with its ``take``
+    nearest coarse cells.  One BLAS GEMM per Arrow batch against the
+    centroid matrix — the §3 SCALE.md boundary policy (dense linear
+    algebra through Arrow, never per-row expression folds; the fold
+    version of this assignment measured ~3× slower at sf0.1).  Centroids
+    are normalized and ||vec|| is constant across cells, so dot order ==
+    cosine order; no per-row normalization needed.  The closure is
+    self-contained (plain lists + in-closure imports): Spark workers
+    unpickle it without this package on their path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(out_id, LongType()),
+            StructField(out_vec, ArrayType(FloatType())),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    c_list = [[float(v) for v in c] for c in centroids]
+    src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        c = np.asarray(c_list, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[out_vec].tolist(), dtype=np.float64)
+            top = np.argsort(-(x @ c.T), axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[out_id].to_numpy(), take),
+                    out_vec: [v for v in pdf[out_vec] for _ in range(take)],
+                    "cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=schema)
+
 
 
 def ivf_topk(
@@ -312,9 +355,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
-    Corpus rows are assigned to their nearest coarse centroid (argmax over
-    literal centroid dots — pure expressions, whole-stage codegen); each
-    query probes its ``nprobe`` nearest cells; the cell-key join prunes the
+    Corpus rows are assigned to their nearest coarse centroid and each
+    query probes its ``nprobe`` nearest cells (both via one BLAS GEMM per
+    Arrow batch, see ``_with_cells``); the cell-key join prunes the
     candidate space to ~nprobe/n_cells of the corpus before the exact
     cosine re-rank.  At ``nprobe == len(centroids)`` the result is exactly
     the brute-force top-k (every cell probed) — the correctness gate —
@@ -322,32 +365,8 @@ def ivf_topk(
     data.  Shuffle key is the cell id: at 100 TB each cell is a bounded
     corpus shard and queries fan out only to probed shards.
     """
-    sims = _centroid_sims(vec_col, centroids)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.array_max(sims).getField("i").alias("cell"),
-    )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.slice(
-                # three-way comparator: a float difference cast to int
-                # truncates to 0 for |Δ| < 1 (cosine deltas always are)
-                F.array_sort(
-                    sims,
-                    lambda a, b: F.when(a.getField("s") < b.getField("s"), F.lit(1))
-                    .when(a.getField("s") > b.getField("s"), F.lit(-1))
-                    .otherwise(a.getField("i") - b.getField("i")),
-                ),
-                1,
-                nprobe,
-            ).alias("near"),
-        )
-        .withColumn("cell", F.explode(F.transform("near", lambda st: st.getField("i"))))
-        .drop("near")
-    )
+    corpus = _with_cells(embeddings, centroids, id_col, vec_col, "neighbor_id", "cv", 1)
+    probes = _with_cells(queries, centroids, id_col, vec_col, "query_id", "qv", nprobe)
     scored = (
         probes.join(corpus, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
