@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .registry import register
 from .stable import cent_avg, cent_avg_sql, cent_sum, cent_sum_sql
-from .tables import table
+from .tables import events, table
 
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
 
@@ -209,4 +209,50 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy((k % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), cent_avg("value", "avg_value"))
         .orderBy("k_bucket")
+    )
+
+
+@register(
+    "user_event_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           STRING_AGG(event_type, '>' ORDER BY rn) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    WHERE rn <= 10
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="ordered aggregation done right: per-user journey string "
+    "of the first 10 events.  Spark's collect_list has UNDEFINED order, so "
+    "the deterministic idiom is collect structs keyed by (ts_ns, event_id) "
+    "→ sort_array → transform → array_join — one shuffle on user_id "
+    "shared by the row_number window and the aggregation",
+    tags=("events", "ordered-agg"),
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    first10 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return (
+        first10.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
     )
