@@ -484,3 +484,42 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m")
     )
+
+
+@register(
+    "trailing_spend_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+           COUNT(*) OVER w AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    description="RANGE-interval window frame (vs the ROWS frames "
+    "elsewhere): per-order trailing 30-day spend and order count per "
+    "customer — Spark expresses the interval bound as rangeBetween over "
+    "epoch seconds, which admits identical peer-row semantics to the SQL "
+    "INTERVAL frame; one shuffle on o_custkey; the frame sum is "
+    "cent-valued so ROUND(...,2) is tie-free (queries/stable.py analysis)",
+    tags=("window", "range-frame"),
+)
+def trailing_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is TIMESTAMP_NTZ: no direct numeric cast; NTZ -> TZ cast
+    # is an identity under UTC (pinned, so the driver's local TZ can't
+    # stretch/shrink the 30-day window across DST)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    ).orderBy("o_orderkey")
