@@ -45,3 +45,27 @@ def hash_split(
     """
     tagged = df.withColumn("split", split_column(key, weights, seed))
     return {name: tagged.filter(F.col("split") == name).drop("split") for name in weights}
+
+
+_HEX = "0123456789abcdef"
+PORTABLE_BUCKETS = 65536
+
+
+def portable_bucket_sql(key_expr: str, str_type: str = "STRING") -> str:
+    """SQL expression for a deterministic bucket in [0, 65536) from the
+    first 4 hex chars of ``md5(key)``.
+
+    Unlike ``split_column``'s xxhash64 (Spark-only), every term here —
+    md5, substring, instr — exists with identical semantics in any ANSI-ish
+    engine, so the *same* expression can drive a sampling decision in Spark
+    and reproduce it bit-for-bit in an external verifier (the DuckDB oracle
+    uses ``str_type="VARCHAR"``; Spark parses ``"STRING"``).  Like
+    ``hash_split``, membership is a pure function of the key: stable across
+    runs, partitioning, and engine.
+    """
+    h = f"md5(CAST({key_expr} AS {str_type}))"
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({terms})"

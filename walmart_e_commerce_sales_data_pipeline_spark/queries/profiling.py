@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.splits import PORTABLE_BUCKETS, portable_bucket_sql
 from .registry import register
 from .tables import table
 
@@ -61,3 +62,53 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_COLS)}, {arms}) AS "
         "(column_name, n_nulls, n_distinct, min_s, max_s)"
     ).orderBy("column_name")
+
+
+_RATES = {"en": 0.5}  # per-stratum sampling rates; default below
+_DEFAULT_RATE = 0.25
+
+
+def _threshold_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * PORTABLE_BUCKETS)}" for k, v in _RATES.items()
+    )
+    return f"CASE {whens} ELSE {int(_DEFAULT_RATE * PORTABLE_BUCKETS)} END"
+
+
+@register(
+    "stratified_sample_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS total_docs,
+           SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
+                         < {_threshold_case_sql()} THEN 1 ELSE 0 END) AS sampled_docs,
+           SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
+                         < {_threshold_case_sql()} THEN n_chars ELSE 0 END) AS sampled_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="deterministic per-stratum sampling (50% of en docs, 25% "
+    "elsewhere) via an engine-portable md5 bucket "
+    "(operators.splits.portable_bucket_sql): membership is a pure function "
+    "of doc_id, reproducible bit-for-bit by the DuckDB oracle — the "
+    "auditable-sampling property a training pipeline needs; no shuffle "
+    "beyond the final per-lang aggregation",
+    tags=("sampling", "splits"),
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(portable_bucket_sql("doc_id", "STRING"))
+    thresh = F.expr(_threshold_case_sql())
+    sampled = F.when(bucket < thresh, 1).otherwise(0)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(sampled).alias("sampled_docs"),
+            F.sum(
+                F.when(bucket < thresh, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
