@@ -34,6 +34,30 @@ def duck():
     con.close()
 
 
+def _type_class(t) -> str:
+    """Coarse Arrow type class: exact width for ints (int64 vs decimal128
+    is the divergence that breaks the driver hash), family otherwise."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return str(t)
+    if pa.types.is_decimal(t):
+        return str(t)
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_class(t.value_type)}>"
+    return str(t)
+
+
 def _normalize(rows, columns):
     """Sort columns by name then rows by value, like the driver's hash."""
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -71,6 +95,15 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
     )
+
+    # Type-class check at the Arrow layer: the driver's value hash is
+    # type-sensitive, so a DuckDB HUGEINT (decimal128) vs Spark BIGINT
+    # divergence fails there even when Python-level values agree (the
+    # round-1 stratified_sample_stats red row).  Compare coarse classes so
+    # benign physical differences (tz annotation, string width) still pass.
+    s_types = {f.name: _type_class(f.type) for f in sdf.toArrow().schema}
+    d_types = {f.name: _type_class(f.type) for f in ddf.arrow().schema}
+    assert s_types == d_types, f"{name}: arrow type classes differ: {s_types} vs {d_types}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )

@@ -80,10 +80,10 @@ def _threshold_case_sql() -> str:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS total_docs,
-           SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
-                         < {_threshold_case_sql()} THEN 1 ELSE 0 END) AS sampled_docs,
-           SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
-                         < {_threshold_case_sql()} THEN n_chars ELSE 0 END) AS sampled_chars
+           CAST(SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
+                         < {_threshold_case_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+           CAST(SUM(CASE WHEN {portable_bucket_sql("doc_id", "VARCHAR")}
+                         < {_threshold_case_sql()} THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
