@@ -322,7 +322,7 @@ def ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n,
-           MAX(len(embedding)) AS dims,
+           CAST(MAX(len(embedding)) AS INTEGER) AS dims,
            ROUND(CAST(MIN(embedding[1]) AS DOUBLE), 6) AS min_first,
            ROUND(CAST(MAX(embedding[1]) AS DOUBLE), 6) AS max_first
     FROM embeddings

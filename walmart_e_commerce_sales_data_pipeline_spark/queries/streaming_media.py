@@ -1,10 +1,16 @@
 """Registry entries for the session-window operator and the multimodal
-feature pipeline.  Both are genuinely non-SQL-expressible in DuckDB
-(stateful session windows; Arrow/pandas batch extraction), so they are
-registered without oracles — the driver records rows-only checks and the
-test suite provides the semantic validation (session_window vs the
-lag+cumsum oracle-checked sessionization; feature values vs direct
-byte math).
+feature pipeline.
+
+The session-window query gets a full DuckDB oracle: although the
+``session_window`` *operator* is stateful-streaming-native, its batch
+semantics are expressible as gap-detection SQL — with two traps mirrored
+exactly: (1) session windows are half-open ``[t, t+gap)`` intervals, so a
+new session starts when the inter-event delta is **≥** gap (the lag+cumsum
+sessionization query uses strict ``>``), and (2) the operator runs on the
+µs-truncated event timestamp, not the raw ns long.
+
+The multimodal pipeline (Arrow/pandas batch extraction) remains genuinely
+non-SQL-expressible → rows-only driver check + test-suite validation.
 """
 
 from __future__ import annotations
@@ -18,13 +24,37 @@ from .registry import register
 from .tables import table
 
 
+_GAP_US = 30 * 60 * 1_000_000  # session_window runs on µs timestamps
+
 @register(
     "events_session_window",
-    oracle=None,  # stateful session windows have no DuckDB equivalent
+    oracle=f"""
+    WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+    flagged AS (
+        SELECT user_id,
+               CASE WHEN LAG(t_us) OVER w IS NULL
+                         OR t_us - LAG(t_us) OVER w >= {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+    ),
+    per_user AS (
+        SELECT user_id,
+               SUM(is_new) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM flagged GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM per_user
+    ORDER BY user_id
+    """,
     description="per-user sessionization via the native session_window "
     "operator (30-min gap), batch form of the streaming sessionizer "
-    "(streaming.events.session_window_agg); cross-checked in tests against "
-    "the oracle-verified lag+cumsum sessionization",
+    "(streaming.events.session_window_agg); oracle mirrors the operator's "
+    "half-open [t, t+gap) semantics — a new session starts at delta >= gap "
+    "(strict > would diverge) — on the µs-truncated event time",
     tags=("event-time", "session", "streaming-capable"),
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

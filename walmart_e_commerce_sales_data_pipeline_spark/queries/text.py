@@ -32,7 +32,7 @@ _TOKEN_CNT_SQL = f"len({_TOKENS_SQL})"
            COUNT(*) AS n_docs,
            {int_avg_sql("n_chars", "avg_chars")},
            {int_avg_sql(_TOKEN_CNT_SQL, "avg_tokens")},
-           MAX({_TOKEN_CNT_SQL}) AS max_tokens
+           CAST(MAX({_TOKEN_CNT_SQL}) AS INTEGER) AS max_tokens
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -165,8 +165,10 @@ _BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS ws_tokens,
-           SUM(LENGTH(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))) AS bpe_tokens,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                AS BIGINT) AS ws_tokens,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')))
+                AS BIGINT) AS bpe_tokens,
            CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))) AS DOUBLE)
                / SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS bpe_per_ws
     FROM documents
