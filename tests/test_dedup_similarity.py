@@ -56,7 +56,10 @@ def test_minhash_recall_matches_exact(docs):
 
 def test_simhash_finds_planted_near_dups(docs):
     sigs = simhash_signatures(docs)
-    pairs = {(r["x"], r["y"]) for r in simhash_pairs(sigs, max_hamming=8).collect()}
+    pairs = {
+        (r["x"], r["y"])
+        for r in simhash_pairs(sigs, max_hamming=8, chunks=9).collect()
+    }
     exact = {
         (r["x"], r["y"]) for r in jaccard_pairs(shingle_sets(docs), 0.9).collect()
     }
@@ -64,6 +67,25 @@ def test_simhash_finds_planted_near_dups(docs):
     assert exact
     recall = len(pairs & exact) / len(exact)
     assert recall >= 0.8, f"simhash recall {recall} over {len(exact)} planted pairs"
+
+
+def test_simhash_pairs_rejects_incomplete_blocking(docs):
+    # chunks=4 guarantees recall only up to hamming 3; asking for 8 must
+    # raise rather than silently return an incomplete pair set.
+    sigs = simhash_signatures(docs)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(sigs, max_hamming=8, chunks=4)
+
+
+def test_simhash_portable_matches_fast_blocking(docs):
+    # Portable (md5-bit) and fast (xxhash64) modes share all downstream
+    # logic; both must produce symmetric, self-consistent pair sets with
+    # hamming bounded by the requested maximum.
+    for portable in (False, True):
+        sigs = simhash_signatures(docs, portable=portable)
+        rows = simhash_pairs(sigs, max_hamming=3).collect()
+        assert all(0 <= r["hamming"] <= 3 for r in rows)
+        assert all(r["x"] < r["y"] for r in rows)
 
 
 def test_similarity_lsh_matches_bruteforce(emb):

@@ -230,19 +230,53 @@ def minhash_dedup_pairs(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def portable_token_bit_sql(md5_col: str, bit: int, intdiv_op: str) -> str:
+    """SQL for bit ``bit`` (0-63) of a token's md5: 4 bits per hex char,
+    little-endian within the char.  Every term — instr, substring, integer
+    division, modulo — has identical semantics in Spark SQL
+    (``intdiv_op="div"``) and DuckDB (``intdiv_op="//"``), so the *same*
+    per-token bit stream drives the Spark operator and its external
+    verifier (the ``portable_bucket_sql`` strategy in operators.splits)."""
+    pos, r = bit // 4 + 1, bit % 4
+    return (
+        f"((instr('{_HEX}', substring({md5_col}, {pos}, 1)) - 1)"
+        f" {intdiv_op} {1 << r}) % 2"
+    )
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash: per document, bit b is the sign of Σ_tokens (±1 by bit b of
-    xxhash64(token)).  Computed as ``bits`` conditional-sum aggregates over
-    the exploded token stream — one shuffle, no UDFs."""
+    the token hash).  Computed as ``bits`` conditional-sum aggregates over
+    the exploded token stream — one shuffle, no UDFs.
+
+    ``portable=False`` (default): token bits from ``xxhash64`` — the fast
+    JVM path.  ``portable=True``: token bits from md5 hex chars
+    (``portable_token_bit_sql``), bit-reproducible by any ANSI-ish engine —
+    the mode the oracle-checked ``dedup_simhash`` query runs, so the
+    sign-of-sum + blocking logic has a hard external signal."""
     toks = _spread_narrow(df).select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable:
+        assert bits <= 64  # md5 yields 128 bits; we consume the first 16 hex chars
+        toks = toks.withColumn("hx", F.md5("tok"))
+        bit_of = [F.expr(portable_token_bit_sql("hx", b, "div")) for b in range(bits)]
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit_of = [
+            F.shiftright("h", b).bitwiseAND(F.lit(1)) for b in range(bits)
+        ]
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.when(bit_of[b] == 1, 1).otherwise(-1)).alias(f"s{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
@@ -263,7 +297,17 @@ def simhash_pairs(
     Pigeonhole blocking: split the 64-bit signature into ``chunks`` pieces;
     any pair within Hamming ≤ chunks-1 agrees on at least one full chunk,
     so the join key is (chunk_idx, chunk_value) — never all-pairs.
+
+    Complete recall therefore requires ``max_hamming <= chunks - 1``; a
+    larger ``max_hamming`` would silently miss pairs, so it raises.
     """
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with chunks={chunks} only guarantees "
+            f"complete recall for max_hamming <= {chunks - 1}; got "
+            f"max_hamming={max_hamming} — raise chunks to at least "
+            f"{max_hamming + 1}"
+        )
     width = 64 // chunks
     mask = (1 << width) - 1
     pieces = signatures.select(

@@ -13,6 +13,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_dedup_pairs,
     normalize_text,
+    portable_token_bit_sql,
     shingle_sets,
     simhash_pairs,
     simhash_signatures,
@@ -108,15 +109,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy("x", "y")
 
 
+# SimHash oracle: the portable md5-hex bit stream (identical term-by-term
+# in Spark SQL and DuckDB) feeds 64 sign-of-sum aggregates per document;
+# the Hamming distance of a pair is then the count of disagreeing signs —
+# no 64-bit signature assembly needed on the oracle side, which sidesteps
+# DuckDB's signed-shift-overflow at bit 63.
+_SIMHASH_BIT_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN {portable_token_bit_sql('hx', b, '//')} = 1 "
+    f"THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"CASE WHEN (a.s{b} >= 0) <> (b.s{b} >= 0) THEN 1 ELSE 0 END"
+    for b in range(64)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT id, md5(tok) AS hx FROM toks),
+    sums AS (
+        SELECT id, {_SIMHASH_BIT_SUMS}
+        FROM h GROUP BY id
+    ),
+    pairs AS (
+        SELECT a.id AS x, b.id AS y, {_SIMHASH_HAMMING} AS hamming
+        FROM sums a JOIN sums b ON a.id < b.id
+    )
+    SELECT x, y, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= 3 ORDER BY x, y
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    oracle=_SIMHASH_ORACLE,
     description="SimHash(64-bit) near-dup pairs at Hamming ≤ 3 with 16-bit "
-    "chunk blocking (operators.dedup.simhash_*); rows-only driver check, "
-    "recall vs exact Jaccard asserted in tests",
+    "chunk blocking (operators.dedup.simhash_*), run in portable-hash mode "
+    "(md5-hex token bits) so the oracle reproduces the exact signatures; "
+    "the oracle computes Hamming as all-pairs disagreeing-sign counts — "
+    "blocking completeness at max_hamming ≤ chunks-1 is therefore "
+    "externally verified, not just unit-tested",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures(docs, portable=True)
     return simhash_pairs(sigs, max_hamming=3).orderBy("x", "y")
