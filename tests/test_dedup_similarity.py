@@ -155,3 +155,35 @@ def test_ivf_recall_and_pruning_on_clustered_vectors(spark):
     frac = candidates / (len(q_idx) * len(x))
     assert frac <= 0.35, f"IVF scanned {frac:.2%} of the corpus"
     df.unpersist()
+
+
+def test_lsh_join_back_verifier_matches_gemm(emb):
+    # broadcast_limit=0 forces the fully distributed join-back verifier;
+    # it must produce exactly the pairs the broadcast-GEMM path produces.
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    def key_set(df):
+        return {(r["x"], r["y"], round(r["sim"], 6)) for r in df.collect()}
+
+    gemm = key_set(lsh_bucketed_pairs(emb, threshold=0.45))
+    joined = key_set(lsh_bucketed_pairs(emb, threshold=0.45, broadcast_limit=0))
+    assert joined == gemm
+    assert gemm  # non-vacuous
+
+
+def test_block_cosine_falls_back_distributed(emb):
+    # Above the broadcast limit block_cosine_pairs must not collect();
+    # the expression-fold fallback is exact, so results agree.
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        block_cosine_pairs,
+    )
+
+    def key_set(df):
+        return {(r["x"], r["y"], round(r["sim"], 6)) for r in df.collect()}
+
+    broadcast = key_set(block_cosine_pairs(emb, threshold=0.45))
+    fallback = key_set(block_cosine_pairs(emb, threshold=0.45, broadcast_limit=0))
+    assert fallback == broadcast
+    assert broadcast

@@ -85,6 +85,12 @@ def _projection_sign(vec_col: str, weights: list[float]) -> F.Column:
     return (proj >= 0).cast("long")
 
 
+# Corpora above this row count are never collect()ed/broadcast: 5·10^5
+# 64-d float64 vectors ≈ 256 MB — the edge of a comfortable broadcast.
+# Beyond it every exact-verification path stays fully distributed.
+BROADCAST_ROW_LIMIT = 500_000
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -93,6 +99,8 @@ def lsh_bucketed_pairs(
     rows_per_table: int = 2,
     tables: int = 24,
     dims: int = 64,
+    corpus_rows: int | None = None,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs, exactly re-ranked.
 
@@ -135,25 +143,72 @@ def lsh_bucketed_pairs(
         .select("x", "y")
         .distinct()
     )
-    return _verify_pairs_blocked(cands, embeddings, id_col, vec_col, threshold)
+    return verify_pairs(
+        cands, embeddings, id_col, vec_col, threshold,
+        corpus_rows=corpus_rows, broadcast_limit=broadcast_limit,
+    )
 
 
-def _verify_pairs_blocked(
+def verify_pairs(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    corpus_rows: int | None = None,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Exact-cosine verification of (x, y) candidate pairs, auto-selected
+    by corpus size:
+
+    - corpus ≤ ``broadcast_limit`` rows → ``_verify_pairs_gemm``:
+      broadcast id→normalized-vector lookup + vectorized numpy row dots
+      (the per-pair expression fold was the LSH bottleneck, measured 30×
+      slower at sf0.1 — SCALE.md §3).
+    - larger corpus → ``_verify_pairs_join``: candidates join back to the
+      embeddings table twice and the cosine folds in expressions — slower
+      per pair but fully distributed; nothing is ever driver-materialized.
+
+    ``corpus_rows`` short-circuits the sizing ``count()`` when the caller
+    already knows it (parquet count is metadata-only, so the default probe
+    is one cheap job, not a scan)."""
+    n = embeddings.count() if corpus_rows is None else corpus_rows
+    if n > broadcast_limit:
+        return _verify_pairs_join(cands, embeddings, id_col, vec_col, threshold)
+    return _verify_pairs_gemm(cands, embeddings, id_col, vec_col, threshold)
+
+
+def _verify_pairs_join(
     cands: DataFrame,
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Exact-cosine verification of (x, y) candidate pairs using a
-    broadcast id→normalized-vector lookup and vectorized numpy row dots —
-    the per-pair expression fold was the LSH bottleneck (measured 30×).
+    """Distributed exact verification: two hash joins keyed on the pair
+    ids, cosine folded JVM-side.  Shuffle volume is O(|candidates| ×
+    vector width) — at 100 TB the candidate set is the tiny LSH output,
+    so this is bounded regardless of corpus size."""
+    ex = embeddings.select(F.col(id_col).alias("x"), F.col(vec_col).alias("_vx"))
+    ey = embeddings.select(F.col(id_col).alias("y"), F.col(vec_col).alias("_vy"))
+    return (
+        cands.join(ex, "x")
+        .join(ey, "y")
+        .withColumn("sim", cosine(F.col("_vx"), F.col("_vy")))
+        .filter(F.col("sim") >= threshold)
+        .select("x", "y", "sim")
+    )
 
-    Shares ``block_cosine_pairs``' constraint: the corpus is collected and
-    broadcast, so this verifier fits corpora up to broadcast size
-    (~10^6 × 64-d).  Beyond that, verify by joining candidates back to the
-    embeddings table twice and folding the cosine in expressions — slower
-    per pair but never driver-materialized."""
+
+def _verify_pairs_gemm(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Broadcast-GEMM verification kernel — only reached below
+    ``broadcast_limit`` (see ``verify_pairs``)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     import numpy as np
@@ -199,15 +254,20 @@ def block_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    corpus_rows: int | None = None,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Exact all-pairs cosine via broadcast block matrix multiply.
 
     The corpus (ids + L2-normalized vectors) is broadcast once; each
     partition multiplies its block against the full corpus with numpy
     (BLAS) and emits only pairs ≥ threshold.  This is the high-throughput
-    exact path whenever the corpus fits a broadcast (~10^6 × 64-d floats ≈
-    256 MB); beyond that, shard the right side (IVF coarse clustering) and
-    run this kernel per shard pair.
+    exact path whenever the corpus fits a broadcast (≤ ``broadcast_limit``
+    rows, ~256 MB at 64-d); above the limit it falls back to the fully
+    distributed expression-fold join (``cosine_pairs``) — exact all-pairs
+    is inherently quadratic at any scale, but the fallback never
+    materializes the corpus on the driver.  (Truly huge corpora should use
+    the LSH/IVF index paths rather than any exact all-pairs.)
 
     Compared with the expression-fold ``cosine_pairs``: same results, but
     the inner loop is one BLAS GEMM per Arrow batch instead of a per-pair
@@ -216,6 +276,10 @@ def block_cosine_pairs(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     import numpy as np
+
+    n = embeddings.count() if corpus_rows is None else corpus_rows
+    if n > broadcast_limit:
+        return cosine_pairs(embeddings, id_col, vec_col, threshold)
 
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
