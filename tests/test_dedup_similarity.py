@@ -187,3 +187,19 @@ def test_block_cosine_falls_back_distributed(emb):
     fallback = key_set(block_cosine_pairs(emb, threshold=0.45, broadcast_limit=0))
     assert fallback == broadcast
     assert broadcast
+
+
+def test_minhash_big_doc_fallback_matches_array_path(docs):
+    # max_set_size=0 forces every pair through the join-chain fallback;
+    # results must equal the default array-verified path exactly.
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    def key_set(df):
+        return {(r["x"], r["y"], round(r["jaccard"], 9)) for r in df.collect()}
+
+    default = key_set(minhash_dedup_pairs(docs, threshold=0.5))
+    fallback = key_set(minhash_dedup_pairs(docs, threshold=0.5, max_set_size=0))
+    assert fallback == default
+    assert default

@@ -189,6 +189,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     max_shingle_df: int | None = None,
+    max_set_size: int = 65_536,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exactly verified.
 
@@ -197,6 +198,14 @@ def minhash_dedup_pairs(
     all pairs; at J ≥ 0.5 with the default banding the candidate set
     contains every qualifying pair with probability ≈ 1 - 1e-4 (and
     deterministically so for a fixed dataset, since the hashes are seeded).
+
+    Verification routes per pair by document size: docs with at most
+    ``max_set_size`` distinct shingles verify via per-doc
+    ``collect_set`` arrays + ``array_intersect`` (two joins; per-stage
+    overhead dominates the tiny candidate set), while pairs touching a
+    larger document fall back to the shared-shingle join chain, whose
+    per-row state is one (id, shingle) pair — a single pathological
+    multi-MB document can no longer blow up an aggregation buffer.
     """
     # The shingle set feeds two consumers (signatures and the verification
     # arrays) — persist it so the scan+shingle work runs once.
@@ -208,26 +217,56 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
 
-    # Verification via per-doc shingle arrays: two joins + array_intersect
-    # instead of a five-way join chain (per-stage overhead dominates the
-    # tiny candidate set; at scale this also halves the shuffles).
-    doc_sets = sh.groupBy("id").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("n_sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    small_sets = (
+        sh.join(sizes.filter(F.col("n_sh") <= max_set_size), "id")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("shs"), F.count("*").alias("n_sh"))
     )
-    ax = doc_sets.select(
+    ax = small_sets.select(
         F.col("id").alias("x"), F.col("shs").alias("shx"), F.col("n_sh").alias("nx")
     )
-    ay = doc_sets.select(
+    ay = small_sets.select(
         F.col("id").alias("y"), F.col("shs").alias("shy"), F.col("n_sh").alias("ny")
     )
-    return (
-        cands.join(ax, "x")
-        .join(ay, "y")
+    tagged = cands.join(ax, "x", "left").join(ay, "y", "left")
+
+    small_pairs = (
+        tagged.filter(F.col("shx").isNotNull() & F.col("shy").isNotNull())
         .withColumn("inter", F.size(F.array_intersect("shx", "shy")))
-        .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
     )
+
+    # Join-chain fallback for pairs touching an oversized document: count
+    # shared shingles via the (x ⋈ shingles) ⋈ (y ⋈ shingles) chain, then
+    # Jaccard from the exact per-doc sizes.
+    big_pairs = tagged.filter(
+        F.col("shx").isNull() | F.col("shy").isNull()
+    ).select("x", "y")
+    sx = sh.select(F.col("id").alias("x"), "shingle")
+    sy = sh.select(F.col("id").alias("y"), "shingle")
+    inter_big = (
+        big_pairs.join(sx, "x")
+        .join(sy, ["y", "shingle"])
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("inter"))
+    )
+    zx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
+    zy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    big_verified = (
+        inter_big.join(zx, "x")
+        .join(zy, "y")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+    return small_pairs.unionByName(big_verified)
 
 
 _HEX = "0123456789abcdef"

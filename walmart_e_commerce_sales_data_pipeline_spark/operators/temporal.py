@@ -81,8 +81,17 @@ def range_join_pairs(
 
     Time-bucket pruning replaces the quadratic cross join: each row joins
     only its own and neighboring tol-width bins.
+
+    Binning is exact integer *floor* division: double division
+    (``(t / tol).cast("long")``) loses bits above 2^53 for int64
+    nanosecond timestamps (~1.7e18 > double's mantissa) and truncates
+    toward zero for negative times — both misbin boundary rows, dropping
+    pairs at exactly |delta| = tolerance.  ``div`` truncates toward zero,
+    so subtract 1 when the remainder is negative to get true floor.
     """
-    bin_col: Column = (F.col(time_col) / F.lit(tolerance)).cast("long")
+    t = F.col(time_col)
+    trunc = F.expr(f"`{time_col}` div {int(tolerance)}")
+    bin_col: Column = F.when(t % tolerance < 0, trunc - 1).otherwise(trunc)
     a = df.select(
         F.col(key).alias("_k"),
         F.col(time_col).alias("ta"),
