@@ -54,6 +54,9 @@ HEADLINE = [
     "promo_revenue_share",
     "top_supplier_revenue",
     "grouped_zscore_histogram",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "window_frames_suite",
 ]
 
 
@@ -112,19 +115,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runtime_metrics": runtime,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_wall_clock_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runtime_metrics": runtime,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    # Emit the JSON as the very last stdout bytes: stop Spark first so JVM
+    # shutdown chatter can't land after (or inside) the line the harness
+    # tails, then print compact + flush.
     spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":
