@@ -61,9 +61,10 @@ _PRIORITY = [
     "multimodal_features",
     "top_supplier_revenue",
     "promo_revenue_share",
-    # Fixed (oracle typing) / newly oracled this round.
+    # Fixed (oracle typing) / newly oracled / new this round.
     "stratified_sample_stats",
     "dedup_simhash",
+    "dedup_embedding",
     # Highest-value regression re-checks (most complex verified pipelines).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "user_event_paths",
     "window_topk_orders",
     "window_running_total",
-    "rollup_customer_geo",
 ]
 
 

@@ -93,3 +93,53 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev", "next")
     )
+
+
+_EMB_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= {_EMB_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
+    SELECT component AS cluster_id,
+           COUNT(*) AS cluster_size,
+           MAX(id) AS max_vec_id
+    FROM comp
+    GROUP BY component
+    ORDER BY cluster_id
+    """,
+    description="embedding-cosine near-duplicate clusters: exact cosine "
+    "pairs at ≥ 0.45 (operators.similarity.cosine_pairs) → iterative "
+    "min-label connected components — the semantic-dedup composition a "
+    "training pipeline runs over embedding columns (pairs from the LSH/IVF "
+    "index paths at scale, same downstream clustering); oracle is the "
+    "recursive-CTE min-reachable-id labeling over list_cosine_similarity "
+    "pairs",
+    tags=("dedup", "similarity", "iterative", "graph"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=_EMB_THRESHOLD)
+    labels = connected_components(pairs.select("x", "y"))
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_vec_id"))
+        .orderBy("cluster_id")
+    )

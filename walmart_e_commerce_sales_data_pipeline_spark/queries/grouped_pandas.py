@@ -52,7 +52,11 @@ _Z_SCHEMA = StructType(
     description="per-group z-score normalization via applyInPandas "
     "(grouped-map Arrow path) bucketed into a clamped histogram; oracle "
     "computes the identical z via window functions — the pandas kernel "
-    "must agree with the declarative engine",
+    "must agree with the declarative engine.  NOTE: this entry exists to "
+    "exercise the grouped-map Arrow family; for this shape the RECOMMENDED "
+    "plan is the pure-JVM window expression the oracle itself uses "
+    "(avg/stddev_samp OVER (PARTITION BY ...)) — no Python boundary, "
+    "whole-stage codegen intact",
     tags=("pandas-udf", "normalization"),
 )
 def grouped_zscore_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
