@@ -57,6 +57,7 @@ HEADLINE = [
     "asof_join_latest_order",
     "range_join_close_events",
     "window_frames_suite",
+    "market_share_by_year",
 ]
 
 

@@ -65,6 +65,7 @@ _PRIORITY = [
     "stratified_sample_stats",
     "dedup_simhash",
     "dedup_embedding",
+    "market_share_by_year",
     # Highest-value regression re-checks (most complex verified pipelines).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "corpus_clean_pipeline",
     "user_event_paths",
     "window_topk_orders",
-    "window_running_total",
 ]
 
 

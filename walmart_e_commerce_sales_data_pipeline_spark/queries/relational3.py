@@ -523,3 +523,73 @@ def trailing_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_30d"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+               sn.n_name AS supp_nation,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount))) AS revenue
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY y, sn.n_name
+    )
+    SELECT y, supp_nation, revenue,
+           revenue / SUM(revenue) OVER (PARTITION BY y) AS mkt_share
+    FROM rev
+    ORDER BY y, supp_nation
+    """,
+    description="TPC-H Q8-style market share: 7-relation join tree "
+    "(lineitem⋈orders shuffle; customer/nation×2/region/supplier all "
+    "broadcast — nation joined twice under different roles), revenue per "
+    "(year, supplier nation) with per-year share via an unpartitioned-by-"
+    "nation window.  Bit-stable share: unit_sum yields exact integer "
+    "revenue doubles, the window total sums exact integers, and IEEE "
+    "division of exact values is deterministic across engines — no "
+    "rounding of the ratio needed (queries/stable.py analysis)",
+    tags=("join", "window", "agg", "flagship"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stable import unit_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    cn = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supplier = table(spark, sf_dir, "supplier")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(region), cn.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            "supp_nation",
+        )
+        .agg(unit_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("y")
+    return (
+        rev.withColumn("mkt_share", F.col("revenue") / F.sum("revenue").over(w))
+        .orderBy("y", "supp_nation")
+    )
