@@ -66,6 +66,7 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_embedding",
     "market_share_by_year",
+    "text_repetition",
     # Highest-value regression re-checks (most complex verified pipelines).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "event_transition_matrix",
     "corpus_clean_pipeline",
     "user_event_paths",
-    "window_topk_orders",
 ]
 
 

@@ -196,3 +196,71 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS total_ng,
+               COUNT(DISTINCT shingle) AS distinct_ng
+        FROM sh GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total_ng - distinct_ng) AS BIGINT) AS dup_ngrams,
+           CAST(SUM(total_ng) AS BIGINT) AS total_ngrams,
+           CAST(SUM(total_ng - distinct_ng) AS BIGINT)
+               / CAST(SUM(total_ng) AS BIGINT) AS dup_ratio
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="within-document repetition (Gopher/C4-style quality "
+    "signal): fraction of duplicated 3-gram occurrences per source — "
+    "per-doc total vs distinct shingle counts aggregate to exact integer "
+    "numerator/denominator, so the ratio is one deterministic IEEE "
+    "division (queries/stable.py analysis); docs shorter than 3 tokens "
+    "contribute no shingles, identical to the oracle's empty UNNEST range",
+    tags=("text", "quality", "dedup"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize, word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            word_shingles(tokenize("text"), 3).alias("_sh"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("_sh").alias("total_ng"),
+            F.size(F.array_distinct("_sh")).alias("distinct_ng"),
+        )
+        .filter(F.col("total_ng") > 0)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("total_ng") - F.col("distinct_ng")).alias("dup_ngrams"),
+            F.sum("total_ng").alias("total_ngrams"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("dup_ngrams") / F.col("total_ngrams")
+        )
+        .orderBy("source")
+    )
