@@ -129,3 +129,12 @@ def test_registry_complete():
     for name, query in q.REGISTRY.items():
         assert query.fn is not None
         assert query.description, f"{name} missing description"
+
+
+def test_documents_never_empty(duck):
+    """The multimodal oracle's per-byte UNNEST drops zero-length payloads;
+    the synthetic corpus guarantees none exist (payload = UTF-8 text)."""
+    (n,) = duck.sql(
+        "SELECT COUNT(*) FROM documents WHERE octet_length(encode(text)) = 0"
+    ).fetchone()
+    assert n == 0

@@ -67,13 +67,48 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic payload is the document's UTF-8 bytes, so the Arrow-side
+# byte math has an exact SQL mirror: hex(encode(text)) exposes each byte
+# as a hex pair, and instr-on-hex-alphabet decodes pairs back to byte
+# values — externally verifying the mapInPandas kernel (n_bytes, byte_max
+# per payload) that would otherwise be pytest-only.  Docs are never empty
+# (asserted in tests), so the per-byte UNNEST never drops a document.
+_MM_BYTE = (
+    "(instr('0123456789ABCDEF', substring(h, 2*i - 1, 1)) - 1) * 16"
+    " + (instr('0123456789ABCDEF', substring(h, 2*i, 1)) - 1)"
+)
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # Arrow/mapInPandas feature extraction is not SQL
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, kind, n_bytes, MAX({_MM_BYTE}) AS byte_max
+        FROM m, UNNEST(range(1, n_bytes + 1)) AS u(i)
+        GROUP BY doc_id, kind, n_bytes
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(byte_max) AS INTEGER) AS max_byte
+    FROM b
+    GROUP BY kind
+    ORDER BY kind
+    """,
     description="multimodal binary-column pipeline: documents → synthetic "
     "media payloads (binary + typed meta map) → Arrow-batched mapInPandas "
     "feature extraction (operators.multimodal, decode stubbed) → per-kind "
-    "aggregate",
+    "aggregate; the oracle re-derives every byte from hex(encode(text)) "
+    "pairs, so the Arrow kernel is externally verified byte-for-byte",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
