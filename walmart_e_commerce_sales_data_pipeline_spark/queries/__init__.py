@@ -67,6 +67,7 @@ _PRIORITY = [
     "dedup_embedding",
     "market_share_by_year",
     "text_repetition",
+    "pack_context_segments",
     # Highest-value regression re-checks (most complex verified pipelines).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "events_cohort_retention",
     "event_transition_matrix",
     "corpus_clean_pipeline",
-    "user_event_paths",
 ]
 
 

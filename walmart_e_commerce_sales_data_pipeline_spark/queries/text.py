@@ -5,7 +5,7 @@ All pure Catalyst expressions (functions.text) with exact SQL mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -263,4 +263,61 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio", F.col("dup_ngrams") / F.col("total_ngrams")
         )
         .orderBy("source")
+    )
+
+
+_CONTEXT_TOKENS = 2048
+
+
+@register(
+    "pack_context_segments",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, tok,
+               COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM t
+    )
+    SELECT source,
+           CAST(cum_before // {_CONTEXT_TOKENS} AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS seg_tokens
+    FROM c
+    GROUP BY source, segment
+    ORDER BY source, segment
+    """,
+    description="sequence-packing plan for training: documents assigned "
+    "in stable doc_id order to fixed 2048-token context segments by the "
+    "exact integer cumsum of their token counts (a doc belongs to the "
+    "segment where it starts; boundary docs overflow into the next — the "
+    "streaming-packing approximation).  One shuffle on the shard key; "
+    "segment id uses integer `div`, not double division, because a "
+    "per-shard token cumsum exceeds 2^53 long before 100 TB",
+    tags=("text", "packing", "training"),
+)
+def pack_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "doc_id",
+        token_count("text").alias("tok"),
+    ).withColumn(
+        "cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0).cast("long"))
+    )
+    return (
+        c.withColumn("segment", F.expr(f"cum_before div {_CONTEXT_TOKENS}"))
+        .groupBy("source", "segment")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("seg_tokens"))
+        .orderBy("source", "segment")
     )
