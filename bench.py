@@ -58,6 +58,8 @@ HEADLINE = [
     "range_join_close_events",
     "window_frames_suite",
     "market_share_by_year",
+    "text_repetition",
+    "pack_context_segments",
 ]
 
 
