@@ -34,6 +34,12 @@ COMMENT = {
     "centroids; the probe join shuffles on the cell id only",
     "profile_documents": "all per-column stats in ONE scan: partial+final HashAggregate, "
     "stack unpivot after the final agg",
+    "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
+    "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
+    "the partial/final aggregate and the per-year share window",
+    "text_repetition": "explode + two-level aggregate; no row filter exists to be pushed "
+    "below the spreading repartition (the size()-predicate variant was pushed to the "
+    "single-partition scan and ran serially — SCALE.md §4)",
 }
 
 
