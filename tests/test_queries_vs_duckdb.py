@@ -138,3 +138,17 @@ def test_documents_never_empty(duck):
         "SELECT COUNT(*) FROM documents WHERE octet_length(encode(text)) = 0"
     ).fetchone()
     assert n == 0
+
+
+def test_checked_window_composition():
+    """The external harness checks a prefix of the registry in
+    registration order; pin the curated invariants so a future module
+    import or decorator reorder can't silently push an unverified query
+    out of the window."""
+    names = list(q.REGISTRY)
+    from walmart_e_commerce_sales_data_pipeline_spark.queries import _PRIORITY
+
+    assert len(_PRIORITY) == 50
+    assert names[:50] == _PRIORITY
+    # every query everywhere carries an exact oracle
+    assert all(entry.oracle for entry in q.REGISTRY.values())
