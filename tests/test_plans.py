@@ -62,3 +62,26 @@ def test_runtime_metrics_capture_shuffle(spark):
     assert m["shuffle_bytes"] > 0
     # nothing at sf0.001 should spill on a 128 GiB heap
     assert m["spill_bytes"] == 0
+
+
+def test_market_share_all_dims_broadcast(spark):
+    """Q8-style 7-relation tree: six BroadcastHashJoins, zero fact-side
+    SortMergeJoin — the only exchanges are aggregation and the share
+    window."""
+    df = q.REGISTRY["market_share_by_year"].fn(spark, SF001)
+    plan = formatted_plan(df)
+    # formatted plans name each node in the tree AND the details section
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the region predicate must reach the region scan
+    assert any("r_name" in f for f in pushed_filters(df)), plan
+
+
+def test_text_repetition_no_filter_below_spread(spark):
+    """Regression for the filter-below-repartition trap (SCALE.md §4):
+    the explode formulation must leave no Filter between the exchange and
+    the documents scan re-deriving the shingle transform serially."""
+    df = q.REGISTRY["text_repetition"].fn(spark, SF001)
+    plan = formatted_plan(df)
+    scan_region = plan.split("Scan parquet")[-1] if "Scan parquet" in plan else plan
+    assert "transform" not in scan_region.split("ReadSchema")[0], plan
