@@ -68,6 +68,7 @@ _PRIORITY = [
     "market_share_by_year",
     "text_repetition",
     "pack_context_segments",
+    "pack_greedy_bins",
     # Highest-value regression re-checks (most complex verified pipelines).
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -80,7 +81,6 @@ _PRIORITY = [
     "pricing_summary",
     "regional_revenue",
     "impute_group_avg",
-    "scalar_means",
     "profile_documents",
     "grouped_zscore_histogram",
     "events_funnel",

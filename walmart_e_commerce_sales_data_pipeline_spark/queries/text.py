@@ -333,3 +333,84 @@ def pack_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("seg_tokens"))
         .orderBy("source", "segment")
     )
+
+
+@register(
+    "pack_greedy_bins",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT source, doc_id,
+               len(string_split(lower(text), ' ')) AS tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    walk AS (
+        SELECT source, rn, tok, 0 AS bin, tok AS fill FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.rn, t.tok,
+               CASE WHEN w.fill + t.tok <= {_CONTEXT_TOKENS}
+                    THEN w.bin ELSE w.bin + 1 END,
+               CASE WHEN w.fill + t.tok <= {_CONTEXT_TOKENS}
+                    THEN w.fill + t.tok ELSE t.tok END
+        FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+    )
+    SELECT source,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens
+    FROM walk
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    description="greedy NON-splitting sequence packing: docs in stable "
+    "doc_id order fill 2048-token bins; a doc that would overflow starts "
+    "the next bin (an oversized doc gets a bin alone).  Inherently "
+    "sequential per shard, so this is the applyInPandas-for-stateful-"
+    "iteration pattern — one Arrow batch per shard group, plain Python "
+    "fold inside — externally verified by a recursive-CTE oracle walking "
+    "the identical fill recurrence.  Contrast with pack_context_segments, "
+    "whose splitting-allowed assignment stays a pure window expression",
+    tags=("text", "packing", "training", "pandas-udf"),
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", token_count("text").alias("tok"))
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("bin", LongType()),
+            StructField("tok", IntegerType()),
+        ]
+    )
+    limit = _CONTEXT_TOKENS
+
+    # Self-contained closure (workers may not have this package importable).
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        bin_id, fill, first = 0, 0, True
+        for tok in pdf["tok"]:
+            if first:
+                fill, first = tok, False
+            elif fill + tok <= limit:
+                fill += tok
+            else:
+                bin_id += 1
+                fill = tok
+            bins.append(bin_id)
+        return pdf.assign(bin=bins)[["source", "bin", "tok"]]
+
+    packed = toks.groupBy("source").applyInPandas(pack, schema=out_schema)
+    return (
+        packed.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("bin_tokens"))
+        .orderBy("source", "bin")
+    )
