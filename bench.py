@@ -116,19 +116,104 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
     timings["walmart_etl_e2e"] = round(best, 3)
 
+    # IVF pruning win (bench-only: at nprobe < n_cells the result is
+    # approximate, so it can't share the registered query's exact oracle —
+    # this quantifies the ANN speedup the design claims in SCALE.md §7).
+    # Same corpus/params as similarity_topk_ivf, probing 2 of 8 cells.
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.similarity import (
+        TOPK_K,
+        TOPK_QUERY_LIMIT,
+        _IVF_CELLS,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    cents = train_ivf_centroids(emb, n_cells=_IVF_CELLS, sample=1024)
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).collect()
+        best = min(best, time.perf_counter() - t0)
+    # Scanned fraction from the cell histograms (exact candidate count /
+    # the brute-force candidate count), without re-running the topk join.
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        _with_cells,
+    )
+
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    probed = (
+        _with_cells(qs, cents, "vec_id", "embedding", "i", "v", 2)
+        .select("i", "cell")
+        .collect()
+    )
+    n_corpus = emb.count()
+    candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
+    ivf_pruned = {
+        "sec": round(best, 3),
+        "exact_sec": timings["similarity_topk_ivf"],
+        "nprobe": 2,
+        "n_cells": _IVF_CELLS,
+        "scanned_frac": round(candidates / (len(set(p["i"] for p in probed)) * n_corpus), 3),
+    }
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full-precision detail (per-query shuffle/spill telemetry) goes to a
+    # sidecar file: the driver captures only a ~2000-byte stdout tail, so
+    # the stdout line must stay under ~1.9 KB to be parseable.
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
+    with open(details_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "runtime_metrics": runtime,
+                "ivf_pruned": ivf_pruned,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
     payload = json.dumps(
         {
             "metric": "headline_query_wall_clock_total",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "runtime_metrics": runtime,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "ivf_pruned": ivf_pruned,
+            "sf": sf_val,
+            "details": "bench_details.json",
         },
         separators=(",", ":"),
     )
+    if len(payload) > 1900:  # keep the driver tail-capture parseable
+        slim = {n: round(t, 2) for n, t in timings.items()}
+        payload = json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slim,
+                "sf": sf_val,
+                "details": "bench_details.json",
+            },
+            separators=(",", ":"),
+        )
     # Emit the JSON as the very last stdout bytes: stop Spark first so JVM
     # shutdown chatter can't land after (or inside) the line the harness
     # tails, then print compact + flush.

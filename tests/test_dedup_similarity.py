@@ -203,3 +203,26 @@ def test_minhash_big_doc_fallback_matches_array_path(docs):
     fallback = key_set(minhash_dedup_pairs(docs, threshold=0.5, max_set_size=0))
     assert fallback == default
     assert default
+
+
+def test_cosine_threshold_margin_in_fixtures():
+    """No fixture pair may land within float noise of the 0.45 cosine
+    threshold shared by similarity_pairs and dedup_embedding: the DuckDB
+    oracle computes list_cosine_similarity independently of Spark's
+    expression fold, and a pair within ~1e-12 of the threshold could be
+    classified differently per engine — connected components would then
+    amplify one flipped edge into entirely different cluster rows.  The
+    driver correctness gate runs at sf0.01; sf0.001 backs the pytest
+    mirror.  Guarding the margin here converts a silent data-regeneration
+    hazard into a loud test failure (ADVICE r2)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn @ xn.T
+        iu = np.triu_indices(len(x), 1)
+        margin = np.abs(sims[iu] - 0.45).min()
+        assert margin > 1e-5, f"{sf}: pair within {margin} of threshold"

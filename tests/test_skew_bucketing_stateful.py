@@ -17,6 +17,21 @@ from walmart_e_commerce_sales_data_pipeline_spark.operators.skew import (
     salted_join,
 )
 from walmart_e_commerce_sales_data_pipeline_spark.plans import formatted_plan
+from walmart_e_commerce_sales_data_pipeline_spark.queries.grouped_pandas import (
+    grouped_zscore_histogram,
+    grouped_zscore_histogram_pandas,
+)
+
+
+def test_grouped_zscore_pandas_twin_equals_window_expressions(spark):
+    """The applyInPandas grouped-map kernel must compute exactly what the
+    registered pure-JVM window-expression plan computes (keeps the
+    pandas-UDF API family covered without a Python stage in the registered
+    query)."""
+    jvm = grouped_zscore_histogram(spark, SF0001).collect()
+    arrow = grouped_zscore_histogram_pandas(spark, SF0001).collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in arrow]
+    assert len(jvm) > 0
 
 
 def test_salted_group_avg_equals_plain(spark):

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""sf1-scale soak of the five heaviest headline queries.
+
+The driver ships no scale factor above sf0.1, so this tool materializes a
+synthetic sf1 (10x sf0.1) into ``$SF1_DIR`` (default /tmp/sf1) by
+replicating each sf0.1 table R=10 times with replica-disjoint key spaces:
+
+- Every key family (custkey/orderkey/suppkey/doc_id/vec_id/event_id) is
+  shifted by ``replica * (max_key + 1)`` so joins stay intra-replica and
+  per-key cardinalities match sf0.1 exactly — the workload is 10
+  independent sf0.1-shaped shards, which is precisely the shape a linear
+  scale-up should present (superlinear shuffle growth = red flag).
+- ``documents.text`` gets a per-replica suffix appended to every token:
+  within-replica Jaccard/MinHash structure is preserved verbatim (suffixing
+  all tokens is a bijection on shingles) while cross-replica shingles are
+  disjoint, so dedup output must be exactly 10x the sf0.1 pairs and no
+  artificial cross-replica near-duplicate mass appears.
+- ``embeddings.embedding`` gets a tiny deterministic per-replica,
+  per-dimension offset so replica twins are not exact cosine-1.0 ties.
+- nation/region are fixed dimensions at every TPC-H scale factor — copied
+  as-is.
+
+Then it runs the heavy five (dedup_minhash_lsh, similarity_topk_ivf,
+asof_join_latest_order, market_share_by_year, profile_documents) at sf0.1
+and sf1 and prints one JSON document with wall seconds + shuffle bytes at
+both scales and the sf1/sf0.1 ratios.  Evidence lands in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SF1_DIR", "/tmp/sf1")
+REPLICAS = 10
+HEAVY = [
+    "dedup_minhash_lsh",
+    "similarity_topk_ivf",
+    "asof_join_latest_order",
+    "market_share_by_year",
+    "profile_documents",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    def reps(df):
+        return df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))))
+
+    def shift(col, span):
+        return (F.col(col) + F.col("_r") * F.lit(span)).alias(col)
+
+    def span_of(df, col):
+        return df.agg(F.max(col)).first()[0] + 1
+
+    def write(df, name):
+        df.drop("_r").write.mode("overwrite").parquet(f"{SF1_DIR}/{name}.parquet")
+
+    for name in ("nation", "region"):
+        write(spark.read.parquet(f"{SF01}/{name}.parquet"), name)
+
+    customer = spark.read.parquet(f"{SF01}/customer.parquet")
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{SF01}/supplier.parquet")
+    events = spark.read.parquet(f"{SF01}/events.parquet")
+    documents = spark.read.parquet(f"{SF01}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF01}/embeddings.parquet")
+
+    cust_span = span_of(customer, "c_custkey")
+    order_span = span_of(orders, "o_orderkey")
+    supp_span = span_of(supplier, "s_suppkey")
+    part_span = span_of(lineitem, "l_partkey")
+    event_span = span_of(events, "event_id")
+    doc_span = span_of(documents, "doc_id")
+    vec_span = span_of(embeddings, "vec_id")
+
+    write(
+        reps(customer).select(
+            shift("c_custkey", cust_span), "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment", "_r",
+        ),
+        "customer",
+    )
+    write(
+        reps(orders).select(
+            shift("o_orderkey", order_span), shift("o_custkey", cust_span),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority", "_r",
+        ),
+        "orders",
+    )
+    write(
+        reps(lineitem).select(
+            shift("l_orderkey", order_span), shift("l_partkey", part_span),
+            shift("l_suppkey", supp_span), "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate", "_r",
+        ),
+        "lineitem",
+    )
+    write(
+        reps(supplier).select(
+            shift("s_suppkey", supp_span), "s_name", "s_nationkey", "s_acctbal", "_r"
+        ),
+        "supplier",
+    )
+    write(
+        reps(events).select(
+            shift("event_id", event_span), "ts", shift("user_id", cust_span),
+            "event_type", "value", "props", "_r",
+        ),
+        "events",
+    )
+    # Token-suffix keeps within-replica shingle structure intact while
+    # making the shingle sets of every replica pair disjoint (suffixing
+    # all tokens with the replica number is a bijection on shingles, so
+    # replica 0 == original and dedup output must be exactly 10x sf0.1's).
+    write(
+        reps(documents).select(
+            shift("doc_id", doc_span),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1q"), F.col("_r").cast("string")),
+                )
+            )
+            .alias("text"),
+            "lang", "source", "n_chars", "_r",
+        ),
+        "documents",
+    )
+    write(
+        reps(embeddings).select(
+            shift("vec_id", vec_span),
+            F.transform(
+                "embedding",
+                lambda v, j: v + (F.col("_r") * F.lit(0.0007)) * ((j % 7) - 3),
+            ).alias("embedding"),
+            "label", "_r",
+        ),
+        "embeddings",
+    )
+
+
+def run(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        metrics_since,
+    )
+
+    out: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        spark.catalog.clearCache()
+        mark = execution_count(spark)
+        t0 = time.perf_counter()
+        n = q.REGISTRY[name].fn(spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        m = metrics_since(spark, mark)
+        out[name] = {"sec": round(wall, 3), "rows": n, **m}
+    return out
+
+
+def main() -> None:
+    from walmart_e_commerce_sales_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{SF1_DIR}/documents.parquet") or os.environ.get(
+        "SF1_REGEN"
+    ):
+        generate(spark)
+    r01 = run(spark, SF01)
+    r1 = run(spark, SF1_DIR)
+    report = {}
+    for name in HEAVY:
+        a, b = r01[name], r1[name]
+        shuffle_a = a.get("shuffle_bytes_written", a.get("shuffle_write_bytes", 0))
+        shuffle_b = b.get("shuffle_bytes_written", b.get("shuffle_write_bytes", 0))
+        report[name] = {
+            "sf0.1": a,
+            "sf1": b,
+            "wall_ratio": round(b["sec"] / max(a["sec"], 1e-9), 2),
+            "shuffle_ratio": round(shuffle_b / max(shuffle_a, 1), 2),
+        }
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -208,9 +208,11 @@ def minhash_dedup_pairs(
     multi-MB document can no longer blow up an aggregation buffer.
 
     The existence of oversized docs is probed first with a shuffle-free
-    scan of the raw text length: a doc's distinct-shingle count is at
-    most its token count ≤ (length+1)/2, so ``length < 2·max_set_size``
-    proves the doc is small without computing a single shingle.  In the
+    scan of the raw text length: splitting a length-L text yields at most
+    L+1 tokens (consecutive separators produce *empty* tokens, so the
+    tighter ~L/2 bound for non-empty tokens does NOT hold) and distinct
+    shingles ≤ tokens, so ``length < max_set_size`` proves the doc is
+    small without computing a single shingle.  In the
     common no-outlier case the verification plan is then exactly the
     single-aggregation array path — the two-path plan (whose join-chain
     branch re-shuffles the shingle table on a composite key even when its
@@ -252,7 +254,7 @@ def minhash_dedup_pairs(
 
     may_have_big = (
         df.select(F.length(F.col(text_col)).alias("_len"))
-        .filter(F.col("_len") >= 2 * max_set_size)
+        .filter(F.col("_len") >= max_set_size)
         .limit(1)
         .count()
         > 0

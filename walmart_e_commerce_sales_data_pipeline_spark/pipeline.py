@@ -98,8 +98,18 @@ def extract(spark: SparkSession, store_data: str, extra_data: str) -> DataFrame:
     df = spark.read.option("header", True).schema(GROCERY_SALES_SCHEMA).csv(store_data)
     extra_df = spark.read.parquet(extra_data)
 
-    header = spark.read.text(store_data).first()
-    raw_header = (header["value"] if header else "").lstrip("﻿")  # BOM-tolerant
+    # Header pre-flight: a local file is read driver-side (one line, no
+    # Spark job — the schema check shouldn't pay job-scheduling overhead);
+    # remote URIs (hdfs://, s3://) fall back to a Spark text scan, which
+    # reads only the first partition for .first().
+    p = Path(store_data)
+    if p.is_file():
+        with p.open("r", encoding="utf-8", errors="replace") as fh:
+            raw_header = fh.readline().rstrip("\r\n")
+    else:
+        header = spark.read.text(store_data).first()
+        raw_header = header["value"] if header else ""
+    raw_header = raw_header.lstrip("﻿")  # BOM-tolerant
     csv_columns = [c.strip().strip('"').strip("'") for c in raw_header.split(",")]
     if "index" not in csv_columns or "index" not in extra_df.columns:
         logger.error("The 'index' column is missing from one of the datasets.")
@@ -185,13 +195,25 @@ def load(
     These outputs are small aggregates, so ``coalesce(1)`` for a single CSV
     part is correct; large fact-table sinks in this engine go through
     ``sources.writers.write_parquet`` with ``partitionBy`` instead.
+
+    The CSV sink jobs are independent of each other, so they are submitted
+    concurrently from driver threads — the standard multi-sink pattern
+    (Spark's scheduler interleaves the jobs; with a shared persisted
+    upstream the first job to materialize a cached block publishes it for
+    the rest).  Serializing them would add one full job latency per sink
+    for no correctness benefit at any scale.
     """
-    written: list[str] = []
-    for name, df in data_dict.items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_csv(item: tuple[str, DataFrame]) -> str:
+        name, df = item
         path = str(Path(output_dir) / f"{name}.csv")
         df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
         logger.info("%s saved successfully.", path)
-        written.append(path)
+        return path
+
+    with ThreadPoolExecutor(max_workers=max(1, len(data_dict))) as pool:
+        written = list(pool.map(_write_csv, data_dict.items()))
 
     if jdbc_url:
         for name, df in data_dict.items():
@@ -247,9 +269,14 @@ def main(
     """
     try:
         logger.info("Starting data pipeline execution.")
-        merged_df = extract(spark, file_1, file_2)
+        # The scan+join feeds THREE actions (the fill-mean aggregate, then
+        # each sink's plan): persist it so the sources are read and joined
+        # once — the means job populates the cache, the sinks reuse it.
+        # MEMORY_AND_DISK (persist default) spills rather than OOMs at
+        # scale, and the cache is released in the finally below.
+        merged_df = extract(spark, file_1, file_2).persist()
         # clean_data feeds two sinks (its own CSV and the aggregate) —
-        # persist so the scan+join+transform runs once, not per sink.
+        # persist so the fill/derive/filter runs once, not per sink.
         clean_data = transform(merged_df).persist()
         agg_data = avg_weekly_sales_per_month(clean_data)
 
@@ -258,9 +285,10 @@ def main(
             written = load(tables, output_dir=output_dir, jdbc_url=jdbc_url)
             validation(spark, written)
         finally:
-            # always release the cache — a failed sink must not pin the
-            # persisted plan for the rest of the session
+            # always release the caches — a failed sink must not pin the
+            # persisted plans for the rest of the session
             clean_data.unpersist()
+            merged_df.unpersist()
         logger.info("Data pipeline execution completed successfully.")
         return tables
     except Exception:

@@ -1,19 +1,22 @@
-"""Grouped-map pandas coverage: ``applyInPandas`` per-group normalization.
+"""Per-group z-score normalization: JVM window expressions (registered)
+plus an ``applyInPandas`` twin (grouped-map Arrow coverage).
 
-Completes the pandas-UDF API family (mapInPandas → multimodal features,
-applyInPandasWithState → streaming profiles, applyInPandas → here).  The
-z-score itself is SQL-expressible — the oracle uses window functions — so
-this doubles as a correctness check that the Arrow grouped-map path
-computes exactly what the declarative engine computes.
+The REGISTERED query uses pure ``avg``/``stddev_samp`` window expressions —
+no Python boundary, whole-stage codegen intact, the plan you would ship at
+100×.  ``grouped_zscore_histogram_pandas`` computes the identical result
+through the grouped-map Arrow path; ``tests/test_skew_bucketing_stateful.py``
+asserts equality, which keeps the applyInPandas API family covered
+(mapInPandas → multimodal features, applyInPandasWithState → streaming
+profiles, applyInPandas → here) without shipping a Python stage in the
+registered plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -49,17 +52,48 @@ _Z_SCHEMA = StructType(
     GROUP BY event_type, z_bucket
     ORDER BY event_type, z_bucket NULLS FIRST
     """,
-    description="per-group z-score normalization via applyInPandas "
-    "(grouped-map Arrow path) bucketed into a clamped histogram; oracle "
-    "computes the identical z via window functions — the pandas kernel "
-    "must agree with the declarative engine.  NOTE: this entry exists to "
-    "exercise the grouped-map Arrow family; for this shape the RECOMMENDED "
-    "plan is the pure-JVM window expression the oracle itself uses "
-    "(avg/stddev_samp OVER (PARTITION BY ...)) — no Python boundary, "
-    "whole-stage codegen intact",
-    tags=("pandas-udf", "normalization"),
+    description="per-group z-score normalization via pure-JVM window "
+    "expressions (avg/stddev_samp OVER (PARTITION BY event_type)) bucketed "
+    "into a clamped histogram — one shuffle on event_type, no Python "
+    "boundary, whole-stage codegen intact.  An applyInPandas twin "
+    "(grouped_zscore_histogram_pandas) computes the same result through "
+    "the grouped-map Arrow path; a pytest asserts equality",
+    tags=("window", "normalization"),
 )
 def grouped_zscore_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return _bucket_histogram(_zscore_window(ev))
+
+
+def _zscore_window(ev: DataFrame) -> DataFrame:
+    """z per event via window expressions; NULL for degenerate groups.
+
+    ``stddev_samp`` is NULL for 1-row groups and 0.0 for constant groups —
+    both must yield NULL z (SQL NULLIF semantics), never NaN/Inf, because a
+    NaN double sorts above all doubles in least/greatest and would bucket
+    as +3 instead of staying NULL.
+    """
+    w = Window.partitionBy("event_type")
+    m = F.avg("value").over(w)
+    s = F.stddev_samp("value").over(w)
+    z = F.when(s.isNotNull() & (s != 0), (F.col("value") - m) / s)
+    return ev.select("event_type", "event_id", z.alias("z"))
+
+
+def _bucket_histogram(z: DataFrame) -> DataFrame:
+    # Explicit null propagation: Spark's least/greatest SKIP nulls, so a
+    # NULL z would otherwise clamp to +3 instead of staying NULL.
+    clamped = F.greatest(F.lit(-3), F.least(F.lit(3), F.floor("z"))).cast("int")
+    bucket = F.when(F.col("z").isNotNull(), clamped)
+    return (
+        z.groupBy("event_type", bucket.alias("z_bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", F.col("z_bucket").asc_nulls_first())
+    )
+
+
+def grouped_zscore_histogram_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow twin of the registered query (equality-tested)."""
     ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
 
     # Self-contained closure (workers may not have this package importable).
@@ -77,12 +111,4 @@ def grouped_zscore_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     z = ev.groupBy("event_type").applyInPandas(zscore, schema=_Z_SCHEMA)
-    # Explicit null propagation: Spark's least/greatest SKIP nulls, so a
-    # NULL z would otherwise clamp to +3 instead of staying NULL.
-    clamped = F.greatest(F.lit(-3), F.least(F.lit(3), F.floor("z"))).cast("int")
-    bucket = F.when(F.col("z").isNotNull(), clamped)
-    return (
-        z.groupBy("event_type", bucket.alias("z_bucket"))
-        .agg(F.count("*").alias("n"))
-        .orderBy("event_type", F.col("z_bucket").asc_nulls_first())
-    )
+    return _bucket_histogram(z)

@@ -507,9 +507,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def trailing_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # o_orderdate is TIMESTAMP_NTZ: no direct numeric cast; NTZ -> TZ cast
-    # is an identity under UTC (pinned, so the driver's local TZ can't
-    # stretch/shrink the 30-day window across DST)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # is an identity under UTC — pinned globally in session.get_spark, so
+    # the driver's local TZ can't stretch/shrink the 30-day window across
+    # DST and no per-query session mutation is needed.
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
