@@ -60,6 +60,7 @@ HEADLINE = [
     "market_share_by_year",
     "text_repetition",
     "pack_context_segments",
+    "decontaminate_corpus",
 ]
 
 

@@ -226,3 +226,30 @@ def test_cosine_threshold_margin_in_fixtures():
         iu = np.triu_indices(len(x), 1)
         margin = np.abs(sims[iu] - 0.45).min()
         assert margin > 1e-5, f"{sf}: pair within {margin} of threshold"
+
+
+def test_contamination_overlap_planted(spark):
+    """Planted-benchmark semantics: doc sharing all its shingles with the
+    benchmark -> frac 1.0; disjoint doc -> 0; short doc (<3 tokens) emits
+    no row; counts are over DISTINCT shingles."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id: long, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # fully contaminated (2/2)
+            (2, "one two three four five"),       # disjoint (0/3)
+            (3, "alpha beta gamma zork"),         # partial (1/2)
+            (4, "too short"),                     # <3 tokens -> no row
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r["id"]: (r["n_sh"], r["overlap"], r["overlap_frac"])
+        for r in contamination_overlap(corpus, bench).collect()
+    }
+    assert rows == {1: (2, 2, 1.0), 2: (3, 0, 0.0), 3: (2, 1, 0.5)}

@@ -150,5 +150,28 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
+    # Round-3 rotation: every query whose only driver-green row dated from
+    # round 1 must sit inside the checked window, along with everything
+    # added or changed this round.
+    r1_only = {
+        "above_average_orders", "agg_suite", "case_when_tiers",
+        "cube_order_status", "date_functions", "distinct_counts",
+        "events_json_extract", "forecast_revenue", "from_json_map",
+        "join_anti", "join_customer_orders", "join_full_outer",
+        "join_left_outer", "join_right_outer", "join_semi",
+        "large_quantity_orders", "map_array_functions",
+        "pivot_status_by_year", "price_percentiles", "regex_math_functions",
+        "rollup_customer_geo", "scalar_means", "set_operations",
+        "ship_delay_buckets", "shipping_priority_top10", "string_functions",
+        "top10_expensive_items", "union_all_monthly", "user_event_paths",
+        "window_running_total", "window_topk_orders",
+    }
+    round3_touched = {
+        "decontaminate_corpus", "grouped_zscore_histogram",
+        "trailing_spend_range_frame", "dedup_minhash_lsh",
+    }
+    window = set(names[:50])
+    assert r1_only <= window
+    assert round3_touched <= window
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -71,6 +71,10 @@ def generate(spark) -> None:
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
     supplier = spark.read.parquet(f"{SF01}/supplier.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (the
+    # same escape hatch queries/tables.py uses) and write it back as a
+    # plain INT64 — the loader's rename+timestamp_micros path handles both.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF01}/events.parquet")
     documents = spark.read.parquet(f"{SF01}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF01}/embeddings.parquet")
@@ -188,8 +192,8 @@ def main() -> None:
     report = {}
     for name in HEAVY:
         a, b = r01[name], r1[name]
-        shuffle_a = a.get("shuffle_bytes_written", a.get("shuffle_write_bytes", 0))
-        shuffle_b = b.get("shuffle_bytes_written", b.get("shuffle_write_bytes", 0))
+        shuffle_a = a.get("shuffle_bytes", 0)
+        shuffle_b = b.get("shuffle_bytes", 0)
         report[name] = {
             "sf0.1": a,
             "sf1": b,

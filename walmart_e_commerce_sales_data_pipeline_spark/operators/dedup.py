@@ -99,6 +99,48 @@ def shingle_sets(
     return sh
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct ``n``-gram shingles occur anywhere in the benchmark set.
+
+    The published LLM-corpus recipe (n-gram collision against evaluation
+    sets, as popularized by the GPT-3/PaLM data papers) re-expressed for
+    Spark's cost model: the benchmark is tiny relative to a 100 TB corpus,
+    so its DISTINCT shingle set is broadcast and corpus shingles are
+    tagged map-side by a broadcast LEFT join — the only shuffle is the
+    per-document aggregation, whose input is the corpus shingle table
+    itself (no corpus×benchmark shuffle, no second pass for sizes: hit
+    count and shingle count come from ONE aggregation over the tagged
+    rows).
+
+    Returns (id, n_sh, overlap, overlap_frac) with one row per corpus
+    document that has at least one shingle; documents shorter than ``n``
+    tokens have no shingles and no row, mirroring set semantics.
+    """
+    corp_sh = shingle_sets(corpus, id_col, text_col, n)
+    bench_sh = (
+        shingle_sets(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = corp_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("_hit").alias("overlap"),
+        )
+        .withColumn("overlap_frac", F.col("overlap") / F.col("n_sh"))
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     threshold: float,

@@ -22,71 +22,73 @@ from . import (  # noqa: F401
 )
 
 # ---------------------------------------------------------------------------
-# Curated registration order.
+# Curated registration order — ROTATED each round.
 #
 # The external correctness harness checks a *prefix* of the registry in
 # registration order, so import order alone decides which operators get a
-# hard oracle-checked signal.  Rebuild the dict with an explicit priority:
-# first every query whose evidence is newest-needed (operators added or
-# changed most recently, queries never yet externally checked), then the
-# most complex previously-verified pipelines as regression re-checks, and
-# only then the simple variants whose semantics are covered by a verified
-# sibling (e.g. join_right_outer mirrors join_left_outer).
+# hard oracle-checked signal this round.  Round-3 rotation policy (per the
+# round-2 verdict): (1) the 31 queries whose only driver-green row dates
+# from round 1 move into the checked prefix so every query's external
+# evidence is at most one round old; (2) queries added or touched this
+# round ride along; (3) the remaining slots re-check the most complex
+# round-2-verified pipelines.  Every tail query has a green row in
+# CORRECTNESS_r02.json and is re-proven by the local DuckDB mirror
+# (driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # Never externally checked as of round 1 — land these first.
-    "similarity_pairs",
-    "similarity_topk",
-    "similarity_pairs_blocked",
-    "similarity_lsh",
-    "similarity_topk_ivf",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "tfidf_top_terms",
-    "asof_join_latest_order",
-    "range_join_close_events",
-    "window_frames_suite",
+    # (1) Round-1-only external evidence — regain a fresh driver row.
+    "scalar_means",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "agg_suite",
+    "distinct_counts",
+    "price_percentiles",
+    "above_average_orders",
+    "large_quantity_orders",
+    "case_when_tiers",
+    "date_functions",
+    "string_functions",
+    "regex_math_functions",
+    "map_array_functions",
+    "from_json_map",
+    "events_json_extract",
+    "set_operations",
+    "union_all_monthly",
+    "pivot_status_by_year",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "window_topk_orders",
+    "window_running_total",
+    "top10_expensive_items",
+    "shipping_priority_top10",
+    "ship_delay_buckets",
+    "forecast_revenue",
+    "user_event_paths",
+    # (2) New or changed in round 3.
+    "decontaminate_corpus",
+    "grouped_zscore_histogram",
     "trailing_spend_range_frame",
-    "grouping_sets_explicit",
-    "correlated_subquery_orders",
-    "exists_not_exists_combo",
-    "min_price_per_type",
-    "lateral_explode_embeddings",
-    "join_cross",
-    "null_ordering",
-    "events_session_window",
-    "multimodal_features",
-    "top_supplier_revenue",
-    "promo_revenue_share",
-    # Fixed (oracle typing) / newly oracled / new this round.
-    "stratified_sample_stats",
+    "dedup_minhash_lsh",
+    # (3) Complex round-2-verified pipelines as regression re-checks.
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
-    "market_share_by_year",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    # Highest-value regression re-checks (most complex verified pipelines).
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_exact",
     "dedup_clusters",
-    "events_sessionization",
-    "events_hourly_window",
-    "events_sliding_window",
-    "monthly_avg_value",
-    "pricing_summary",
-    "regional_revenue",
-    "impute_group_avg",
-    "profile_documents",
-    "grouped_zscore_histogram",
-    "events_funnel",
-    "events_cohort_retention",
-    "event_transition_matrix",
     "corpus_clean_pipeline",
+    "similarity_lsh",
+    "similarity_topk_ivf",
+    "similarity_pairs_blocked",
+    "multimodal_features",
+    "events_session_window",
+    "pack_greedy_bins",
+    "market_share_by_year",
+    "stratified_sample_stats",
+    "profile_documents",
 ]
 
 

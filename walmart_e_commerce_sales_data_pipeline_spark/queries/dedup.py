@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    contamination_overlap,
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -93,6 +94,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = shingle_sets(docs)
     return jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("x", "y")
+
+
+@register(
+    "decontaminate_corpus",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id, source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corp AS (SELECT id, shingle FROM sh WHERE source <> 'src0')
+    SELECT c.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(COUNT(b.shingle) AS BIGINT) AS overlap,
+           COUNT(b.shingle) / COUNT(*) AS overlap_frac
+    FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.id
+    ORDER BY doc_id
+    """,
+    description="benchmark decontamination (operators.dedup."
+    "contamination_overlap): per-document count/fraction of distinct "
+    "3-gram shingles colliding with an evaluation set (src0 as the "
+    "held-out benchmark) — the GPT-3-style n-gram decontamination pass; "
+    "benchmark shingles broadcast, corpus tagged map-side, one "
+    "per-document aggregation",
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return (
+        contamination_overlap(corpus, bench)
+        .select(
+            F.col("id").alias("doc_id"), "n_sh", "overlap", "overlap_frac"
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
