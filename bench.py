@@ -61,6 +61,8 @@ HEADLINE = [
     "text_repetition",
     "pack_context_segments",
     "decontaminate_corpus",
+    "dedup_canonical_keep",
+    "mixture_sampling_plan",
 ]
 
 

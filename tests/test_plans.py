@@ -85,3 +85,14 @@ def test_text_repetition_no_filter_below_spread(spark):
     plan = formatted_plan(df)
     scan_region = plan.split("Scan parquet")[-1] if "Scan parquet" in plan else plan
     assert "transform" not in scan_region.split("ReadSchema")[0], plan
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    tagging join may not shuffle (the only exchange below the per-doc
+    aggregation is the shingle distinct), or decontamination would pay a
+    corpus-sized exchange per benchmark at 100 TB."""
+    df = q.REGISTRY["decontaminate_corpus"].fn(spark, SF001)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan

@@ -167,7 +167,8 @@ def test_checked_window_composition():
         "window_running_total", "window_topk_orders",
     }
     round3_touched = {
-        "decontaminate_corpus", "grouped_zscore_histogram",
+        "decontaminate_corpus", "dedup_canonical_keep",
+        "mixture_sampling_plan", "grouped_zscore_histogram",
         "trailing_spend_range_frame", "dedup_minhash_lsh",
     }
     window = set(names[:50])

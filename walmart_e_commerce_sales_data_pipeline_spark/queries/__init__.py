@@ -70,6 +70,8 @@ _PRIORITY = [
     "user_event_paths",
     # (2) New or changed in round 3.
     "decontaminate_corpus",
+    "dedup_canonical_keep",
+    "mixture_sampling_plan",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
@@ -77,7 +79,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
-    "dedup_exact",
     "dedup_clusters",
     "corpus_clean_pipeline",
     "similarity_lsh",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "events_session_window",
     "pack_greedy_bins",
     "market_share_by_year",
-    "stratified_sample_stats",
     "profile_documents",
 ]
 

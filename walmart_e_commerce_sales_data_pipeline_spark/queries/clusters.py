@@ -11,11 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import quality_score
 from ..operators.components import connected_components
 from ..operators.dedup import jaccard_pairs, shingle_sets
 from .dedup import _SHINGLE_CTE, JACCARD_THRESHOLD
 from .registry import register
 from .tables import table
+from .text import _QUALITY_SQL
 
 
 @register(
@@ -59,6 +61,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.groupBy(F.col("component").alias("cluster_id"))
         .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_doc_id"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+    quality AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM documents),
+    ranked AS (
+        SELECT c.component AS cluster_id, c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY q.q DESC, c.id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN quality q ON q.doc_id = c.id
+    )
+    SELECT cluster_id, id AS keep_doc_id,
+           CAST(cluster_size - 1 AS BIGINT) AS dropped
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+    description="canonical-document selection: within each near-duplicate "
+    "cluster (exact Jaccard pairs J ≥ 0.5 → connected components) keep "
+    "the highest-quality document (functions.text.quality_score, "
+    "doc_id tie-break) and account for the drops — the retention step an "
+    "LLM corpus pipeline runs after duplicate clustering; the quality "
+    "expression is mirrored term-by-term in SQL so the per-cluster "
+    "ordering compares identical doubles in both engines",
+    tags=("dedup", "iterative", "graph", "quality"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    )
+    scored = labels.join(q, "id")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("id").alias("keep_doc_id"),
+            (F.col("cluster_size") - 1).cast("long").alias("dropped"),
+        )
         .orderBy("cluster_id")
     )
 

@@ -112,3 +112,55 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "mixture_sampling_plan",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, docs, tokens,
+           docs / CAST(SUM(docs) OVER () AS BIGINT) AS natural_share,
+           CAST(SUM(docs) OVER () AS BIGINT)
+               / (COUNT(*) OVER () * docs) AS sampling_factor,
+           tokens * (CAST(SUM(docs) OVER () AS BIGINT)
+               / (COUNT(*) OVER () * docs)) AS expected_tokens
+    FROM per_src ORDER BY source
+    """,
+    description="domain-mixture sampling plan: per-source doc/token "
+    "accounting plus the per-source sampling factor that rebalances the "
+    "corpus to a uniform source mixture (the static form of data-mixing "
+    "weight computation an LLM pipeline runs before sampling; swap the "
+    "uniform target for learned weights at no plan change).  One shuffle "
+    "on source; the share/factor window runs over the 20-row aggregate, "
+    "not the corpus.  All shares/factors derive from exact integer "
+    "counts through identical IEEE division in both engines — bit-stable "
+    "without rounding",
+    tags=("profiling", "sampling", "mixture"),
+)
+def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(token_count("text")).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("docs").over(w)
+    n_src = F.count("*").over(w)
+    factor = tot / (n_src * F.col("docs"))
+    return per_src.select(
+        "source",
+        "docs",
+        "tokens",
+        (F.col("docs") / tot).alias("natural_share"),
+        factor.alias("sampling_factor"),
+        (F.col("tokens") * factor).alias("expected_tokens"),
+    ).orderBy("source")
