@@ -51,9 +51,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def _spread_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition inputs that arrive in fewer partitions than
     cores (single small parquet files) so the expensive per-row expression
-    work below parallelizes; no-op for well-partitioned inputs."""
+    work below parallelizes; no-op for well-partitioned inputs.
+
+    Narrowness is probed via ``inputFiles()`` (driver-side file listing —
+    no job, no RDD materialization, and unlike ``df.rdd`` it exists under
+    Spark Connect).  Callers pass scan-rooted frames, where leaf-file
+    count is the scan's parallelism ceiling; an unknown/empty listing is
+    treated as wide so the probe can never *add* a shuffle to an already
+    well-distributed input."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < width < max(2, parallelism // 2):
         return df.repartition(parallelism)
     return df
 
