@@ -63,6 +63,9 @@ HEADLINE = [
     "decontaminate_corpus",
     "dedup_canonical_keep",
     "mixture_sampling_plan",
+    "quantize_embeddings",
+    "local_supplier_volume",
+    "vocab_top_ngrams",
 ]
 
 

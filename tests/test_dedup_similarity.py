@@ -253,3 +253,34 @@ def test_contamination_overlap_planted(spark):
         for r in contamination_overlap(corpus, bench).collect()
     }
     assert rows == {1: (2, 2, 1.0), 2: (3, 0, 0.0), 3: (2, 1, 0.5)}
+
+
+def test_quantize_int8_exact_semantics(spark):
+    """quantize_int8 contract on handcrafted vectors: scale = max|x|,
+    q = floor(x*127/scale) (so the max-magnitude element hits exactly
+    +127 or -128-avoiding -127... floor(-127.0) == -127), every q is in
+    [-128, 127], the zero vector is excluded rather than divided by
+    zero, q_sum is the exact integer fold, and dequantization error is
+    bounded by one quantization step (scale/127)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25]),
+            (2, [0.0, 0.0, 0.0]),        # zero vector -> excluded
+            (3, [-2.0, 1.0, 0.5]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    rows = {r["id"]: r for r in quantize_int8(df).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["scale"] == 1.0
+    assert rows[1]["q"] == [127, -64, 31]           # floor(-63.5) = -64
+    assert rows[1]["q_sum"] == 94
+    assert rows[3]["scale"] == 2.0
+    assert rows[3]["q"] == [-127, 63, 31]
+    for r in rows.values():
+        assert all(-128 <= v <= 127 for v in r["q"])
+        assert r["recon_err_max"] <= r["scale"] / 127.0 + 1e-12

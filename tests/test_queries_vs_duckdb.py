@@ -168,8 +168,11 @@ def test_checked_window_composition():
     }
     round3_touched = {
         "decontaminate_corpus", "dedup_canonical_keep",
-        "mixture_sampling_plan", "grouped_zscore_histogram",
-        "trailing_spend_range_frame", "dedup_minhash_lsh",
+        "mixture_sampling_plan", "quantize_embeddings",
+        "local_supplier_volume", "customer_order_histogram",
+        "vocab_top_ngrams", "quality_percentile_filter",
+        "grouped_zscore_histogram", "trailing_spend_range_frame",
+        "dedup_minhash_lsh",
     }
     window = set(names[:50])
     assert r1_only <= window

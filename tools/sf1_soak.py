@@ -165,13 +165,16 @@ def run(spark, sf_dir: str) -> dict[str, dict[str, float]]:
 
     out: dict[str, dict[str, float]] = {}
     for name in HEAVY:
-        spark.catalog.clearCache()
-        mark = execution_count(spark)
-        t0 = time.perf_counter()
-        n = q.REGISTRY[name].fn(spark, sf_dir).count()
-        wall = time.perf_counter() - t0
-        m = metrics_since(spark, mark)
-        out[name] = {"sec": round(wall, 3), "rows": n, **m}
+        best, n, m = float("inf"), 0, {}
+        for _ in range(2):  # min-of-2: shed one-time JIT/codegen cost
+            spark.catalog.clearCache()
+            mark = execution_count(spark)
+            t0 = time.perf_counter()
+            n = q.REGISTRY[name].fn(spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best, m = wall, metrics_since(spark, mark)
+        out[name] = {"sec": round(best, 3), "rows": n, **m}
     return out
 
 

@@ -40,6 +40,60 @@ def cosine_pairs(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step a 100 TB embedding corpus runs before ANN indexing
+    (4× smaller than float32, int8-GEMM-ready).
+
+    scale = max|x| per vector; q_i = floor(x_i·127/scale) as int8-range
+    longs.  Pure Catalyst array HOFs (``transform``/``aggregate``/
+    ``array_max``) — no Python boundary, codegen intact, embarrassingly
+    parallel (no shuffle at all until a consumer aggregates).
+
+    ``floor`` (not ``round``) is deliberate: Spark and DuckDB ROUND
+    diverge on exact decimal ties, floor on identical doubles cannot
+    (queries/stable.py analysis).  Zero vectors (scale = 0) are excluded
+    rather than special-cased — callers decide their fate.
+
+    Returns (id, scale, q, q_sum, recon_err_max) where q_sum is the exact
+    integer checksum of the quantized vector and recon_err_max the max
+    absolute dequantization error — both orderings/foldings evaluate
+    left-to-right in list order, so the doubles are engine-portable.
+    """
+    xd = lambda v: v.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform(vec_col, lambda v: F.abs(xd(v))))
+    out = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), scale.alias("scale")
+    ).filter(F.col("scale") > 0)
+    q = F.transform(
+        "_v", lambda v: F.floor(xd(v) * 127.0 / F.col("scale")).cast("long")
+    )
+    err = F.array_max(
+        F.transform(
+            "_v",
+            lambda v: F.abs(
+                xd(v)
+                - F.floor(xd(v) * 127.0 / F.col("scale"))
+                * F.col("scale")
+                / 127.0
+            ),
+        )
+    )
+    return (
+        out.withColumn("q", q)
+        .withColumn(
+            "q_sum",
+            F.aggregate("q", F.lit(0).cast("long"), lambda acc, v: acc + v),
+        )
+        .withColumn("recon_err_max", err)
+        .select("id", "scale", "q", "q_sum", "recon_err_max")
+    )
+
+
 def topk_neighbors(
     embeddings: DataFrame,
     queries: DataFrame,

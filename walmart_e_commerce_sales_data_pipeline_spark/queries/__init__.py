@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     profiling,
     relational2,
     relational3,
+    relational4,
     similarity,
     streaming_media,
     text,
@@ -72,10 +73,18 @@ _PRIORITY = [
     "decontaminate_corpus",
     "dedup_canonical_keep",
     "mixture_sampling_plan",
+    "quantize_embeddings",
+    "local_supplier_volume",
+    "customer_order_histogram",
+    "vocab_top_ngrams",
+    "quality_percentile_filter",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
     # (3) Complex round-2-verified pipelines as regression re-checks.
+    # (similarity_pairs_blocked / multimodal_features / events_session_window
+    # / pack_greedy_bins rotated to the tail this round to make room for the
+    # four new queries — all four are r2-green and mirror-proven every run.)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
@@ -83,12 +92,7 @@ _PRIORITY = [
     "corpus_clean_pipeline",
     "similarity_lsh",
     "similarity_topk_ivf",
-    "similarity_pairs_blocked",
-    "multimodal_features",
-    "events_session_window",
-    "pack_greedy_bins",
     "market_share_by_year",
-    "profile_documents",
 ]
 
 

@@ -1,0 +1,136 @@
+"""TPC-H Q5/Q13-shaped analytics (extension surface, SURVEY.md §2.6).
+
+Two more classic OLAP join topologies over the driver testdata, rounding
+out the Q1/Q3/Q8/Q14/Q15 analogues in relational3.py:
+
+- ``local_supplier_volume`` (Q5): the multi-way star join with the extra
+  *cross-dimension* equality (customer nation == supplier nation) that no
+  single join edge expresses — the canonical "is your join tree right"
+  benchmark query.
+- ``customer_order_histogram`` (Q13): LEFT join with an extra ON-clause
+  predicate (which must NOT degenerate into a WHERE — customers with zero
+  qualifying orders stay, with count 0), then a histogram over the counts.
+
+Reference parity note: the reference engine (wallmart_pipeline.py:76-118)
+only performs single-key inner merges; these shapes are part of the
+beyond-reference OLAP surface mandated by SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .stable import unit_sum, unit_sum_sql
+from .tables import table
+
+_Q5_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT cn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+           {unit_sum_sql(_Q5_REV, "revenue")}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation cn  ON s.s_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY nation, y
+    ORDER BY nation, y
+    """,
+    description="TPC-H Q5-style local supplier volume: revenue per "
+    "(nation, year) restricted to orders whose customer and supplier sit "
+    "in the same nation — the cross-dimension equality is applied as a "
+    "post-join filter on two broadcast dims, so the only shuffle is "
+    "lineitem⋈orders; date range + region filters push into the scans; "
+    "unit_sum keeps the revenue doubles bit-stable across engines",
+    tags=("tpch", "join", "flagship"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(unit_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("nation", "y")
+    )
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13-style customer order-count distribution: LEFT "
+    "join with the priority exclusion in the ON clause (customers whose "
+    "orders are all urgent stay with count 0 — a WHERE would wrongly drop "
+    "them), COUNT(o_orderkey) ignores the null-extended rows, then a "
+    "second aggregation histograms the counts; both aggs are map-side "
+    "partial, all columns exact integers — nothing to stabilize",
+    tags=("tpch", "join", "agg"),
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    c_orders = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -14,6 +14,7 @@ from ..operators.similarity import (
     block_cosine_pairs,
     cosine_pairs,
     lsh_bucketed_pairs,
+    quantize_int8,
     topk_neighbors,
 )
 from .registry import register
@@ -162,4 +163,51 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk(emb, queries, cents, k=TOPK_K, nprobe=_IVF_CELLS)
         .select("query_id", F.col("rank").alias("rk"), "neighbor_id")
         .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS q,
+           CAST(list_sum(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)))
+               AS BIGINT) AS q_sum,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - FLOOR(CAST(x AS DOUBLE) * 127.0 / scale)
+                          * scale / 127.0))) AS recon_err_max
+    FROM s
+    WHERE scale > 0
+    ORDER BY vec_id
+    """,
+    description="symmetric per-vector int8 quantization "
+    "(operators.similarity.quantize_int8): scale = max|x|, q = "
+    "floor(x*127/scale) — the embedding-storage compression step before "
+    "ANN indexing at 100 TB scale; pure array HOFs, zero shuffles, "
+    "oracle verifies every quantized element plus exact integer checksum "
+    "and max dequantization error (floor, never ROUND, so no cross-engine "
+    "tie divergence)",
+    tags=("similarity", "quantization", "storage"),
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8(emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            "scale",
+            "q",
+            "q_sum",
+            "recon_err_max",
+        )
+        .orderBy("vec_id")
     )

@@ -414,3 +414,101 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("bin_tokens"))
         .orderBy("source", "bin")
     )
+
+
+@register(
+    "vocab_top_ngrams",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS ngram
+        FROM (SELECT {_TOKENS_SQL} AS t FROM documents)
+        WHERE len(t) >= 2
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM bg
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 20
+    """,
+    description="corpus-wide top-20 most frequent bigrams — the "
+    "vocabulary-building / stop-phrase-mining sweep a tokenizer-training "
+    "pipeline runs over the whole corpus: explode bigrams (pure array "
+    "HOFs, guarded so single-token docs contribute nothing), hash-agg "
+    "with map-side partials on the ngram key, then a 0-byte-shuffle "
+    "global top-k (TakeOrderedAndProject); count-desc + ngram tiebreak "
+    "makes the cut deterministic in both engines",
+    tags=("text", "vocab", "topk"),
+)
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # sequence(0, size-2) mis-infers step -1 when size < 2, so gate the
+    # HOF behind an explicit emptiness check instead of filtering rows.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(20)
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, n_chars,
+               CAST(len({_TOKENS_SQL}) AS INTEGER) AS tc,
+               PERCENT_RANK() OVER (
+                   PARTITION BY lang ORDER BY {_QUALITY_SQL} DESC
+               ) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           {int_avg_sql("n_chars", "avg_chars")},
+           CAST(MAX(tc) AS INTEGER) AS max_tokens
+    FROM scored
+    WHERE pr <= 0.5
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="per-language quality-percentile gating: keep the top "
+    "half of each language by heuristic quality score (percent_rank over "
+    "the per-lang partition — one shuffle on lang), then summarize the "
+    "survivors; the score is mirrored term-by-term so both engines rank "
+    "identical doubles, and percent_rank's (rank-1)/(N-1) is an exact "
+    "rational of ints so the 0.5 cut cannot diverge; the per-lang "
+    "curation step a corpus pipeline runs before mixing",
+    tags=("text", "quality", "window"),
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("q"))
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            token_count("text").alias("tc"),
+            quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+        )
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            int_avg("n_chars", "avg_chars"),
+            F.max("tc").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
