@@ -37,4 +37,35 @@ def test_empty_graph(spark):
 def test_unconverged_raises(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "x: long, y: long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+        # the convergence guard lives on the distributed path only
+        connected_components(chain, max_iterations=2, small_edge_limit=0)
+
+
+def test_driver_union_find_equals_distributed_loop(spark):
+    """Both dispatch paths of connected_components must produce identical
+    (id, component) labelings — the driver union-find is an optimization,
+    never a semantic change (mirrors the verify_pairs dual-path test)."""
+    import random
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    # several chains, a star, a cycle, singleton-free noise edges
+    edges = (
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(100, 100 + i) for i in range(1, 8)]
+        + [(200, 201), (201, 202), (202, 200)]
+        + [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(30)]
+    )
+    pairs = spark.createDataFrame(edges, "x: long, y: long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, small_edge_limit=0).collect()
+    }
+    assert fast == slow and fast

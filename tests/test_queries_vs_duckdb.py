@@ -171,6 +171,8 @@ def test_checked_window_composition():
         "mixture_sampling_plan", "quantize_embeddings",
         "local_supplier_volume", "customer_order_histogram",
         "vocab_top_ngrams", "quality_percentile_filter",
+        "time_series_gap_fill", "key_skew_profile",
+        "train_val_test_split", "embedding_dim_profile",
         "grouped_zscore_histogram", "trailing_spend_range_frame",
         "dedup_minhash_lsh",
     }

@@ -78,20 +78,21 @@ _PRIORITY = [
     "customer_order_histogram",
     "vocab_top_ngrams",
     "quality_percentile_filter",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "train_val_test_split",
+    "embedding_dim_profile",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
     # (3) Complex round-2-verified pipelines as regression re-checks.
     # (similarity_pairs_blocked / multimodal_features / events_session_window
-    # / pack_greedy_bins rotated to the tail this round to make room for the
-    # four new queries — all four are r2-green and mirror-proven every run.)
+    # / pack_greedy_bins / dedup_simhash / similarity_lsh rotated to the
+    # tail this round to make room for the new queries — all are r2-green
+    # and mirror-proven every run.)
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding",
-    "dedup_clusters",
     "corpus_clean_pipeline",
-    "similarity_lsh",
-    "similarity_topk_ivf",
     "market_share_by_year",
 ]
 

