@@ -133,3 +133,33 @@ def test_rocksdb_state_store_matches_default(spark, events_batch):
             else:
                 spark.conf.set(k, v)
     assert got == batch and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_batch):
+    """dropDuplicatesWithinWatermark must emit each event_id exactly once
+    even when the whole input is re-delivered in a later micro-batch (the
+    at-least-once-source scenario the operator exists for): stage the same
+    parquet file twice, one file per trigger, and compare against batch
+    dropDuplicates."""
+    import os
+    import tempfile
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        dedup_stream,
+    )
+
+    src = f"{SF0001}/events.parquet"
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    os.symlink(src, os.path.join(d, "b.parquet"))
+
+    stream = read_events_stream(spark, d)
+    q = run_stream_to_memory(dedup_stream(stream), "dedup_test", mode="append")
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()
+    )
+    q.stop()
+    want = sorted(r["event_id"] for r in dedup_stream(events_batch).collect())
+    assert got == want
+    assert len(got) == len(set(got)) > 0

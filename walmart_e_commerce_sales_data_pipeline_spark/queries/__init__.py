@@ -82,6 +82,7 @@ _PRIORITY = [
     "key_skew_profile",
     "train_val_test_split",
     "embedding_dim_profile",
+    "cdc_chunk_stats",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "corpus_clean_pipeline",
-    "market_share_by_year",
 ]
 
 

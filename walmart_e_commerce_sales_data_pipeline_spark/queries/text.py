@@ -510,3 +510,95 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Content-defined chunking: a position is a chunk boundary when the
+# rolling 3-gram at that position hashes into bucket ≡ 0 (mod 16) —
+# Rabin/Gear-style CDC with an expected chunk length of 16 tokens.
+# Boundaries depend only on local content, so an insertion early in a
+# document shifts at most one chunk (the property that makes CDC the
+# standard prep for chunk-level dedup of near-identical documents).
+_CDC_MOD = 16
+
+
+def _cdc_boundary_sql(shingle_expr: str) -> str:
+    from ..operators.splits import portable_bucket_sql
+
+    return f"({portable_bucket_sql(shingle_expr, 'VARCHAR')}) % {_CDC_MOD} = 0"
+
+
+@register(
+    "cdc_chunk_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    bnd AS (
+        SELECT doc_id,
+               SUM(CASE WHEN {_cdc_boundary_sql("s")} THEN 1 ELSE 0 END) AS nb
+        FROM sh GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT d.source,
+               CAST(len({_TOKENS_SQL}) AS INTEGER) AS tc,
+               COALESCE(b.nb, 0) AS nb
+        FROM documents d LEFT JOIN bnd b ON d.doc_id = b.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           CAST(SUM(nb + 1) AS BIGINT) AS total_chunks,
+           CAST(SUM(tc) AS BIGINT) / CAST(SUM(nb + 1) AS BIGINT)
+               AS avg_chunk_tokens
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="content-defined chunking statistics: Rabin-style chunk "
+    "boundaries wherever the rolling 3-gram's engine-portable md5 bucket "
+    "is ≡ 0 (mod 16) — boundaries are a pure function of local content "
+    "(insertion-shift-resistant), the prep step for chunk-level dedup of "
+    "near-identical documents; per-source doc/token/chunk accounting with "
+    "one exact integer division for the mean chunk length; docs shorter "
+    "than one 3-gram form a single chunk (LEFT join keeps them)",
+    tags=("text", "dedup", "chunking"),
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize, word_shingles
+    from ..operators.dedup import _spread_narrow
+    from ..operators.splits import portable_bucket_sql
+
+    docs = _spread_narrow(table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "source", tokenize("text").alias("_t")
+    ).select("doc_id", "source", F.size("_t").alias("tc"), "_t")
+    boundaries = (
+        base.select("doc_id", F.explode(word_shingles(F.col("_t"), 3)).alias("_s"))
+        .select(
+            "doc_id",
+            (F.expr(portable_bucket_sql("_s", "STRING")) % _CDC_MOD == 0)
+            .cast("int")
+            .alias("_b"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_b").alias("nb"))
+    )
+    per_doc = (
+        base.drop("_t")
+        .join(boundaries, "doc_id", "left")
+        .select("source", "tc", F.coalesce("nb", F.lit(0)).alias("nb"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.sum(F.col("nb") + 1).alias("total_chunks"),
+            (F.sum("tc") / F.sum(F.col("nb") + 1)).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -150,3 +150,23 @@ def rocksdb_state_conf() -> dict[str, str]:
         "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
     }
+
+
+def dedup_stream(events: DataFrame, watermark: str = "365 days") -> DataFrame:
+    """Exactly-once-per-key streaming dedup via
+    ``dropDuplicatesWithinWatermark`` — the streaming-native form of exact
+    dedup (operators.dedup.exact_dedup): the first event per ``event_id``
+    passes, re-deliveries within the watermark horizon are filtered, and
+    per-key state evicts once the watermark passes the event's time, so
+    state is bounded by the horizon's key cardinality, not the stream's
+    lifetime (plain ``dropDuplicates`` on a stream would grow state
+    forever — the operator exists precisely to fix that).
+
+    Batch input falls back to ``dropDuplicates`` — identical result
+    whenever all duplicates of a key arrive within the horizon.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
