@@ -96,3 +96,34 @@ def test_decontaminate_benchmark_broadcasts(spark):
     assert has_broadcast_join(df)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+
+def test_local_supplier_volume_one_shuffle_join(spark):
+    """Q5-style tree: supplier/customer/nation/region all broadcast — the
+    only shuffle join may be lineitem⋈orders (and AQE usually converts
+    even that at test scale); the date filter must reach the orders scan."""
+    df = q.REGISTRY["local_supplier_volume"].fn(spark, SF001)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert any("o_orderdate" in f for f in pushed_filters(df)), plan
+
+
+def test_vocab_top_ngrams_take_ordered(spark):
+    """The global top-20 must run as TakeOrderedAndProject (per-partition
+    k-row state, 0-byte shuffle), never a full sort of the ngram counts."""
+    df = q.REGISTRY["vocab_top_ngrams"].fn(spark, SF001)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_customer_order_histogram_on_clause_not_pushed_as_where(spark):
+    """The o_orderpriority exclusion lives in the LEFT join's ON clause:
+    it must push into the orders-side scan (filtering the probe input),
+    while the customer side stays unfiltered so zero-order customers
+    survive."""
+    df = q.REGISTRY["customer_order_histogram"].fn(spark, SF001)
+    assert any("o_orderpriority" in f for f in pushed_filters(df))
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan
