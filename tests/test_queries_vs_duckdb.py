@@ -173,7 +173,7 @@ def test_checked_window_composition():
         "vocab_top_ngrams", "quality_percentile_filter",
         "time_series_gap_fill", "key_skew_profile",
         "train_val_test_split", "embedding_dim_profile",
-        "cdc_chunk_stats",
+        "cdc_chunk_stats", "dup_graph_triangles",
         "grouped_zscore_histogram", "trailing_spend_range_frame",
         "dedup_minhash_lsh",
     }

@@ -83,6 +83,7 @@ _PRIORITY = [
     "train_val_test_split",
     "embedding_dim_profile",
     "cdc_chunk_stats",
+    "dup_graph_triangles",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
@@ -93,7 +94,6 @@ _PRIORITY = [
     # and mirror-proven every run.)
     "dedup_ngram_jaccard",
     "dedup_embedding",
-    "corpus_clean_pipeline",
 ]
 
 

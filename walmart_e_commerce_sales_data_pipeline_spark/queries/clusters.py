@@ -214,3 +214,87 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_vec_id"))
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= {_EMB_THRESHOLD}
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS d
+        FROM (SELECT x AS id FROM pairs UNION ALL SELECT y AS id FROM pairs)
+        GROUP BY id
+    ),
+    wedges AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM pairs e1
+        JOIN pairs e2 ON e2.x = e1.y
+        JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           tri.t AS n_triangles,
+           wedges.w AS n_wedges,
+           CASE WHEN wedges.w > 0 THEN 3.0 * tri.t / wedges.w
+                ELSE 0.0 END AS clustering_coeff
+    FROM tri CROSS JOIN wedges
+    """,
+    description="triangle census of the near-duplicate graph: edges are "
+    "embedding-cosine pairs at the shared 0.45 threshold, triangles come "
+    "from the canonical ordered self-join (x<y<z counted once), wedges "
+    "from per-node degrees (d·(d−1)//2 — exact integer, the product of "
+    "consecutive ints is even), and the global clustering coefficient "
+    "3T/W tells a dedup pipeline whether near-dup neighborhoods are "
+    "transitive (tight clusters → canonical-keep is safe) or chained "
+    "(bridges → clustering merges unlike docs); at scale the standard "
+    "degree-ordered forward-edge enumeration bounds the join fan-out",
+    tags=("similarity", "graph", "diagnostics"),
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import block_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = block_cosine_pairs(emb, threshold=_EMB_THRESHOLD).select("x", "y").persist()
+    e1 = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = pairs.select(F.col("x").alias("b2"), F.col("y").alias("c"))
+    e3 = pairs.select(F.col("x").alias("a3"), F.col("y").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("x").alias("id"))
+        .unionAll(pairs.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("t") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
