@@ -44,6 +44,11 @@ HEAVY = [
     "asof_join_latest_order",
     "market_share_by_year",
     "profile_documents",
+    # round 3: the CC family's bounded driver union-find dispatch must
+    # hold at 10x the edge count (sf1 edges ~25.6k, far under the 500k
+    # dispatch limit — the point is measuring the whole pipeline's
+    # pairs -> components -> keep chain, not just the loop)
+    "dedup_canonical_keep",
 ]
 
 
