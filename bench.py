@@ -66,6 +66,9 @@ HEADLINE = [
     "quantize_embeddings",
     "local_supplier_volume",
     "vocab_top_ngrams",
+    "customer_order_histogram",
+    "time_series_gap_fill",
+    "cdc_chunk_stats",
 ]
 
 
