@@ -84,6 +84,7 @@ _PRIORITY = [
     "embedding_dim_profile",
     "cdc_chunk_stats",
     "dup_graph_triangles",
+    "latest_record_compaction",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
@@ -93,7 +94,6 @@ _PRIORITY = [
     # tail this round to make room for the new queries — all are r2-green
     # and mirror-proven every run.)
     "dedup_ngram_jaccard",
-    "dedup_embedding",
 ]
 
 

@@ -370,3 +370,52 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "latest_record_compaction",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, ts_us,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    description="latest-record-wins compaction (the SCD-1 / CDC-ingest "
+    "dedupe: keep the newest row per key): implemented as ONE aggregation "
+    "of max(struct(ts_us, event_id, value)) — lexicographic struct max "
+    "with the unique (ts_us, event_id) prefix picks exactly the latest "
+    "row but, unlike the row_number window, combines map-side (partial "
+    "max per input partition, shuffle carries one row per key per "
+    "partition, no per-partition full sort); ordering uses the µs value "
+    "with the event_id tiebreak because DuckDB truncates parquet "
+    "nanosecond timestamps to µs (same boundary trap as "
+    "events_session_window); payload rides through untouched so no float "
+    "is ever aggregated; oracle states the same semantics as the "
+    "textbook ROW_NUMBER()=1",
+    tags=("events", "dedup", "cdc"),
+)
+def latest_record_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    m = F.max(F.struct("ts_us", "event_id", "value")).alias("m")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(m)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts_us").alias("ts_us"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
