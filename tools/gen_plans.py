@@ -40,6 +40,18 @@ COMMENT = {
     "text_repetition": "explode + two-level aggregate; no row filter exists to be pushed "
     "below the spreading repartition (the size()-predicate variant was pushed to the "
     "single-partition scan and ran serially — SCALE.md §4)",
+    "local_supplier_volume": "Q5 tree: supplier/customer/nation/region broadcast; the "
+    "cross-dimension nation equality is a post-join filter on two broadcast sides; date "
+    "+ region predicates pushed to their scans",
+    "customer_order_histogram": "Q13: the priority exclusion lives in the LEFT join's ON "
+    "clause — pushed into the orders scan, while the customer side stays unfiltered so "
+    "zero-order customers survive with count 0",
+    "vocab_top_ngrams": "tokens materialize into a column before shingling (no CSE inside "
+    "HOF lambdas); global top-20 is TakeOrderedAndProject, never a full sort",
+    "latest_record_compaction": "SCD-1 compaction as ONE max(struct) aggregation — "
+    "SortAggregate (struct max is not hash-aggregable) but still partial+final: the "
+    "shuffle carries one row per key per partition, where the row_number window would "
+    "shuffle every input row",
 }
 
 

@@ -394,9 +394,11 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedupe: keep the newest row per key): implemented as ONE aggregation "
     "of max(struct(ts_us, event_id, value)) — lexicographic struct max "
     "with the unique (ts_us, event_id) prefix picks exactly the latest "
-    "row but, unlike the row_number window, combines map-side (partial "
-    "max per input partition, shuffle carries one row per key per "
-    "partition, no per-partition full sort); ordering uses the µs value "
+    "row but, unlike the row_number window, combines map-side: the "
+    "shuffle carries one row per key per partition where the window "
+    "would shuffle every input row (Spark plans it as partial+final "
+    "SortAggregate — struct max is not hash-aggregable); ordering uses "
+    "the µs value "
     "with the event_id tiebreak because DuckDB truncates parquet "
     "nanosecond timestamps to µs (same boundary trap as "
     "events_session_window); payload rides through untouched so no float "
