@@ -101,12 +101,14 @@ def main() -> None:
             spark.catalog.clearCache()
             mark = execution_count(spark)
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            rows = fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         # shuffle/spill volume of the last run: wall-clock can stay flat at
-        # sf0.1 while shuffle volume doubles — the 100 TB regression signal
-        runtime[name] = metrics_since(spark, mark)
+        # sf0.1 while shuffle volume doubles — the 100 TB regression signal.
+        # Result cardinality rides along so round-over-round result drift
+        # (a correctness smell the wall clock can't see) is visible too.
+        runtime[name] = {**metrics_since(spark, mark), "rows": len(rows)}
 
     # Reference-parity ETL on the reference's own bundled data (matches the
     # BASELINE.md measurement boundary: extract→transform→agg→load→validate).
