@@ -174,7 +174,7 @@ def test_checked_window_composition():
         "time_series_gap_fill", "key_skew_profile",
         "train_val_test_split", "embedding_dim_profile",
         "cdc_chunk_stats", "dup_graph_triangles",
-        "latest_record_compaction",
+        "latest_record_compaction", "set_operations_all",
         "grouped_zscore_histogram", "trailing_spend_range_frame",
         "dedup_minhash_lsh",
     }

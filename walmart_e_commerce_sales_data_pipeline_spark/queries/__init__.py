@@ -85,15 +85,14 @@ _PRIORITY = [
     "cdc_chunk_stats",
     "dup_graph_triangles",
     "latest_record_compaction",
+    "set_operations_all",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
     "dedup_minhash_lsh",
     # (3) Complex round-2-verified pipelines as regression re-checks.
-    # (similarity_pairs_blocked / multimodal_features / events_session_window
-    # / pack_greedy_bins / dedup_simhash / similarity_lsh rotated to the
-    # tail this round to make room for the new queries — all are r2-green
+    # (The round-2-verified complex pipelines rotated to the tail this
+    # round to make room for the sixteen new queries — all are r2-green
     # and mirror-proven every run.)
-    "dedup_ngram_jaccard",
 ]
 
 

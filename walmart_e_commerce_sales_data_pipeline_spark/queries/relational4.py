@@ -134,3 +134,37 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "set_operations_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'intersect_all' AS op, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    ORDER BY op
+    """,
+    description="bag-semantics set operations (INTERSECT ALL / EXCEPT ALL "
+    "via intersectAll/exceptAll): multiplicities min(m,n) and max(m-n,0) "
+    "per key — genuinely different results from the distinct variants in "
+    "set_operations whenever a key repeats (customers place many orders); "
+    "Spark plans both as an aggregate of per-side counts plus a "
+    "generate/replicate step — one shuffle per side, no join",
+    tags=("setop",),
+)
+def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    i = a.intersectAll(b).selectExpr("'intersect_all' AS op")
+    e = a.exceptAll(b).selectExpr("'except_all' AS op")
+    return (
+        i.unionAll(e)
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+        .orderBy("op")
+    )
