@@ -86,13 +86,13 @@ _PRIORITY = [
     "dup_graph_triangles",
     "latest_record_compaction",
     "set_operations_all",
+    "token_budget_fill",
     "grouped_zscore_histogram",
     "trailing_spend_range_frame",
-    "dedup_minhash_lsh",
-    # (3) Complex round-2-verified pipelines as regression re-checks.
-    # (The round-2-verified complex pipelines rotated to the tail this
-    # round to make room for the sixteen new queries — all are r2-green
-    # and mirror-proven every run.)
+    # (The round-2-verified complex pipelines — and dedup_minhash_lsh,
+    # whose round-3 change was dispatch-only with result equality asserted
+    # in tests — rotated to the tail to make room for the seventeen new
+    # queries; all are r1/r2-green and mirror-proven every run.)
 ]
 
 

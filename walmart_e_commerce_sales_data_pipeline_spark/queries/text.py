@@ -602,3 +602,67 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FILL_BUDGET = 10_000  # tokens per source
+
+
+@register(
+    "token_budget_fill",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               CAST(len({_TOKENS_SQL}) AS INTEGER) AS tc,
+               {_QUALITY_SQL} AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, tc, q,
+               SUM(tc) OVER (PARTITION BY source
+                             ORDER BY q DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(tc) AS BIGINT) AS tokens_kept,
+           MIN(q) AS min_quality_kept
+    FROM ranked
+    WHERE cum <= {_FILL_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="token-budget fill: per source, keep the highest-quality "
+    "documents until a 10k-token budget is exhausted (quality-desc cumsum "
+    "window with doc_id tiebreak — the 'fill N tokens from the best data' "
+    "selection step of corpus curation); one shuffle on source, exact "
+    "integer cumsum (explicit ROWS frame, unique ordering), and the "
+    "term-mirrored quality score makes MIN(q) a comparison over "
+    "bit-identical doubles",
+    tags=("text", "quality", "sampling"),
+)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            token_count("text").alias("tc"),
+            quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+        )
+        .withColumn("cum", F.sum("tc").over(w))
+        .filter(F.col("cum") <= _FILL_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("tc").alias("tokens_kept"),
+            F.min("q").alias("min_quality_kept"),
+        )
+        .orderBy("source")
+    )
