@@ -175,8 +175,8 @@ def test_checked_window_composition():
         "train_val_test_split", "embedding_dim_profile",
         "cdc_chunk_stats", "dup_graph_triangles",
         "latest_record_compaction", "set_operations_all",
-        "token_budget_fill",
-        "grouped_zscore_histogram", "trailing_spend_range_frame",
+        "token_budget_fill", "orders_rfm_segments",
+        "grouped_zscore_histogram",
     }
     window = set(names[:50])
     assert r1_only <= window

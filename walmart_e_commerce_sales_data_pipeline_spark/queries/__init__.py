@@ -87,8 +87,8 @@ _PRIORITY = [
     "latest_record_compaction",
     "set_operations_all",
     "token_budget_fill",
+    "orders_rfm_segments",
     "grouped_zscore_histogram",
-    "trailing_spend_range_frame",
     # (The round-2-verified complex pipelines — and dedup_minhash_lsh,
     # whose round-3 change was dispatch-only with result equality asserted
     # in tests — rotated to the tail to make room for the seventeen new

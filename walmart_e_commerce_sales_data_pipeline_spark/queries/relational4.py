@@ -168,3 +168,84 @@ def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("op")
     )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH now_ref AS (SELECT MAX(o_orderdate) AS now_ts FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT now_ts FROM now_ref)) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(o_totalprice) AS monetary_raw
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_raw,
+               CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey)
+                    AS INTEGER) AS r_q,
+               CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                    AS INTEGER) AS f_q,
+               CAST(NTILE(4) OVER (ORDER BY monetary_raw DESC, o_custkey)
+                    AS INTEGER) AS m_q
+        FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(monetary_raw), 2) AS total_monetary
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+    description="RFM customer segmentation: per-customer recency (days "
+    "since last order, against the global max order date broadcast as a "
+    "1-row join — never an unpartitioned window over the fact table), "
+    "frequency, and monetary value, each quartiled by NTILE(4) with "
+    "custkey tiebreaks so the bucketing is deterministic in both engines; "
+    "segment rollup counts customers and cent_sums their lifetime value "
+    "(raw sums stay unrounded until the final cent_sum, so no double "
+    "rounding); the NTILE windows rank the per-customer aggregate (one "
+    "row per customer), not raw orders — the post-aggregation frame is "
+    "the only single-partition sort and it is k=|customers|, not |orders|",
+    tags=("analytics", "window", "segmentation"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    now_ref = orders.agg(F.max("o_orderdate").alias("now_ts"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary_raw"),
+        )
+        .crossJoin(F.broadcast(now_ref))
+        .withColumn("recency_days", F.datediff("now_ts", "last_order"))
+    )
+    scored = (
+        per_cust.withColumn(
+            "r_q",
+            F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "o_custkey")),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(4).over(Window.orderBy(F.desc("monetary_raw"), "o_custkey")),
+        )
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary_raw"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
