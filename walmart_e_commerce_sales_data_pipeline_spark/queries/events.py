@@ -421,3 +421,34 @@ def latest_record_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle=f"""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+           COUNT(*) AS n,
+           {_EV_SUM_SQL}
+    FROM events
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+    description="day-of-week × hour activity heatmap (the dashboard "
+    "staple): one map-side-combined aggregation over at most 7×24 = 168 "
+    "group keys — the partial aggregate collapses each input partition "
+    "to ≤168 rows, so shuffle volume is constant in input size; Spark "
+    "dayofweek is 1=Sunday where DuckDB dayofweek() is 0=Sunday — hence "
+    "the Spark-side -1 alignment; UTC pinned by the events loader",
+    tags=("events", "event-time", "agg"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), cent_sum("value", "sum_value"))
+        .orderBy("dow", "hour")
+    )
