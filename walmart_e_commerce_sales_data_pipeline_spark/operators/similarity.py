@@ -268,6 +268,12 @@ def _verify_pairs_gemm(
     import numpy as np
 
     rows = embeddings.select(id_col, vec_col).collect()
+    if not rows:  # np axis-1 ops reject a 0×0 matrix; nothing to verify
+        return cands.select(
+            F.col("x").cast("long"),
+            F.col("y").cast("long"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
