@@ -176,8 +176,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, scale,
-           list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS q,
+           array_to_string(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)),
+               ',') AS q_csv,
            CAST(list_sum(list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)))
                AS BIGINT) AS q_sum,
@@ -195,7 +196,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ANN indexing at 100 TB scale; pure array HOFs, zero shuffles, "
     "oracle verifies every quantized element plus exact integer checksum "
     "and max dequantization error (floor, never ROUND, so no cross-engine "
-    "tie divergence)",
+    "tie divergence); the quantized vector is emitted as a ','-joined "
+    "string (q_csv) because the external harness canonicalizer hashes "
+    "scalar cells — a raw array<bigint> column is unhashable there "
+    "(round-3 red row), and the int→string rendering is exact in both "
+    "engines so per-element verification strength is unchanged",
     tags=("similarity", "quantization", "storage"),
 )
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +210,9 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("id").alias("vec_id"),
             "scale",
-            "q",
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+                "q_csv"
+            ),
             "q_sum",
             "recon_err_max",
         )
