@@ -153,21 +153,29 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per key — genuinely different results from the distinct variants in "
     "set_operations whenever a key repeats (customers place many orders); "
     "Spark plans both as an aggregate of per-side counts plus a "
-    "generate/replicate step — one shuffle per side, no join",
+    "generate/replicate step — one shuffle per side, no join; each side's "
+    "cardinality is a *global* one-row aggregate (not a groupBy on the "
+    "label), so an empty INTERSECT ALL / EXCEPT ALL still yields its row "
+    "with n=0 exactly like the oracle's scalar COUNT(*) subqueries — a "
+    "groupBy would silently drop the empty group (data-dependent row-count "
+    "divergence, latent on current testdata)",
     tags=("setop",),
 )
 def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    i = a.intersectAll(b).selectExpr("'intersect_all' AS op")
-    e = a.exceptAll(b).selectExpr("'except_all' AS op")
-    return (
-        i.unionAll(e)
-        .groupBy("op")
+    i = (
+        a.intersectAll(b)
         .agg(F.count("*").alias("n"))
-        .orderBy("op")
+        .select(F.lit("intersect_all").alias("op"), "n")
     )
+    e = (
+        a.exceptAll(b)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+    )
+    return i.unionAll(e).orderBy("op")
 
 
 @register(
@@ -179,42 +187,62 @@ def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_diff('day', MAX(o_orderdate),
                          (SELECT now_ts FROM now_ref)) AS recency_days,
                COUNT(*) AS frequency,
-               SUM(o_totalprice) AS monetary_raw
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
         FROM orders
         GROUP BY o_custkey
     ),
-    scored AS (
-        SELECT o_custkey, monetary_raw,
-               CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey)
-                    AS INTEGER) AS r_q,
-               CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
-                    AS INTEGER) AS f_q,
-               CAST(NTILE(4) OVER (ORDER BY monetary_raw DESC, o_custkey)
-                    AS INTEGER) AS m_q
+    bounds AS (
+        SELECT
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY recency_days) AS r50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY frequency) AS f50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS m25,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY monetary_cents) AS m50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS m75
         FROM per_cust
+    ),
+    scored AS (
+        SELECT monetary_cents,
+               1 + CAST(recency_days > r25 AS INTEGER)
+                 + CAST(recency_days > r50 AS INTEGER)
+                 + CAST(recency_days > r75 AS INTEGER) AS r_q,
+               1 + CAST(frequency < f75 AS INTEGER)
+                 + CAST(frequency < f50 AS INTEGER)
+                 + CAST(frequency < f25 AS INTEGER) AS f_q,
+               1 + CAST(monetary_cents < m75 AS INTEGER)
+                 + CAST(monetary_cents < m50 AS INTEGER)
+                 + CAST(monetary_cents < m25 AS INTEGER) AS m_q
+        FROM per_cust CROSS JOIN bounds
     )
     SELECT r_q, f_q, m_q,
            COUNT(*) AS n_customers,
-           ROUND(SUM(monetary_raw), 2) AS total_monetary
+           CAST(SUM(monetary_cents) AS BIGINT) / 100.0 AS total_monetary
     FROM scored
     GROUP BY r_q, f_q, m_q
     ORDER BY r_q, f_q, m_q
     """,
     description="RFM customer segmentation: per-customer recency (days "
     "since last order, against the global max order date broadcast as a "
-    "1-row join — never an unpartitioned window over the fact table), "
-    "frequency, and monetary value, each quartiled by NTILE(4) with "
-    "custkey tiebreaks so the bucketing is deterministic in both engines; "
-    "segment rollup counts customers and cent_sums their lifetime value "
-    "(raw sums stay unrounded until the final cent_sum, so no double "
-    "rounding); the NTILE windows rank the per-customer aggregate (one "
-    "row per customer), not raw orders — the post-aggregation frame is "
-    "the only single-partition sort and it is k=|customers|, not |orders|",
-    tags=("analytics", "window", "segmentation"),
+    "1-row join), frequency, and lifetime value in exact integer cents "
+    "(ROUND(x*100) per order — cent-valued doubles cannot tie at .5, the "
+    "cent_avg numerator argument in stable.py — so the measure is "
+    "bit-identical across engines, closing the float-sum NTILE hazard); "
+    "quartiling is value-threshold, not rank-based: the three quartile "
+    "boundaries per measure come from one exact percentile_disc aggregate "
+    "(SQL-standard smallest-value-with-CDF>=p, verified identical in "
+    "Spark and DuckDB), broadcast to every row, and bucketed with pure "
+    "integer comparisons — zero unpartitioned windows, zero global "
+    "sorts; the plan is two key-shuffles (custkey agg, 64-key segment "
+    "rollup) plus two broadcast singletons, and the boundary aggregate "
+    "is map-side partial (value-count maps), so nothing funnels "
+    "|customers| rows through one task at any scale",
+    tags=("analytics", "segmentation"),
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = table(spark, sf_dir, "orders")
     now_ref = orders.agg(F.max("o_orderdate").alias("now_ts"))
     per_cust = (
@@ -222,30 +250,54 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary_raw"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(now_ref))
         .withColumn("recency_days", F.datediff("now_ts", "last_order"))
     )
-    scored = (
-        per_cust.withColumn(
-            "r_q",
-            F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "o_custkey")),
+    bounds = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{a}{int(p * 100)}")
+            for c, a in [
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_cents", "m"),
+            ]
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _asc_bucket(col: str, lo: str, mid: str, hi: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(lo)).cast("int")
+            + (F.col(col) > F.col(mid)).cast("int")
+            + (F.col(col) > F.col(hi)).cast("int")
         )
-        .withColumn(
-            "f_q",
-            F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")),
+
+    def _desc_bucket(col: str, lo: str, mid: str, hi: str):
+        return (
+            F.lit(1)
+            + (F.col(col) < F.col(hi)).cast("int")
+            + (F.col(col) < F.col(mid)).cast("int")
+            + (F.col(col) < F.col(lo)).cast("int")
         )
-        .withColumn(
-            "m_q",
-            F.ntile(4).over(Window.orderBy(F.desc("monetary_raw"), "o_custkey")),
-        )
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "monetary_cents",
+        _asc_bucket("recency_days", "r25", "r50", "r75").alias("r_q"),
+        _desc_bucket("frequency", "f25", "f50", "f75").alias("f_q"),
+        _desc_bucket("monetary_cents", "m25", "m50", "m75").alias("m_q"),
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary_raw"), 2).alias("total_monetary"),
+            (F.sum("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
