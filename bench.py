@@ -90,19 +90,26 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     runtime: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
-            # cache-cold per run: operators that persist intermediates
-            # (dedup LSH) must not let run 2 reuse run 1's cached state,
-            # and no query may inherit another's cache
-            spark.catalog.clearCache()
-            mark = execution_count(spark)
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                # cache-cold per run: operators that persist intermediates
+                # (dedup LSH) must not let run 2 reuse run 1's cached state,
+                # and no query may inherit another's cache
+                spark.catalog.clearCache()
+                mark = execution_count(spark)
+                t0 = time.perf_counter()
+                rows = fn(spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolation: one broken
+            # query must not zero out the whole round's bench evidence
+            # (round 5 lost 41 of 42 measurements to one AnalysisException).
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 3)
         # shuffle/spill volume of the last run: wall-clock can stay flat at
         # sf0.1 while shuffle volume doubles — the 100 TB regression signal.
@@ -114,18 +121,21 @@ def main() -> None:
     # BASELINE.md measurement boundary: extract→transform→agg→load→validate).
     from walmart_e_commerce_sales_data_pipeline_spark.pipeline import main as etl_main
 
-    best = float("inf")
-    for _ in range(2):
-        with tempfile.TemporaryDirectory() as out:
-            t0 = time.perf_counter()
-            etl_main(
-                spark,
-                f"{REFERENCE_DIR}/grocery_sales.csv",
-                f"{REFERENCE_DIR}/extra_data.parquet",
-                output_dir=out,
-            )
-            best = min(best, time.perf_counter() - t0)
-    timings["walmart_etl_e2e"] = round(best, 3)
+    try:
+        best = float("inf")
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as out:
+                t0 = time.perf_counter()
+                etl_main(
+                    spark,
+                    f"{REFERENCE_DIR}/grocery_sales.csv",
+                    f"{REFERENCE_DIR}/extra_data.parquet",
+                    output_dir=out,
+                )
+                best = min(best, time.perf_counter() - t0)
+        timings["walmart_etl_e2e"] = round(best, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["walmart_etl_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # IVF pruning win (bench-only: at nprobe < n_cells the result is
     # approximate, so it can't share the registered query's exact oracle —
@@ -142,42 +152,45 @@ def main() -> None:
     )
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qs = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
-    cents = train_ivf_centroids(emb, n_cells=_IVF_CELLS, sample=1024)
-    best = float("inf")
-    for _ in range(2):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).collect()
-        best = min(best, time.perf_counter() - t0)
-    # Scanned fraction from the cell histograms (exact candidate count /
-    # the brute-force candidate count), without re-running the topk join.
-    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
-        _with_cells,
-    )
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+        cents = train_ivf_centroids(emb, n_cells=_IVF_CELLS, sample=1024)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).collect()
+            best = min(best, time.perf_counter() - t0)
+        # Scanned fraction from the cell histograms (exact candidate count /
+        # the brute-force candidate count), without re-running the topk join.
+        from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+            _with_cells,
+        )
 
-    cell_sizes = {
-        r["cell"]: r["n"]
-        for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    probed = (
-        _with_cells(qs, cents, "vec_id", "embedding", "i", "v", 2)
-        .select("i", "cell")
-        .collect()
-    )
-    n_corpus = emb.count()
-    candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
-    ivf_pruned = {
-        "sec": round(best, 3),
-        "exact_sec": timings["similarity_topk_ivf"],
-        "nprobe": 2,
-        "n_cells": _IVF_CELLS,
-        "scanned_frac": round(candidates / (len(set(p["i"] for p in probed)) * n_corpus), 3),
-    }
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        probed = (
+            _with_cells(qs, cents, "vec_id", "embedding", "i", "v", 2)
+            .select("i", "cell")
+            .collect()
+        )
+        n_corpus = emb.count()
+        candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
+        ivf_pruned = {
+            "sec": round(best, 3),
+            "exact_sec": timings.get("similarity_topk_ivf"),
+            "nprobe": 2,
+            "n_cells": _IVF_CELLS,
+            "scanned_frac": round(candidates / (len(set(p["i"] for p in probed)) * n_corpus), 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        ivf_pruned = {"err": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -193,6 +206,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "runtime_metrics": runtime,
                 "ivf_pruned": ivf_pruned,
                 "sf": sf_val,
@@ -200,12 +214,16 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # Stdout line: errors appear as names only (full messages live in the
+    # sidecar) so one long exception can't blow the tail-capture budget.
+    err_names = sorted(errors)
     payload = json.dumps(
         {
             "metric": "headline_query_wall_clock_total",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,
             "sf": sf_val,
             "details": "bench_details.json",
@@ -220,6 +238,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slim,
+                **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,
                 "details": "bench_details.json",
             },

@@ -91,6 +91,26 @@ def test_end_to_end_load_and_validation(spark, tmp_path):
     assert out.count() == 12
 
 
+def test_gzipped_csv_end_to_end(spark, tmp_path):
+    """Parity with pandas' transparent decompression
+    (``pd.read_csv('...csv.gz')``, wallmart_pipeline.py:52): the header
+    pre-flight must not raw-read gzip bytes — it falls back to
+    ``spark.read.text``, which decodes by codec suffix — and the main CSV
+    scan likewise decompresses transparently."""
+    import gzip
+
+    from walmart_e_commerce_sales_data_pipeline_spark.pipeline import extract
+
+    with open(f"{REFERENCE_DIR}/grocery_sales.csv", "rb") as fh:
+        raw = fh.read()
+    gz = tmp_path / "grocery_sales.csv.gz"
+    with gzip.open(gz, "wb") as out:
+        out.write(raw)
+    merged = extract(spark, str(gz), f"{REFERENCE_DIR}/extra_data.parquet")
+    assert merged.count() == 20000
+    assert merged.columns[0] == "index"
+
+
 def test_csv_without_index_header_raises(spark, tmp_path):
     """The CSV pre-flight must inspect the file's header line: with an
     explicit schema Spark binds CSV columns by position, so a malformed

@@ -150,36 +150,38 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-3 rotation: every query whose only driver-green row dated from
-    # round 1 must sit inside the checked window, along with everything
-    # added or changed this round.
-    r1_only = {
-        "above_average_orders", "agg_suite", "case_when_tiers",
-        "cube_order_status", "date_functions", "distinct_counts",
-        "events_json_extract", "forecast_revenue", "from_json_map",
-        "join_anti", "join_customer_orders", "join_full_outer",
-        "join_left_outer", "join_right_outer", "join_semi",
-        "large_quantity_orders", "map_array_functions",
-        "pivot_status_by_year", "price_percentiles", "regex_math_functions",
-        "rollup_customer_geo", "scalar_means", "set_operations",
-        "ship_delay_buckets", "shipping_priority_top10", "string_functions",
-        "top10_expensive_items", "union_all_monthly", "user_event_paths",
-        "window_running_total", "window_topk_orders",
+    # Round-6 rotation policy: the checked window is the 50 queries with the
+    # oldest external evidence.  The single never-externally-green query
+    # leads the window.
+    assert _PRIORITY[0] == "events_dow_hour_heatmap"
+    # The 12 queries that ERR'd in round 5 (events-loader vs testdata drift,
+    # fixed this round) must all be in the window — they have no green row
+    # newer than round 2.
+    r5_errs = {
+        "events_dow_hour_heatmap", "monthly_avg_value",
+        "events_hourly_window", "events_sessionization",
+        "events_sliding_window", "impute_group_avg",
+        "event_transition_matrix", "events_funnel",
+        "events_cohort_retention", "asof_join_latest_order",
+        "range_join_close_events", "events_session_window",
     }
-    round3_touched = {
-        "decontaminate_corpus", "dedup_canonical_keep",
-        "mixture_sampling_plan", "quantize_embeddings",
-        "local_supplier_volume", "customer_order_histogram",
-        "vocab_top_ngrams", "quality_percentile_filter",
-        "time_series_gap_fill", "key_skew_profile",
-        "train_val_test_split", "embedding_dim_profile",
-        "cdc_chunk_stats", "dup_graph_triangles",
-        "latest_record_compaction", "set_operations_all",
-        "token_budget_fill", "orders_rfm_segments",
-        "grouped_zscore_histogram",
+    # Every events-dependent query must be in the window: their prior
+    # evidence predates the timestamp[us] loader fix.
+    events_dependent = r5_errs | {
+        "events_json_extract", "user_event_paths", "time_series_gap_fill",
+        "key_skew_profile", "latest_record_compaction", "union_all_monthly",
+        "grouped_zscore_histogram", "from_json_map",
     }
     window = set(names[:50])
-    assert r1_only <= window
-    assert round3_touched <= window
+    assert r5_errs <= window
+    assert events_dependent <= window
+    # Conversely, nothing green in round 5 re-occupies a window slot — the
+    # window is reserved for the stalest evidence.
+    r5_green_sample = {
+        "pricing_summary", "regional_revenue", "dedup_exact",
+        "dedup_minhash_lsh", "text_stats", "similarity_topk",
+        "multimodal_features", "tfidf_top_terms", "window_frames_suite",
+    }
+    assert not (r5_green_sample & window)
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -76,9 +76,10 @@ def generate(spark) -> None:
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
     supplier = spark.read.parquet(f"{SF01}/supplier.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (the
-    # same escape hatch queries/tables.py uses) and write it back as a
-    # plain INT64 — the loader's rename+timestamp_micros path handles both.
+    # events.ts ships as parquet timestamp[us] in current testdata (older
+    # rounds used TIMESTAMP(NANOS)); the escape hatch makes the old
+    # encoding readable too, and the replica passes `ts` through unchanged
+    # either way — queries/tables.py adapts to whichever dtype lands.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF01}/events.parquet")
     documents = spark.read.parquet(f"{SF01}/documents.parquet")

@@ -98,12 +98,15 @@ def extract(spark: SparkSession, store_data: str, extra_data: str) -> DataFrame:
     df = spark.read.option("header", True).schema(GROCERY_SALES_SCHEMA).csv(store_data)
     extra_df = spark.read.parquet(extra_data)
 
-    # Header pre-flight: a local file is read driver-side (one line, no
-    # Spark job — the schema check shouldn't pay job-scheduling overhead);
-    # remote URIs (hdfs://, s3://) fall back to a Spark text scan, which
-    # reads only the first partition for .first().
+    # Header pre-flight: a local *plain-text* file is read driver-side (one
+    # line, no Spark job — the schema check shouldn't pay job-scheduling
+    # overhead); anything else — remote URIs (hdfs://, s3://) and
+    # compressed inputs (.csv.gz etc., which pandas' read_csv decompresses
+    # transparently and Spark's text source likewise decodes by codec
+    # suffix) — falls back to a Spark text scan, which reads only the
+    # first partition for .first().
     p = Path(store_data)
-    if p.is_file():
+    if p.is_file() and p.suffix.lower() in {".csv", ".txt", ".tsv"}:
         with p.open("r", encoding="utf-8", errors="replace") as fh:
             raw_header = fh.readline().rstrip("\r\n")
     else:

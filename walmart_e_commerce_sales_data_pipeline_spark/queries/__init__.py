@@ -27,72 +27,82 @@ from . import (  # noqa: F401
 #
 # The external correctness harness checks a *prefix* of the registry in
 # registration order, so import order alone decides which operators get a
-# hard oracle-checked signal this round.  Round-5 rotation policy (per the
-# round-4 verdict, task #1): the r4 checked window went 50/50 green, so it
-# rotates wholesale to the tail; the new checked prefix is exactly the 50
-# queries that were in the r4 tail — whose freshest external evidence dates
-# from rounds 1/2 — headed by ``events_dow_hour_heatmap``, the single query
-# with zero external driver rows in any round.  The two windows are
-# disjoint, so after r5 every query's external green row is at most one
-# round old.  Every tail query is r4-green and re-proven by the local
-# DuckDB mirror (driver-equivalent strictness) on every pytest run.
+# hard oracle-checked signal this round.  Round-6 rotation policy (per the
+# round-5 verdict, task #4): the checked prefix is the 50 queries with the
+# OLDEST external evidence —
+#   (1) ``events_dow_hour_heatmap`` (its only external row ever is the r5
+#       ERR) at index 0;
+#   (2) the 11 other queries that ERR'd in r5 under the events-loader /
+#       testdata-drift break (now fixed in queries/tables.py) — their last
+#       green rows date from r1/r2;
+#   (3) the 8 events-dependent queries from the r4 tail — r4-green, but
+#       their evidence predates the loader fix, so fresh rows are most
+#       valuable here;
+#   (4) 30 more r4-green queries, oldest-first in prior registry order.
+# The 38 r5-green queries rotate wholesale to the tail (evidence one round
+# old), followed by the 12 lowest-risk r4-green relational queries (two
+# rounds old — the window can't cover 62 stale queries at width 50).
+# Every tail query is re-proven by the local DuckDB mirror
+# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on every
+# pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # (1) Never externally checked — highest priority.
+    # (1) Never externally green — highest priority.
     "events_dow_hour_heatmap",
-    # (2) r1/r2-era external evidence — regain a fresh driver row.
+    # (2) r5 ERRs (events-loader break, fixed this round) — last green r1/r2.
     "monthly_avg_value",
     "events_hourly_window",
     "events_sessionization",
     "events_sliding_window",
-    "pricing_summary",
     "impute_group_avg",
-    "regional_revenue",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    "dedup_clusters",
     "event_transition_matrix",
-    "dedup_embedding",
-    "corpus_clean_pipeline",
     "events_funnel",
     "events_cohort_retention",
-    "profile_documents",
-    "stratified_sample_stats",
-    "join_cross",
-    "null_ordering",
-    "window_frames_suite",
-    "grouping_sets_explicit",
     "asof_join_latest_order",
     "range_join_close_events",
-    "correlated_subquery_orders",
-    "min_price_per_type",
-    "exists_not_exists_combo",
-    "lateral_explode_embeddings",
-    "tfidf_top_terms",
-    "top_supplier_revenue",
-    "promo_revenue_share",
-    "trailing_spend_range_frame",
-    "market_share_by_year",
-    "similarity_pairs",
-    "similarity_topk",
-    "similarity_pairs_blocked",
-    "similarity_lsh",
-    "similarity_topk_ivf",
     "events_session_window",
-    "multimodal_features",
-    # (The 50 r4-green queries rotate to the tail — their external
-    # evidence is one round old, the freshest possible, and each is
-    # mirror-proven by tests/test_queries_vs_duckdb.py every run.)
+    # (3) Events-dependent r4-tail queries — r4-green, but pre-loader-fix.
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "latest_record_compaction",
+    "union_all_monthly",
+    "grouped_zscore_histogram",
+    "from_json_map",
+    # (4) Remaining oldest-evidence queries (r4-green).
+    "scalar_means",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "window_topk_orders",
+    "window_running_total",
+    "top10_expensive_items",
+    "set_operations",
+    "distinct_counts",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "string_functions",
+    "date_functions",
+    "agg_suite",
+    "case_when_tiers",
+    "decontaminate_corpus",
+    "vocab_top_ngrams",
+    "quality_percentile_filter",
+    "cdc_chunk_stats",
+    "token_budget_fill",
+    "dedup_canonical_keep",
+    "dup_graph_triangles",
+    "mixture_sampling_plan",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "forecast_revenue",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    # (The 38 r5-green queries + 12 r4-green relational stragglers rotate
+    # to the tail — each mirror-proven every pytest run.)
 ]
 
 

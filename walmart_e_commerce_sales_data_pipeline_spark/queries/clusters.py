@@ -282,7 +282,7 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
     )
     n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    return (
+    out = (
         tri.crossJoin(F.broadcast(summary))
         .crossJoin(F.broadcast(n_edges))
         .select(
@@ -298,3 +298,10 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+    # Materialize the 1-row census now (localCheckpoint stores a single
+    # summary row) so the pair cache — which the triangle join reads three
+    # times — can be released before returning.  Without this the persist
+    # outlives the query and pins executor memory for the session.
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join, range_join_pairs
+from ..session import ensure_utc
 from .registry import register
 from .stable import unit_sum, unit_sum_sql
 from .tables import table
@@ -462,7 +463,7 @@ _Q14_REV = "l_extendedprice * (1 - l_discount)"
     tags=("tpch", "conditional-agg"),
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_utc(spark)
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
     )

@@ -1,22 +1,37 @@
 """Testdata table loaders for registered queries.
 
-All tables are plain ``spark.read.parquet`` except ``events``: its ``ts``
-column is parquet ``TIMESTAMP(NANOS)`` which Spark's reader rejects
-(PARQUET_TYPE_ILLEGAL).  The loader flips the documented escape hatch
-``spark.sql.legacy.parquet.nanosAsLong`` and rebuilds both a nanosecond
-``ts_ns`` (long, exact, for arithmetic like sessionization gaps) and a
-microsecond-truncated ``ts`` timestamp (for calendar functions / windows).
+All tables are plain ``spark.read.parquet`` except ``events``: the driver
+testdata has shipped its ``ts`` column under two different parquet
+encodings across rounds, and the loader adapts to whichever is on disk:
 
-The loader also pins the session timezone to UTC: the driver's session may
-run with any local TZ, and ``month()``/``date_format`` over TimestampType
-are TZ-dependent — the DuckDB oracle evaluates naive timestamps, which
-matches Spark only under UTC.
+- parquet ``TIMESTAMP(NANOS)`` — Spark's reader rejects it outright
+  (PARQUET_TYPE_ILLEGAL) unless the documented escape hatch
+  ``spark.sql.legacy.parquet.nanosAsLong`` is on, in which case the column
+  loads as a nanosecond **long**;
+- parquet ``timestamp[us]`` (isAdjustedToUTC=false) — loads natively as
+  ``TIMESTAMP_NTZ``.
+
+Either way the loader exposes the same two columns so every downstream
+query is encoding-agnostic: a microsecond ``ts`` timestamp (calendar
+functions / windows) and an exact nanosecond ``ts_ns`` long (integer
+arithmetic like sessionization gaps).  For µs source data ``ts_ns`` is
+``unix_micros(ts) * 1000`` — exact ns multiples of 1000, bit-identical to
+the DuckDB oracles' ``epoch_ns(ts)``.
+
+The loader also pins the session timezone to UTC (via
+``session.ensure_utc``): the driver's session may run with any local TZ,
+and ``month()``/``date_format`` over TimestampType are TZ-dependent — the
+DuckDB oracle evaluates naive timestamps, which matches Spark only under
+UTC.  The NTZ→TZ cast below is likewise identity only under UTC.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import ensure_utc
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -26,14 +41,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    # Harmless when ts is already timestamp[us]; required to load the
+    # TIMESTAMP(NANOS) encoding at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer `div`, never float division: ts_ns ≈ 1.7e18 exceeds double's
-    # 53-bit mantissa, so `/ 1000` floors ~1.6% of rows to the previous
-    # microsecond and events on exact window boundaries land in the wrong
-    # bucket.
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # Nanos-as-long encoding.  Integer `div`, never float division:
+        # ts_ns ≈ 1.7e18 exceeds double's 53-bit mantissa, so `/ 1000`
+        # floors ~1.6% of rows to the previous microsecond and events on
+        # exact window boundaries land in the wrong bucket.
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    # timestamp[us] encoding (TIMESTAMP or TIMESTAMP_NTZ).  Cast to
+    # session-TZ TimestampType — identity under the UTC pin — and derive
+    # the exact ns long (µs data → multiples of 1000).
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     )

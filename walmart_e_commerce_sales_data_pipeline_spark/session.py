@@ -52,3 +52,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (idempotent, no-op when already set).
+
+    Centralized here (r5 verdict task #7) instead of scattered
+    ``conf.set`` calls in query modules: sessions built by :func:`get_spark`
+    are already UTC, but the external driver harness supplies its *own*
+    session, so any entry point that evaluates calendar functions over
+    timestamps must pin TZ itself.  The DuckDB oracles evaluate naive
+    timestamps, which Spark's TZ-dependent ``month()``/``window()``/
+    ``date_format()`` match only under UTC.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -18,27 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType
 
-# Raw parquet schema of the events table with the nanosecond timestamp kept
-# as long (streaming sources need an explicit schema anyway — a win: no
-# inference pass).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds since epoch
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..session import ensure_utc
 
 
 def stage_stream_dir(*files: str) -> str:
@@ -60,11 +42,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
     ``maxFilesPerTrigger=1`` gives deterministic micro-batches in tests;
     production would leave it unset and let the source batch by size.
+
+    The file-stream source requires an explicit schema; it is inferred
+    with one driver-side batch footer read of the same directory so the
+    stream adapts to whichever ``ts`` encoding the testdata ships
+    (TIMESTAMP(NANOS)-as-long or timestamp[us] — see queries/tables.py).
     """
+    ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
@@ -72,11 +60,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_event_time(raw: DataFrame) -> DataFrame:
-    """Rebuild the µs event-time timestamp from the ns long (shared with
-    the batch loader, queries.tables.events).  Integer `div`: float
-    division loses ns precision above 2^53 (see queries/tables.py)."""
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    """Normalize the raw ``ts`` column to the (``ts`` µs timestamp,
+    ``ts_ns`` exact ns long) pair — same contract as the batch loader,
+    queries.tables.events, for either source encoding.  Integer `div` on
+    the nanos path: float division loses ns precision above 2^53 (see
+    queries/tables.py)."""
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 
