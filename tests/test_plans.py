@@ -118,6 +118,29 @@ def test_vocab_top_ngrams_take_ordered(spark):
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
 
 
+def test_events_ts_filter_pushes_to_parquet_scan(spark):
+    """With the timestamp[us] events encoding the loader keeps ``ts`` as a
+    native column, so time-range predicates reach the parquet scan as
+    PushedFilters (row-group min/max pruning at scale).  Under the old
+    nanos-as-long encoding ``ts`` was a derived expression
+    (timestamp_micros(ts_ns div 1000)) and no ts filter could push — this
+    pins the scale win of the dtype-adaptive loader."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import events
+
+    ev = events(spark, SF001)
+    if not any(f.name == "ts" and "Timestamp" in type(f.dataType).__name__
+               for f in spark.read.parquet(f"{SF001}/events.parquet").schema):
+        import pytest
+
+        pytest.skip("testdata ships the nanos-as-long encoding")
+    df = ev.filter(F.col("ts") >= "2024-03-01").select("event_id", "ts")
+    assert any("GreaterThan" in f and "ts" in f for f in pushed_filters(df)), (
+        formatted_plan(df)
+    )
+
+
 def test_customer_order_histogram_on_clause_not_pushed_as_where(spark):
     """The o_orderpriority exclusion lives in the LEFT join's ON clause:
     it must push into the orders-side scan (filtering the probe input),
