@@ -10,6 +10,7 @@ from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # no
 from . import (  # noqa: F401
     clusters,
     corpus,
+    curation,
     dedup,
     grouped_pandas,
     product_analytics,

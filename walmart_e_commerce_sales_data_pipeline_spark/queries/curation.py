@@ -1,0 +1,260 @@
+"""Corpus-curation analytics (extension surface, SURVEY.md §2.11):
+lexical retrieval, domain-mixture divergence, event-rate anomaly gating.
+
+These are the selection/diagnostic operators a training-data pipeline runs
+*after* dedup and quality scoring: BM25 retrieval ranks documents against
+probe terms (targeted subset mining / decontamination spot-checks),
+Jensen–Shannon divergence quantifies how far each source's unigram
+distribution sits from the corpus mixture (the signal behind mixture
+re-weighting), and event-rate z-score anomalies flag collection-pipeline
+incidents (a burst hour usually means a scraper loop, not real traffic).
+
+Cross-engine float parity follows the house rules (queries/stable.py):
+every arithmetic expression is mirrored term-by-term with identical
+association so both engines produce bit-identical doubles, and the only
+rounding happens once at the end on values far from decimal ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from .registry import register
+from .tables import table
+
+# BM25 probe terms: engine-domain words guaranteed present in the synthetic
+# corpus vocabulary (TESTDATA.md).  Okapi defaults k1=1.2, b=0.75.
+_BM25_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_doc_retrieval",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS n_docs FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   LN((CAST(stats.n_docs - idf.df AS DOUBLE) + 0.5)
+                      / (CAST(idf.df AS DOUBLE) + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75
+                       * (dl.dl / (stats.tot / stats.n_docs))))
+               ), 4) AS bm25
+        FROM tf
+        JOIN idf ON tf.token = idf.token
+        JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= 10
+    ORDER BY rk
+    """,
+    description="Okapi BM25 top-10 documents for fixed probe terms "
+    "(k1=1.2, b=0.75): targeted subset retrieval over the corpus. Scale "
+    "shape: the token explode shuffles once on (doc_id, token); the "
+    "3-term df table and the 1-row corpus stats broadcast; the global "
+    "top-10 runs as orderBy+limit (TakeOrderedAndProject, k-row "
+    "per-partition state) before a 10-row ranking window",
+    tags=("text", "retrieval", "curation"),
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("tot"), F.count("*").alias("n_docs")
+    )
+    hits = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("tot") / F.col("n_docs")
+    # Term-by-term mirror of the oracle expression (identical association
+    # → identical doubles before the single ROUND).
+    idf_expr = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(1) - F.lit(0.75) + F.lit(0.75) * (F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf_expr * F.col("tf") * F.lit(2.2) / denom), 4).alias("bm25"))
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "bm25", "rk")
+        .orderBy("rk")
+    )
+
+
+@register(
+    "source_unigram_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    sc AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot_s FROM sc GROUP BY 1),
+    cc AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM sc GROUP BY 1),
+    gt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot FROM cc),
+    grid AS (
+        SELECT st.source, st.tot_s, cc.token, cc.ct, gt.tot,
+               COALESCE(sc.c, 0) AS c
+        FROM st CROSS JOIN cc CROSS JOIN gt
+        LEFT JOIN sc ON sc.source = st.source AND sc.token = cc.token
+    ),
+    contrib AS (
+        SELECT source, tot_s,
+               (c / tot_s) AS p, (ct / tot) AS q
+        FROM grid
+    )
+    SELECT source,
+           MAX(tot_s) AS n_tokens,
+           ROUND(SUM(
+               0.5 * (CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2))
+                           ELSE 0 END)
+               + 0.5 * (q * LN(q / ((p + q) / 2)))
+           ), 6) AS jsd
+    FROM contrib
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="Jensen-Shannon divergence of each source's unigram "
+    "distribution vs the corpus mixture — the domain-shift signal behind "
+    "mixture re-weighting (a source with high JSD is under-represented "
+    "by uniform sampling). Scale shape: one shuffle on (source, token) "
+    "for counts; the (vocab x sources) probability grid is Zipf-bounded "
+    "(vocab grows ~log with corpus size), built by cross-joining the "
+    "broadcast per-source totals with the token marginals; probabilities "
+    "are exact-integer ratios so both engines emit identical doubles",
+    tags=("text", "mixture", "curation"),
+)
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot_s"))
+    cc = sc.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    gt = cc.agg(F.sum("ct").cast("bigint").alias("tot"))
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(gt))
+        .join(sc, ["source", "token"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = F.col("c") / F.col("tot_s")
+    q = F.col("ct") / F.col("tot")
+    m = (p + q) / F.lit(2)
+    contrib = F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(
+        F.lit(0)
+    ) + F.lit(0.5) * (q * F.log(q / m))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("tot_s").alias("n_tokens"),
+            F.round(F.sum(contrib), 6).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_h,
+               CAST(SUM(c) AS BIGINT) AS sum_c,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        FROM hourly GROUP BY 1
+    ),
+    z AS (
+        SELECT hourly.event_type, hourly.h, hourly.c,
+               (hourly.c - (stats.sum_c / stats.n_h))
+               / SQRT((stats.sum_c2 / stats.n_h)
+                      - (stats.sum_c / stats.n_h) * (stats.sum_c / stats.n_h))
+               AS zval,
+               (stats.sum_c2 / stats.n_h)
+               - (stats.sum_c / stats.n_h) * (stats.sum_c / stats.n_h) AS var
+        FROM hourly JOIN stats ON hourly.event_type = stats.event_type
+    )
+    SELECT event_type, h AS hour, CAST(c AS BIGINT) AS n,
+           ROUND(zval, 4) AS z
+    FROM z
+    WHERE var > 0 AND ABS(zval) >= 2
+    ORDER BY event_type, hour
+    """,
+    description="event-rate anomaly detection: hourly counts per event "
+    "type, z-scored against that type's own hourly mean/variance "
+    "(population moments from exact integer sums — both engines compute "
+    "identical doubles without a stddev builtin, whose internal "
+    "accumulation order differs between engines); |z| >= 2 flags burst "
+    "or outage hours. Scale shape: one shuffle to (type, hour) counts — "
+    "cardinality is hours x types, tiny vs the event stream — then a "
+    "broadcast join of the 1-row-per-type moments back onto the hourly "
+    "series",
+    tags=("events", "anomaly", "curation"),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    mean = F.col("sum_c") / F.col("n_h")
+    var = (F.col("sum_c2") / F.col("n_h")) - mean * mean
+    zval = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("var", var)
+        .withColumn("zval", zval)
+        .filter((F.col("var") > 0) & (F.abs(F.col("zval")) >= 2))
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("c").cast("bigint").alias("n"),
+            F.round("zval", 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
