@@ -69,6 +69,10 @@ HEADLINE = [
     "customer_order_histogram",
     "time_series_gap_fill",
     "cdc_chunk_stats",
+    # round 6 additions (queries/curation.py)
+    "bm25_doc_retrieval",
+    "source_unigram_divergence",
+    "events_hourly_anomaly",
 ]
 
 

@@ -198,10 +198,20 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 32,
     bands: int = 16,
+    _release: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: documents agreeing on any full
     band become a candidate pair.  P(candidate | J) = 1-(1-J^r)^b with
-    r = num_hashes/bands; at r=2, b=16: J=0.9 → miss ≈ 5e-12."""
+    r = num_hashes/bands; at r=2, b=16: J=0.9 → miss ≈ 5e-12.
+
+    The banded-bucket table is persisted for the self-join (the two sides
+    do NOT canonicalize to a reusable exchange — measured: zero
+    ReusedExchange without the persist, full signature recompute).  By
+    default the candidate set is then localCheckpointed so the persist can
+    be released before returning; a composing caller (minhash_dedup_pairs)
+    passes ``_release`` to take ownership of the persisted frame instead,
+    deferring the release to its own single final materialization — one
+    eager job instead of two."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -225,12 +235,21 @@ def lsh_candidate_pairs(
     ).select("id", "bb.band_idx", "bb.band_hash").persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.select(F.col("id").alias("x"), "band_idx", "band_hash")
     b = bucketed.select(F.col("id").alias("y"), "band_idx", "band_hash")
-    return (
+    out = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("x") < F.col("y"))
         .select("x", "y")
         .distinct()
     )
+    if _release is not None:
+        _release.append(bucketed)
+        return out
+    # Standalone use: materialize the (small) candidate set and release
+    # the banded-bucket cache — the persist must not outlive the operator
+    # and pin executor memory for the rest of the session.
+    out = out.localCheckpoint(eager=True)
+    bucketed.unpersist()
+    return out
 
 
 def minhash_dedup_pairs(
@@ -281,7 +300,8 @@ def minhash_dedup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    release: list[DataFrame] = [sh]
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, _release=release)
 
     def array_verified(pool: DataFrame, pairs: DataFrame) -> DataFrame:
         doc_sets = pool.groupBy("id").agg(
@@ -305,6 +325,16 @@ def minhash_dedup_pairs(
             .select("x", "y", "jaccard")
         )
 
+    def finish(verified: DataFrame) -> DataFrame:
+        # One eager materialization of the verified pairs (bounded:
+        # candidates × exact filter), then release every cache built along
+        # the way (shingles + banded buckets) — no persist outlives the
+        # operator call.
+        out = verified.localCheckpoint(eager=True)
+        for frame in release:
+            frame.unpersist()
+        return out
+
     may_have_big = (
         df.select(F.length(F.col(text_col)).alias("_len"))
         .filter(F.col("_len") >= max_set_size)
@@ -313,7 +343,7 @@ def minhash_dedup_pairs(
         > 0
     )
     if not may_have_big:
-        return array_verified(sh, cands)
+        return finish(array_verified(sh, cands))
 
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # Outlier docs may exist: split the candidate pairs.  Small×small pairs
@@ -351,7 +381,7 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
     )
-    return array_verified(sh_small, small_pairs).unionByName(big_verified)
+    return finish(array_verified(sh_small, small_pairs).unionByName(big_verified))
 
 
 _HEX = "0123456789abcdef"
@@ -452,10 +482,15 @@ def simhash_pairs(
     pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)  # self-joined below
     a = pieces.select(F.col("id").alias("x"), F.col("simhash").alias("hx"), "chunk_idx", "chunk_val")
     b = pieces.select(F.col("id").alias("y"), F.col("simhash").alias("hy"), "chunk_idx", "chunk_val")
-    return (
+    out = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("x") < F.col("y"))
         .select("x", "y", F.bit_count(F.col("hx").bitwiseXOR(F.col("hy"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    # Materialize the pair set and release the chunk-piece cache (the
+    # persist must not outlive the operator call — see lsh_candidate_pairs).
+    out = out.localCheckpoint(eager=True)
+    pieces.unpersist()
+    return out
