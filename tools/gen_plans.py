@@ -23,7 +23,11 @@ COMMENT = {
     "window_topk_orders": "single shuffle on the window partition key; rank filter applied "
     "before the final sort",
     "top10_expensive_items": "no full sort: TakeOrderedAndProject with per-partition k-row state",
-    "dedup_minhash_lsh": "persisted shingle set reused; candidate join keyed by (band, hash)",
+    "dedup_minhash_lsh": "the returned pair set is localCheckpointed (every "
+    "intermediate cache released before return — round 6), so the visible plan is "
+    "the final sort over the materialized pairs; the banded pipeline behind it "
+    "(persisted shingles -> signatures -> (band, hash) bucket join -> exact verify) "
+    "lives in operators/dedup.py",
     "events_sessionization": "one shuffle on user_id shared by both window functions and the "
     "session aggregation",
     "promo_revenue_share": "part dim broadcast; conditional agg folds into the same "
@@ -52,6 +56,15 @@ COMMENT = {
     "SortAggregate (struct max is not hash-aggregable) but still partial+final: the "
     "shuffle carries one row per key per partition, where the row_number window would "
     "shuffle every input row",
+    "bm25_doc_retrieval": "token explode shuffles once on (doc_id, token); the probe-term "
+    "df table and 1-row corpus stats broadcast; the global top-10 is "
+    "TakeOrderedAndProject feeding a 10-row ranking window",
+    "source_unigram_divergence": "one shuffle to (source, token) counts; token marginals "
+    "and the corpus total broadcast onto the vocab x source grid; the zero-count cells "
+    "come from a broadcast left join, never a shuffle",
+    "events_hourly_anomaly": "single events scan to (type, hour) counts; per-type "
+    "moments (3 longs each) broadcast back onto the hourly series; the z-score is pure "
+    "codegen arithmetic over exact integer sums",
 }
 
 
