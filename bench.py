@@ -73,6 +73,7 @@ HEADLINE = [
     "bm25_doc_retrieval",
     "source_unigram_divergence",
     "events_hourly_anomaly",
+    "events_rolling_engagement",
 ]
 
 

@@ -192,6 +192,65 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_engagement",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+    wau AS (
+        SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+        FROM days JOIN du
+          ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+        GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau AS dau, wau.wau AS wau,
+           (dau.dau / wau.wau) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+    description="rolling engagement: daily active users, trailing-7-day "
+    "active users, and DAU/WAU stickiness. Neither engine supports "
+    "COUNT(DISTINCT) over a window frame, so WAU is the canonical "
+    "range-join rewrite: distinct (day, user) pairs joined to the day "
+    "grid within a 7-day band, then a distinct count per anchor day — "
+    "fan-out is exactly 7x the (day, user) table, shuffle keys on the "
+    "anchor day. Stickiness is an exact-integer IEEE division, "
+    "bit-identical across engines without rounding",
+    tags=("events", "engagement", "curation"),
+)
+def events_rolling_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    anchor = days.select(F.col("d").alias("day"))
+    wau = (
+        anchor.join(
+            du,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "events_hourly_anomaly",
     oracle="""
     WITH hourly AS (
