@@ -212,12 +212,16 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="rolling engagement: daily active users, trailing-7-day "
     "active users, and DAU/WAU stickiness. Neither engine supports "
-    "COUNT(DISTINCT) over a window frame, so WAU is the canonical "
-    "range-join rewrite: distinct (day, user) pairs joined to the day "
-    "grid within a 7-day band, then a distinct count per anchor day — "
-    "fan-out is exactly 7x the (day, user) table, shuffle keys on the "
-    "anchor day. Stickiness is an exact-integer IEEE division, "
-    "bit-identical across engines without rounding",
+    "COUNT(DISTINCT) over a window frame, and a literal range join "
+    "compiles to a nested-loop (O(days x pairs) comparisons), so the "
+    "Spark side uses the explode-to-equi-join rewrite: each distinct "
+    "(day, user) pair generates its 7 anchor days via sequence(), the "
+    "anchor grid joins on day EQUALITY (hash join, broadcastable day "
+    "list), and the fan-out is exactly 7x the (day, user) table with "
+    "the shuffle keyed on the anchor day. Stickiness is an "
+    "exact-integer IEEE division, bit-identical across engines without "
+    "rounding; the DuckDB oracle states the same semantics as a plain "
+    "range join",
     tags=("events", "engagement", "curation"),
 )
 def events_rolling_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,12 +232,16 @@ def events_rolling_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count("*").alias("dau"))
     anchor = days.select(F.col("d").alias("day"))
+    # A (d, user) pair is inside the trailing-7-day window of anchors
+    # d .. d+6; generate those anchors and keep the observed ones.
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
     wau = (
-        anchor.join(
-            du,
-            (F.col("d") <= F.col("day"))
-            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
-        )
+        fanned.join(F.broadcast(anchor), "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
