@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 from .registry import register
+from .stable import unit_sum, unit_sum_sql
 from .tables import table
 
 # BM25 probe terms: engine-domain words guaranteed present in the synthetic
@@ -188,6 +189,69 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("jsd"),
         )
         .orderBy("source")
+    )
+
+
+_Q19_SQL_PRED = """(
+       (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15
+                             AND l_quantity BETWEEN 1  AND 20)
+    OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+                             AND l_quantity BETWEEN 10 AND 40)
+    OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 50
+                             AND l_quantity BETWEEN 20 AND 50)
+)"""
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {unit_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_SQL_PRED}
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    description="TPC-H Q19-style disjunctive predicate join: revenue per "
+    "brand under an OR of (brand, size-band, quantity-band) conjunctions "
+    "that each span BOTH join sides, so the whole predicate cannot be "
+    "pushed below the join. What survives at scale (verified in the "
+    "executed plan): Catalyst's CNF extraction pushes BOTH single-side "
+    "residues — the brand/size disjunction into the part scan AND the "
+    "quantity-band disjunction into the lineitem scan — the part side "
+    "broadcasts, and only the cross-side conjunct mix evaluates "
+    "post-join; the disjuncts are mutually exclusive by brand so the "
+    "per-brand grouping needs no branch tagging",
+    tags=("tpch", "disjunction", "pushdown"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            unit_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("p_brand")
     )
 
 
