@@ -151,9 +151,17 @@ def test_checked_window_composition():
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
     # Round-6 rotation policy: the checked window is the 50 queries with the
-    # oldest external evidence.  The single never-externally-green query
-    # leads the window.
-    assert _PRIORITY[0] == "events_dow_hour_heatmap"
+    # oldest external evidence (computed by tools/rotate_window.py).
+    # Never-externally-green queries lead the window: the heatmap (whose
+    # only external row is the r5 ERR) and the five round-6 additions.
+    assert _PRIORITY[:6] == [
+        "events_dow_hour_heatmap",
+        "bm25_doc_retrieval",
+        "source_unigram_divergence",
+        "disjunctive_predicate_revenue",
+        "events_rolling_engagement",
+        "events_hourly_anomaly",
+    ]
     # The 12 queries that ERR'd in round 5 (events-loader vs testdata drift,
     # fixed this round) must all be in the window — they have no green row
     # newer than round 2.

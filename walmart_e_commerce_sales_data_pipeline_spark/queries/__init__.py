@@ -30,27 +30,30 @@ from . import (  # noqa: F401
 # registration order, so import order alone decides which operators get a
 # hard oracle-checked signal this round.  Round-6 rotation policy (per the
 # round-5 verdict, task #4): the checked prefix is the 50 queries with the
-# OLDEST external evidence —
-#   (1) ``events_dow_hour_heatmap`` (its only external row ever is the r5
-#       ERR) at index 0;
-#   (2) the 11 other queries that ERR'd in r5 under the events-loader /
-#       testdata-drift break (now fixed in queries/tables.py) — their last
-#       green rows date from r1/r2;
-#   (3) the 8 events-dependent queries from the r4 tail — r4-green, but
-#       their evidence predates the loader fix, so fresh rows are most
-#       valuable here;
-#   (4) 30 more r4-green queries, oldest-first in prior registry order.
+# OLDEST external evidence, computed mechanically by
+# ``tools/rotate_window.py`` from the committed CORRECTNESS_r*.json files —
+#   (1) the six queries with NO green external row ever:
+#       ``events_dow_hour_heatmap`` (its only external row is the r5 ERR)
+#       plus the five round-6 additions (queries/curation.py);
+#   (2) the 11 queries that ERR'd in r5 under the events-loader /
+#       testdata-drift break (fixed this round, queries/tables.py) — their
+#       last green rows date from r1/r2;
+#   (3) r4-green queries oldest-first in prior registry order, leading with
+#       the 8 events-dependent ones (their evidence predates the loader
+#       fix).
 # The 38 r5-green queries rotate wholesale to the tail (evidence one round
-# old), followed by the 12 lowest-risk r4-green relational queries (two
-# rounds old — the window can't cover 62 stale queries at width 50).
-# Every tail query is re-proven by the local DuckDB mirror
-# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on every
-# pytest run.
+# old), followed by the r4-green relational stragglers (two rounds old —
+# the window can't cover every stale query at width 50).  Every tail query
+# is re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
+# driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # (1) Never externally green — highest priority.
     "events_dow_hour_heatmap",
-    # (2) r5 ERRs (events-loader break, fixed this round) — last green r1/r2.
+    "bm25_doc_retrieval",
+    "source_unigram_divergence",
+    "disjunctive_predicate_revenue",
+    "events_rolling_engagement",
+    "events_hourly_anomaly",
     "monthly_avg_value",
     "events_hourly_window",
     "events_sessionization",
@@ -62,7 +65,6 @@ _PRIORITY = [
     "asof_join_latest_order",
     "range_join_close_events",
     "events_session_window",
-    # (3) Events-dependent r4-tail queries — r4-green, but pre-loader-fix.
     "events_json_extract",
     "user_event_paths",
     "time_series_gap_fill",
@@ -71,7 +73,6 @@ _PRIORITY = [
     "union_all_monthly",
     "grouped_zscore_histogram",
     "from_json_map",
-    # (4) Remaining oldest-evidence queries (r4-green).
     "scalar_means",
     "join_customer_orders",
     "join_left_outer",
@@ -97,13 +98,6 @@ _PRIORITY = [
     "dedup_canonical_keep",
     "dup_graph_triangles",
     "mixture_sampling_plan",
-    "train_val_test_split",
-    "embedding_dim_profile",
-    "forecast_revenue",
-    "shipping_priority_top10",
-    "large_quantity_orders",
-    # (The 38 r5-green queries + 12 r4-green relational stragglers rotate
-    # to the tail — each mirror-proven every pytest run.)
 ]
 
 
