@@ -162,7 +162,17 @@ def jaccard_pairs(
     key is the shingle itself — only documents sharing at least one shingle
     ever meet, so sparsity (helped by ``max_shingle_df``) keeps this far
     below quadratic in practice.
+
+    The shingle table feeds three consumers (per-doc sizes + both sides of
+    the self-join) and aliased self-joins do NOT canonicalize to a
+    reusable exchange, so it is persisted for the duration of the call and
+    released after the (bounded, thresholded) pair set materializes via
+    localCheckpoint — same cache-lifetime discipline as
+    ``minhash_dedup_pairs``.
     """
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("id").alias("x"), "shingle")
     b = shingles.select(F.col("id").alias("y"), "shingle")
@@ -174,13 +184,16 @@ def jaccard_pairs(
     )
     sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
     sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
-    return (
+    out = (
         inter.join(sx, "x")
         .join(sy, "y")
         .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
     )
+    out = out.localCheckpoint(eager=True)
+    shingles.unpersist()
+    return out
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
