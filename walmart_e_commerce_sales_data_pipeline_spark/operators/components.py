@@ -84,6 +84,11 @@ def connected_components(
     Raises ``RuntimeError`` if the labeling has not converged after
     ``max_iterations`` (2^25-diameter components would be required).
     """
+    # The union references the pair plan twice.  Checkpointing it first
+    # was measured SLOWER at sf0.1 (the eager job + checkpoint write cost
+    # more than the second evaluation — the expensive generators either
+    # hand over pre-checkpointed pairs, like jaccard_pairs, or are
+    # broadcast-GEMM-cheap), so the double reference stays.
     edges = pairs.select("x", "y").union(
         pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct().persist()
