@@ -74,6 +74,7 @@ HEADLINE = [
     "source_unigram_divergence",
     "events_hourly_anomaly",
     "events_rolling_engagement",
+    "disjunctive_predicate_revenue",
 ]
 
 
