@@ -150,46 +150,37 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-6 rotation policy: the checked window is the 50 queries with the
-    # oldest external evidence (computed by tools/rotate_window.py).
-    # Never-externally-green queries lead the window: the heatmap (whose
-    # only external row is the r5 ERR) and the five round-6 additions.
-    assert _PRIORITY[:6] == [
-        "events_dow_hour_heatmap",
-        "bm25_doc_retrieval",
-        "source_unigram_divergence",
-        "disjunctive_predicate_revenue",
-        "events_rolling_engagement",
-        "events_hourly_anomaly",
-    ]
-    # The 12 queries that ERR'd in round 5 (events-loader vs testdata drift,
-    # fixed this round) must all be in the window — they have no green row
-    # newer than round 2.
-    r5_errs = {
-        "events_dow_hour_heatmap", "monthly_avg_value",
-        "events_hourly_window", "events_sessionization",
-        "events_sliding_window", "impute_group_avg",
-        "event_transition_matrix", "events_funnel",
-        "events_cohort_retention", "asof_join_latest_order",
-        "range_join_close_events", "events_session_window",
-    }
-    # Every events-dependent query must be in the window: their prior
-    # evidence predates the timestamp[us] loader fix.
-    events_dependent = r5_errs | {
-        "events_json_extract", "user_event_paths", "time_series_gap_fill",
-        "key_skew_profile", "latest_record_compaction", "union_all_monthly",
-        "grouped_zscore_histogram", "from_json_map",
-    }
+    # Round-7 rotation policy: the checked window is the 50 queries with the
+    # oldest external evidence (computed by tools/rotate_window.py).  After
+    # round 6 the staleness histogram is r4:17 / r5:38 / r6:50, so the
+    # window is the 17 r4-green queries followed by the 33 stalest r5-green
+    # ones; no query has ever-missing history anymore.
     window = set(names[:50])
-    assert r5_errs <= window
-    assert events_dependent <= window
-    # Conversely, nothing green in round 5 re-occupies a window slot — the
-    # window is reserved for the stalest evidence.
-    r5_green_sample = {
-        "pricing_summary", "regional_revenue", "dedup_exact",
-        "dedup_minhash_lsh", "text_stats", "similarity_topk",
-        "multimodal_features", "tfidf_top_terms", "window_frames_suite",
+    # All 17 queries whose last external green predates round 5 must lead
+    # the window (they are the stalest evidence in the registry).
+    r4_stale = {
+        "train_val_test_split", "embedding_dim_profile", "forecast_revenue",
+        "shipping_priority_top10", "large_quantity_orders",
+        "above_average_orders", "pivot_status_by_year", "price_percentiles",
+        "regex_math_functions", "ship_delay_buckets", "map_array_functions",
+        "join_right_outer", "local_supplier_volume",
+        "customer_order_histogram", "set_operations_all",
+        "orders_rfm_segments", "quantize_embeddings",
     }
-    assert not (r5_green_sample & window)
+    assert set(_PRIORITY[:17]) == r4_stale
+    # Conversely, nothing green in round 6 re-occupies a window slot — the
+    # window is reserved for the stalest evidence.
+    r6_green_sample = {
+        "events_dow_hour_heatmap", "bm25_doc_retrieval", "monthly_avg_value",
+        "events_sessionization", "decontaminate_corpus",
+        "dedup_canonical_keep", "mixture_sampling_plan", "scalar_means",
+        "rollup_customer_geo", "token_budget_fill",
+    }
+    assert not (r6_green_sample & window)
+    # The 5 r5-green queries squeezed out at width 50 head the r8 window.
+    assert {
+        "similarity_topk", "similarity_pairs_blocked", "similarity_lsh",
+        "similarity_topk_ivf", "multimodal_features",
+    } & window == set()
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

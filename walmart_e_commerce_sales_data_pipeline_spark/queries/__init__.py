@@ -28,76 +28,71 @@ from . import (  # noqa: F401
 #
 # The external correctness harness checks a *prefix* of the registry in
 # registration order, so import order alone decides which operators get a
-# hard oracle-checked signal this round.  Round-6 rotation policy (per the
-# round-5 verdict, task #4): the checked prefix is the 50 queries with the
-# OLDEST external evidence, computed mechanically by
-# ``tools/rotate_window.py`` from the committed CORRECTNESS_r*.json files —
-#   (1) the six queries with NO green external row ever:
-#       ``events_dow_hour_heatmap`` (its only external row is the r5 ERR)
-#       plus the five round-6 additions (queries/curation.py);
-#   (2) the 11 queries that ERR'd in r5 under the events-loader /
-#       testdata-drift break (fixed this round, queries/tables.py) — their
-#       last green rows date from r1/r2;
-#   (3) r4-green queries oldest-first in prior registry order, leading with
-#       the 8 events-dependent ones (their evidence predates the loader
-#       fix).
-# The 38 r5-green queries rotate wholesale to the tail (evidence one round
-# old), followed by the r4-green relational stragglers (two rounds old —
-# the window can't cover every stale query at width 50).  Every tail query
-# is re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
-# driver-equivalent strictness) on every pytest run.
+# hard oracle-checked signal this round.  Rotation policy (standing since
+# round 6): the checked prefix is the 50 queries with the OLDEST external
+# evidence, computed mechanically by ``tools/rotate_window.py`` from the
+# committed CORRECTNESS_r*.json files.  Round-7 staleness histogram:
+# 17 queries last green externally in r4, 38 in r5, 50 in r6 (no query has
+# ever-failing or missing history).  The window is therefore the 17
+# r4-green queries followed by the 33 stalest r5-green ones in prior
+# registry order; the 5 r5-green queries that don't fit
+# (``similarity_topk``, ``similarity_pairs_blocked``, ``similarity_lsh``,
+# ``similarity_topk_ivf``, ``multimodal_features``) head the r8 window.
+# Every tail query is re-proven by the local DuckDB mirror
+# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on every
+# pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "events_dow_hour_heatmap",
-    "bm25_doc_retrieval",
-    "source_unigram_divergence",
-    "disjunctive_predicate_revenue",
-    "events_rolling_engagement",
-    "events_hourly_anomaly",
-    "monthly_avg_value",
-    "events_hourly_window",
-    "events_sessionization",
-    "events_sliding_window",
-    "impute_group_avg",
-    "event_transition_matrix",
-    "events_funnel",
-    "events_cohort_retention",
-    "asof_join_latest_order",
-    "range_join_close_events",
-    "events_session_window",
-    "events_json_extract",
-    "user_event_paths",
-    "time_series_gap_fill",
-    "key_skew_profile",
-    "latest_record_compaction",
-    "union_all_monthly",
-    "grouped_zscore_histogram",
-    "from_json_map",
-    "scalar_means",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "window_topk_orders",
-    "window_running_total",
-    "top10_expensive_items",
-    "set_operations",
-    "distinct_counts",
-    "rollup_customer_geo",
-    "cube_order_status",
-    "string_functions",
-    "date_functions",
-    "agg_suite",
-    "case_when_tiers",
-    "decontaminate_corpus",
-    "vocab_top_ngrams",
-    "quality_percentile_filter",
-    "cdc_chunk_stats",
-    "token_budget_fill",
-    "dedup_canonical_keep",
-    "dup_graph_triangles",
-    "mixture_sampling_plan",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "forecast_revenue",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    "above_average_orders",
+    "pivot_status_by_year",
+    "price_percentiles",
+    "regex_math_functions",
+    "ship_delay_buckets",
+    "map_array_functions",
+    "join_right_outer",
+    "local_supplier_volume",
+    "customer_order_histogram",
+    "set_operations_all",
+    "orders_rfm_segments",
+    "quantize_embeddings",
+    "pricing_summary",
+    "regional_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality_buckets",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "text_repetition",
+    "pack_context_segments",
+    "pack_greedy_bins",
+    "dedup_clusters",
+    "dedup_embedding",
+    "corpus_clean_pipeline",
+    "profile_documents",
+    "stratified_sample_stats",
+    "join_cross",
+    "null_ordering",
+    "window_frames_suite",
+    "grouping_sets_explicit",
+    "correlated_subquery_orders",
+    "min_price_per_type",
+    "exists_not_exists_combo",
+    "lateral_explode_embeddings",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "promo_revenue_share",
+    "trailing_spend_range_frame",
+    "market_share_by_year",
+    "similarity_pairs",
 ]
 
 
