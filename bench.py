@@ -199,6 +199,11 @@ def main() -> None:
         ivf_pruned = {"err": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 3)
+    # Coverage marker: when a query errors it drops out of `total`, which
+    # would otherwise read as a speedup vs rounds that measured more
+    # queries.  n_measured makes cross-round totals comparable-or-visibly-
+    # incomparable.
+    n_measured = len(timings)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full-precision detail (per-query shuffle/spill telemetry) goes to a
@@ -211,6 +216,7 @@ def main() -> None:
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
+                "n_measured": n_measured,
                 "queries": timings,
                 "errors": errors,
                 "runtime_metrics": runtime,
@@ -228,6 +234,7 @@ def main() -> None:
             "metric": "headline_query_wall_clock_total",
             "value": total,
             "unit": "sec",
+            "n_measured": n_measured,
             "queries": timings,
             **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,
@@ -243,6 +250,7 @@ def main() -> None:
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
+                "n_measured": n_measured,
                 "queries": slim,
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,

@@ -284,3 +284,27 @@ def test_quantize_int8_exact_semantics(spark):
     for r in rows.values():
         assert all(-128 <= v <= 127 for v in r["q"])
         assert r["recon_err_max"] <= r["scale"] / 127.0 + 1e-12
+
+
+def test_minhash_releases_caches_on_failed_job(spark, docs):
+    """The persisted intermediates (shingle table, banded buckets) must be
+    released even when a job inside minhash_dedup_pairs fails mid-flight —
+    a leaked persist pins executor memory for the rest of the session."""
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def boom(s):
+        raise ValueError("synthetic mid-job failure")
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+    broken = docs.withColumn("text", boom("text"))
+    with pytest.raises(Exception):
+        # Analysis succeeds; the first executed job (the oversize-doc
+        # probe reads length(text)) evaluates the exploding UDF and dies.
+        minhash_dedup_pairs(broken, threshold=0.5)
+    assert cache_mgr.isEmpty(), "persisted intermediates leaked on the error path"
+    # And the success path still leaves nothing cached behind.
+    minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert cache_mgr.isEmpty()

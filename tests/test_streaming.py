@@ -163,3 +163,37 @@ def test_streaming_dedup_within_watermark(spark, events_batch):
     want = sorted(r["event_id"] for r in dedup_stream(events_batch).collect())
     assert got == want
     assert len(got) == len(set(got)) > 0
+
+
+def test_stream_starts_on_empty_dir_with_fallback_schema(spark, tmp_path):
+    """A stream may legitimately start against an empty staging directory
+    (files arrive later); schema inference has nothing to read then, so
+    read_events_stream must fall back to RAW_EVENTS_SCHEMA instead of
+    failing with UNABLE_TO_INFER_SCHEMA."""
+    import shutil
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        RAW_EVENTS_SCHEMA,
+        hourly_window_agg,
+        run_stream_to_memory,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    stream = read_events_stream(spark, str(staging))
+    assert stream.isStreaming
+    # Files land after the stream was defined; the agg drains them.
+    shutil.copy(f"{SF0001}/events.parquet", staging / "events.parquet")
+    # Complete mode: append would hold back the newest still-open window
+    # until the watermark passes it (by design).
+    q = run_stream_to_memory(
+        hourly_window_agg(stream), "empty_start_hourly", mode="complete"
+    )
+    q.awaitTermination()
+    got = spark.table("empty_start_hourly").count()
+    batch = hourly_window_agg(
+        read_events_stream.__globals__["with_event_time"](
+            spark.read.schema(RAW_EVENTS_SCHEMA).parquet(str(staging))
+        )
+    ).count()
+    assert got == batch > 0

@@ -191,8 +191,13 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
     )
-    out = out.localCheckpoint(eager=True)
-    shingles.unpersist()
+    # try/finally: if the eager checkpoint job fails, the persisted shingle
+    # table must still be released — a leaked persist pins executor memory
+    # for the rest of the session.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shingles.unpersist()
     return out
 
 
@@ -246,6 +251,11 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band_idx", "bb.band_hash").persist(StorageLevel.MEMORY_AND_DISK)
+    if _release is not None:
+        # Hand ownership over *immediately after* the persist, so the frame
+        # is released by the caller's finally even if building the join
+        # below throws.
+        _release.append(bucketed)
     a = bucketed.select(F.col("id").alias("x"), "band_idx", "band_hash")
     b = bucketed.select(F.col("id").alias("y"), "band_idx", "band_hash")
     out = (
@@ -255,13 +265,15 @@ def lsh_candidate_pairs(
         .distinct()
     )
     if _release is not None:
-        _release.append(bucketed)
         return out
     # Standalone use: materialize the (small) candidate set and release
     # the banded-bucket cache — the persist must not outlive the operator
-    # and pin executor memory for the rest of the session.
-    out = out.localCheckpoint(eager=True)
-    bucketed.unpersist()
+    # and pin executor memory for the rest of the session, even when the
+    # eager job fails.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
     return out
 
 
@@ -312,8 +324,31 @@ def minhash_dedup_pairs(
     sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(sh, num_hashes)
     release: list[DataFrame] = [sh]
+    # Everything below runs under try/finally on `release`: the persisted
+    # intermediates (shingles + banded buckets) must be dropped even when a
+    # job in the middle — the oversize probe, the eager checkpoint — fails,
+    # or they pin executor memory for the rest of the session.
+    try:
+        return _minhash_verified_pairs(
+            df, sh, release, text_col, threshold, num_hashes, bands, max_set_size
+        )
+    finally:
+        for frame in release:
+            frame.unpersist()
+
+
+def _minhash_verified_pairs(
+    df: DataFrame,
+    sh: DataFrame,
+    release: list[DataFrame],
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    max_set_size: int,
+) -> DataFrame:
+    sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, _release=release)
 
     def array_verified(pool: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -340,13 +375,10 @@ def minhash_dedup_pairs(
 
     def finish(verified: DataFrame) -> DataFrame:
         # One eager materialization of the verified pairs (bounded:
-        # candidates × exact filter), then release every cache built along
-        # the way (shingles + banded buckets) — no persist outlives the
-        # operator call.
-        out = verified.localCheckpoint(eager=True)
-        for frame in release:
-            frame.unpersist()
-        return out
+        # candidates × exact filter); the caller's finally releases every
+        # cache built along the way (shingles + banded buckets) — no
+        # persist outlives the operator call.
+        return verified.localCheckpoint(eager=True)
 
     may_have_big = (
         df.select(F.length(F.col(text_col)).alias("_len"))
@@ -503,7 +535,10 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     # Materialize the pair set and release the chunk-piece cache (the
-    # persist must not outlive the operator call — see lsh_candidate_pairs).
-    out = out.localCheckpoint(eager=True)
-    pieces.unpersist()
+    # persist must not outlive the operator call, even when the eager job
+    # fails — see lsh_candidate_pairs).
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pieces.unpersist()
     return out

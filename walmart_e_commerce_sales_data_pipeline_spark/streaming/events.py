@@ -18,9 +18,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import LongType
 
 from ..session import ensure_utc
+
+# Fallback raw-events schema for streams started against a not-yet-populated
+# staging directory (file-footer inference needs at least one file).  Matches
+# the current testdata encoding: parquet timestamp[us] isAdjustedToUTC=false
+# → TIMESTAMP_NTZ (see queries/tables.py for the encoding history);
+# ``with_event_time`` normalizes either encoding downstream.
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def stage_stream_dir(*files: str) -> str:
@@ -36,23 +53,35 @@ def stage_stream_dir(*files: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
     """File-source stream over a *directory* of events parquet files (use
     ``stage_stream_dir`` to stream individual files).
 
     ``maxFilesPerTrigger=1`` gives deterministic micro-batches in tests;
     production would leave it unset and let the source batch by size.
 
-    The file-stream source requires an explicit schema; it is inferred
-    with one driver-side batch footer read of the same directory so the
-    stream adapts to whichever ``ts`` encoding the testdata ships
-    (TIMESTAMP(NANOS)-as-long or timestamp[us] — see queries/tables.py).
+    The file-stream source requires an explicit schema; unless the caller
+    supplies one, it is inferred with one driver-side batch footer read of
+    the same directory so the stream adapts to whichever ``ts`` encoding
+    the testdata ships (TIMESTAMP(NANOS)-as-long or timestamp[us] — see
+    queries/tables.py).  A stream may legitimately start against an empty
+    staging directory with files arriving later — inference has nothing to
+    read then, so fall back to ``RAW_EVENTS_SCHEMA`` instead of failing
+    with UNABLE_TO_INFER_SCHEMA.
     """
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
+    if schema is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = spark.read.parquet(path).schema
+        except AnalysisException:
+            schema = RAW_EVENTS_SCHEMA
     raw = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
