@@ -308,3 +308,23 @@ def test_minhash_releases_caches_on_failed_job(spark, docs):
     # And the success path still leaves nothing cached behind.
     minhash_dedup_pairs(docs, threshold=0.5).collect()
     assert cache_mgr.isEmpty()
+
+
+def test_jaccard_fused_matches_classic_and_fallback(docs):
+    """jaccard_pairs_from_docs (fused single-aggregation plan) must equal
+    the classic distinct-shingle join-chain plan exactly, and its
+    forced big-doc fallback (max_set_size=0) must route through that
+    classic plan with the same result."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_from_docs,
+    )
+
+    def key_set(df):
+        return {(r["x"], r["y"], round(r["jaccard"], 9)) for r in df.collect()}
+
+    classic = key_set(jaccard_pairs(shingle_sets(docs), 0.5))
+    fused = key_set(jaccard_pairs_from_docs(docs, 0.5))
+    fallback = key_set(jaccard_pairs_from_docs(docs, 0.5, max_set_size=0))
+    assert fused == classic
+    assert fallback == classic
+    assert classic

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score
 from ..operators.components import connected_components
-from ..operators.dedup import jaccard_pairs, shingle_sets
+from ..operators.dedup import jaccard_pairs_from_docs
 from .dedup import _SHINGLE_CTE, JACCARD_THRESHOLD
 from .registry import register
 from .tables import table
@@ -56,7 +56,7 @@ from .text import _QUALITY_SQL
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
     labels = connected_components(pairs)
     return (
         labels.groupBy(F.col("component").alias("cluster_id"))
@@ -109,7 +109,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
     labels = connected_components(pairs)
     q = docs.select(
         F.col("doc_id").alias("id"),

@@ -11,11 +11,10 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     contamination_overlap,
     exact_dedup,
-    jaccard_pairs,
+    jaccard_pairs_from_docs,
     minhash_dedup_pairs,
     normalize_text,
     portable_token_bit_sql,
-    shingle_sets,
     simhash_pairs,
     simhash_signatures,
 )
@@ -87,13 +86,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_EXACT_JACCARD_SQL,
     description="exact all-pairs 3-gram Jaccard near-dup pairs at J ≥ 0.5 "
-    "via the shared-shingle self-join (operators.dedup.jaccard_pairs)",
+    "via the shared-shingle self-join "
+    "(operators.dedup.jaccard_pairs_from_docs, fused profile plan)",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs)
-    return jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("x", "y")
+    return jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD).orderBy("x", "y")
 
 
 @register(
