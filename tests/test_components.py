@@ -69,3 +69,32 @@ def test_driver_union_find_equals_distributed_loop(spark):
         for r in connected_components(pairs, small_edge_limit=0).collect()
     }
     assert fast == slow and fast
+
+
+def test_pairs_plan_evaluated_once(spark):
+    """connected_components must evaluate the caller's pair plan exactly
+    once, even when it is expensive and NOT persisted/checkpointed — the
+    symmetrization uses a single-reference explode, not a union of two
+    selects (which re-evaluated the plan per branch)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def counted(v):
+        calls.add(1)
+        return v
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "x: long, y: long"
+    )
+    expensive = base.select(counted("x").alias("x"), "y")
+    labels = {
+        (r["id"], r["component"])
+        for r in connected_components(expensive).collect()
+    }
+    assert labels == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert calls.value == base.count(), (
+        f"pair plan evaluated {calls.value} times for {base.count()} rows"
+    )

@@ -84,14 +84,26 @@ def connected_components(
     Raises ``RuntimeError`` if the labeling has not converged after
     ``max_iterations`` (2^25-diameter components would be required).
     """
-    # The union references the pair plan twice.  Checkpointing it first
-    # was measured SLOWER at sf0.1 (the eager job + checkpoint write cost
-    # more than the second evaluation — the expensive generators either
-    # hand over pre-checkpointed pairs, like jaccard_pairs, or are
-    # broadcast-GEMM-cheap), so the double reference stays.
-    edges = pairs.select("x", "y").union(
-        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).distinct().persist()
+    # Symmetrize with a single reference to the pair plan: exploding each
+    # pair into both directions evaluates `pairs` exactly ONCE regardless
+    # of how expensive or non-persisted the caller's plan is (the earlier
+    # union-of-two-selects form evaluated it twice — measured 2.0
+    # evaluations per pair row via a counting UDF; explode measures 1.0
+    # with identical output and no extra shuffle, so no caller contract
+    # about pre-persisting is needed).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("x"), F.col("y").alias("y")),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+        .distinct()
+        .persist()
+    )
     n_edges = edges.count()
     if n_edges <= small_edge_limit:
         out = _driver_union_find(edges)
