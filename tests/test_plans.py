@@ -150,3 +150,32 @@ def test_customer_order_histogram_on_clause_not_pushed_as_where(spark):
     assert any("o_orderpriority" in f for f in pushed_filters(df))
     plan = formatted_plan(df)
     assert "LeftOuter" in plan, plan
+
+
+def test_topk_neighbors_routes_to_cell_join_above_brute_limit(spark):
+    """Above TOPK_BRUTE_ROW_LIMIT, exact top-k must abandon the
+    theta-join (CartesianProduct / nested loop scanning the whole corpus
+    per task) for the IVF cell-key equi-join with every cell probed —
+    same exact result, scale-safe shuffle shape."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        topk_neighbors,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    routed = topk_neighbors(emb, queries, k=3, brute_limit=0)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    brute = topk_neighbors(emb, queries, k=3)  # corpus far below the limit
+    brute_plan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in brute_plan or "CartesianProduct" in brute_plan
+
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    }
+    assert key(routed) == key(brute)

@@ -94,15 +94,47 @@ def quantize_int8(
     )
 
 
+# Above this many corpus rows, exact top-k abandons the brute-force
+# theta-join (a nested-loop whose per-task work is the whole corpus) and
+# routes through the IVF cell partitioning with EVERY cell probed — the
+# same exact result, but the candidate space shuffles as a cell-key
+# equi-join over bounded shards instead of a CartesianProduct.
+TOPK_BRUTE_ROW_LIMIT = 100_000
+
+
 def topk_neighbors(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    brute_limit: int = TOPK_BRUTE_ROW_LIMIT,
+    n_cells: int = 16,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (brute force +
-    per-query window).  Ties broken by neighbor id for determinism."""
+    """Exact top-k cosine neighbors for each query vector.  Ties broken by
+    neighbor id for determinism.
+
+    Auto-dispatch by corpus size (same posture as ``block_cosine_pairs`` /
+    ``verify_pairs``): at or below ``brute_limit`` rows the candidate
+    space is the brute-force theta-join (the exactness baseline the
+    oracle-checked query runs); above it, ``ivf_topk`` with
+    ``nprobe == n_cells`` — every cell probed, so the result is still
+    exactly the brute-force top-k, but the plan is a cell-key equi-join
+    whose shuffle shards the corpus instead of a nested-loop
+    CartesianProduct that scans the full corpus per task
+    (asserted in tests/test_plans.py).  ``corpus_rows`` short-circuits
+    the sizing count when the caller already knows it.
+    """
+    n = embeddings.count() if corpus_rows is None else corpus_rows
+    if n > brute_limit:
+        cents = train_ivf_centroids(
+            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+        return ivf_topk(
+            embeddings, queries, cents, k=k, nprobe=len(cents),
+            id_col=id_col, vec_col=vec_col,
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
