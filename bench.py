@@ -87,22 +87,26 @@ def main() -> None:
     # Warm the executor pool / codegen before the timed runs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # min of 2 runs per query: the first run of anything pays one-time JVM
+    # min of 3 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
-    # throughput at scale.
+    # throughput at scale, and recording all three runs in the sidecar
+    # makes round-over-round deltas distinguishable from run-to-run noise
+    # (the r3→r6 headline ambiguity was exactly this).
     from walmart_e_commerce_sales_data_pipeline_spark.plans import (
         execution_count,
         metrics_since,
     )
 
+    N_RUNS = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     runtime: dict[str, dict[str, int]] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(N_RUNS):
                 # cache-cold per run: operators that persist intermediates
                 # (dedup LSH) must not let run 2 reuse run 1's cached state,
                 # and no query may inherit another's cache
@@ -110,13 +114,14 @@ def main() -> None:
                 mark = execution_count(spark)
                 t0 = time.perf_counter()
                 rows = fn(spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(round(time.perf_counter() - t0, 3))
         except Exception as exc:  # noqa: BLE001 — isolation: one broken
             # query must not zero out the whole round's bench evidence
             # (round 5 lost 41 of 42 measurements to one AnalysisException).
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        timings[name] = round(best, 3)
+        timings[name] = min(runs)
+        all_runs[name] = runs
         # shuffle/spill volume of the last run: wall-clock can stay flat at
         # sf0.1 while shuffle volume doubles — the 100 TB regression signal.
         # Result cardinality rides along so round-over-round result drift
@@ -128,8 +133,8 @@ def main() -> None:
     from walmart_e_commerce_sales_data_pipeline_spark.pipeline import main as etl_main
 
     try:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(N_RUNS):
             with tempfile.TemporaryDirectory() as out:
                 t0 = time.perf_counter()
                 etl_main(
@@ -138,8 +143,9 @@ def main() -> None:
                     f"{REFERENCE_DIR}/extra_data.parquet",
                     output_dir=out,
                 )
-                best = min(best, time.perf_counter() - t0)
-        timings["walmart_etl_e2e"] = round(best, 3)
+                runs.append(round(time.perf_counter() - t0, 3))
+        timings["walmart_etl_e2e"] = min(runs)
+        all_runs["walmart_etl_e2e"] = runs
     except Exception as exc:  # noqa: BLE001
         errors["walmart_etl_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -218,6 +224,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_measured": n_measured,
                 "queries": timings,
+                "runs": all_runs,
                 "errors": errors,
                 "runtime_metrics": runtime,
                 "ivf_pruned": ivf_pruned,
