@@ -49,6 +49,11 @@ HEAVY = [
     # dispatch limit — the point is measuring the whole pipeline's
     # pairs -> components -> keep chain, not just the loop)
     "dedup_canonical_keep",
+    # round 7: the broadcast-tagging decontamination pass and the
+    # content-defined-chunking stats — both explode-heavy shapes whose
+    # shuffle volume must scale linearly with the corpus
+    "decontaminate_corpus",
+    "cdc_chunk_stats",
 ]
 
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Structured Streaming throughput micro-bench on the sf0.1 events feed.
+
+The correctness of the streaming surface is pinned by tests
+(tests/test_streaming.py, test_stream_stream_join.py); this tool adds the
+*throughput* evidence SCALE.md needs: events/second through each stateful
+operator when the sf0.1 feed (100k events) is drained as a sequence of
+file-source micro-batches.
+
+Method: split events.parquet into ``N_SPLITS`` files in a staging dir (so
+``maxFilesPerTrigger=1`` yields N_SPLITS micro-batches — the latency-
+relevant regime, not one giant batch), then for each operator start an
+``availableNow`` query into a memory sink and measure wall time from
+``start()`` to drain.  Reported events/sec therefore includes all
+micro-batch scheduling + state-store overhead — the honest number.
+
+Operators measured (both state-store providers where it matters):
+
+- passthrough      : no state — the file-source + sink floor
+- dedup_stream     : dropDuplicatesWithinWatermark keyed on event_id
+- hourly_window    : tumbling 1h windowed agg with watermark
+- session_window   : per-user session_window agg with watermark
+
+Prints one JSON document; evidence lands in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SPLITS = int(os.environ.get("STREAM_BENCH_SPLITS", "20"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.session import get_spark
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        dedup_stream,
+        hourly_window_agg,
+        read_events_stream,
+        rocksdb_state_conf,
+        session_window_agg,
+    )
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Stage the feed as N_SPLITS parquet files → N_SPLITS micro-batches.
+    staging = tempfile.mkdtemp(prefix="stream_bench_")
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = src.count()
+    src.repartition(N_SPLITS).write.mode("overwrite").parquet(staging)
+
+    ops = {
+        "passthrough": lambda s: s.select("event_id", "ts", "user_id"),
+        "dedup_stream": dedup_stream,
+        "hourly_window": hourly_window_agg,
+        "session_window": session_window_agg,
+    }
+
+    def drain(name, fn, conf: dict[str, str]) -> dict[str, float]:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        stream = read_events_stream(spark, staging)
+        sink = f"bench_{name}_{abs(hash(tuple(conf.items())))}"
+        t0 = time.perf_counter()
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append" if name in ("passthrough", "dedup_stream") else "complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = spark.table(sink).count()
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else None
+        q.stop()
+        return {
+            "sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall),
+            "out_rows": out_rows,
+            "micro_batches": batches,
+        }
+
+    report: dict[str, dict] = {"n_events": n_events, "n_splits": N_SPLITS}
+    for name, fn in ops.items():
+        # min-of-2 per provider: first run pays codegen/state-store init.
+        hdfs = min(
+            (drain(name, fn, {}) for _ in range(2)), key=lambda r: r["sec"]
+        )
+        report[name] = {"hdfs_state": hdfs}
+        if name in ("dedup_stream", "session_window"):
+            rocks = min(
+                (drain(name, fn, rocksdb_state_conf()) for _ in range(2)),
+                key=lambda r: r["sec"],
+            )
+            report[name]["rocksdb_state"] = rocks
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
