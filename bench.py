@@ -75,6 +75,10 @@ HEADLINE = [
     "events_hourly_anomaly",
     "events_rolling_engagement",
     "disjunctive_predicate_revenue",
+    # round 7 additions (queries/curation.py)
+    "common_shingle_fraction",
+    "vocab_oov_rate",
+    "prefix_dup_groups",
 ]
 
 

@@ -151,13 +151,18 @@ def test_checked_window_composition():
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
     # Round-7 rotation policy: the checked window is the 50 queries with the
-    # oldest external evidence (computed by tools/rotate_window.py).  After
-    # round 6 the staleness histogram is r4:17 / r5:38 / r6:50, so the
-    # window is the 17 r4-green queries followed by the 33 stalest r5-green
-    # ones; no query has ever-missing history anymore.
+    # oldest external evidence (computed by tools/rotate_window.py).  The
+    # three round-7 additions have no external history, so they lead;
+    # then the staleness histogram is r4:17 / r5:38 / r6:50.
     window = set(names[:50])
-    # All 17 queries whose last external green predates round 5 must lead
-    # the window (they are the stalest evidence in the registry).
+    # Never-externally-green queries head the window unconditionally.
+    assert _PRIORITY[:3] == [
+        "common_shingle_fraction",
+        "vocab_oov_rate",
+        "prefix_dup_groups",
+    ]
+    # All 17 queries whose last external green predates round 5 follow
+    # (they are the stalest proven evidence in the registry).
     r4_stale = {
         "train_val_test_split", "embedding_dim_profile", "forecast_revenue",
         "shipping_priority_top10", "large_quantity_orders",
@@ -167,7 +172,7 @@ def test_checked_window_composition():
         "customer_order_histogram", "set_operations_all",
         "orders_rfm_segments", "quantize_embeddings",
     }
-    assert set(_PRIORITY[:17]) == r4_stale
+    assert set(_PRIORITY[3:20]) == r4_stale
     # Conversely, nothing green in round 6 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
     r6_green_sample = {
@@ -177,10 +182,11 @@ def test_checked_window_composition():
         "rollup_customer_geo", "token_budget_fill",
     }
     assert not (r6_green_sample & window)
-    # The 5 r5-green queries squeezed out at width 50 head the r8 window.
+    # The 8 r5-green queries squeezed out at width 50 head the r8 window.
     assert {
         "similarity_topk", "similarity_pairs_blocked", "similarity_lsh",
-        "similarity_topk_ivf", "multimodal_features",
+        "similarity_topk_ivf", "multimodal_features", "similarity_pairs",
+        "market_share_by_year", "trailing_spend_range_frame",
     } & window == set()
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

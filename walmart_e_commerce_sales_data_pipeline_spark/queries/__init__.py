@@ -32,17 +32,20 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-7 staleness histogram:
-# 17 queries last green externally in r4, 38 in r5, 50 in r6 (no query has
-# ever-failing or missing history).  The window is therefore the 17
-# r4-green queries followed by the 33 stalest r5-green ones in prior
-# registry order; the 5 r5-green queries that don't fit
-# (``similarity_topk``, ``similarity_pairs_blocked``, ``similarity_lsh``,
-# ``similarity_topk_ivf``, ``multimodal_features``) head the r8 window.
-# Every tail query is re-proven by the local DuckDB mirror
-# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on every
-# pytest run.
+# 3 round-7 additions with no external history yet (they head the window),
+# then 17 queries last green externally in r4, 38 in r5, 50 in r6.  The
+# window is therefore the 3 never-green + the 17 r4-green + the 30
+# stalest r5-green queries in prior registry order; the 8 r5-green
+# queries that don't fit (``tfidf_top_terms`` through
+# ``multimodal_features`` in prior order) head the r8 window.  Every tail
+# query is re-proven by the local DuckDB mirror
+# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
+# every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    "common_shingle_fraction",
+    "vocab_oov_rate",
+    "prefix_dup_groups",
     "train_val_test_split",
     "embedding_dim_profile",
     "forecast_revenue",
@@ -90,9 +93,6 @@ _PRIORITY = [
     "tfidf_top_terms",
     "top_supplier_revenue",
     "promo_revenue_share",
-    "trailing_spend_range_frame",
-    "market_share_by_year",
-    "similarity_pairs",
 ]
 
 

@@ -389,3 +389,168 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+_COMMON_SHINGLE_DF = 3
+
+
+@register(
+    "common_shingle_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    tagged AS (
+        SELECT id, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+    )
+    SELECT id AS doc_id,
+           COUNT(*) AS n_sh,
+           CAST(SUM(CASE WHEN df >= {_COMMON_SHINGLE_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN df >= {_COMMON_SHINGLE_DF} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS common_frac
+    FROM tagged
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+    description="cross-document repetition diagnostic: per document, the "
+    "count and fraction of its distinct 3-gram shingles whose corpus "
+    "document-frequency is >= 3 — the per-doc view of the boilerplate "
+    "mass that dedup's max_shingle_df pre-filter drops (a doc that is "
+    "mostly corpus-common n-grams is template/boilerplate, the classic "
+    "pre-training removal rule). Scale shape: ONE shuffle on the shingle "
+    "key computes the document frequency as a window count (no "
+    "self-join, no second pass over the corpus), then the per-doc "
+    "aggregation; the fraction is a single integer division so both "
+    "engines emit identical doubles",
+    tags=("text", "dedup", "curation"),
+)
+def common_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_sets
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs)
+    tagged = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    common = F.sum(
+        F.when(F.col("df") >= _COMMON_SHINGLE_DF, 1).otherwise(0)
+    ).cast("long")
+    return (
+        tagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_sh"),
+            common.alias("n_common"),
+            (common.cast("double") / F.count("*")).alias("common_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_TOP = 10
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    vocab AS (SELECT token FROM freq ORDER BY c DESC, token LIMIT {_VOCAB_TOP})
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY source
+    ORDER BY source
+    """,
+    description=f"tokenizer-vocabulary coverage: per source, the fraction "
+    f"of token occurrences outside the top-{_VOCAB_TOP} corpus vocabulary "
+    "(count-desc, token-asc ties) — the out-of-vocabulary-rate analysis "
+    "run before committing to a tokenizer/vocab size. Scale shape: the "
+    "vocabulary is a global TakeOrderedAndProject over the token-frequency "
+    "aggregate and broadcasts to tag the token stream map-side; the only "
+    "full shuffles are the two token aggregations",
+    tags=("text", "tokenizer", "curation"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_VOCAB_TOP)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    tagged = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_PREFIX_TOKENS = 8
+
+
+@register(
+    "prefix_dup_groups",
+    oracle=f"""
+    WITH pref AS (
+        SELECT doc_id,
+               array_to_string(string_split(lower(text), ' ')[1:{_PREFIX_TOKENS}],
+                               ' ') AS prefix
+        FROM documents
+    )
+    SELECT prefix,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM pref
+    GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    ORDER BY min_doc_id
+    """,
+    description=f"prefix-duplicate grouping: documents sharing an "
+    f"identical first-{_PREFIX_TOKENS}-token prefix, grouped with count "
+    "and id range — the cheap crawl-artifact detector (mirror pages, "
+    "template heads, truncation twins) run before the expensive "
+    "shingle-based near-dup pass. Scale shape: one hash aggregation on "
+    "the prefix key; the prefix is computed map-side from the scan with "
+    "no explode, so shuffle volume is one short string per document",
+    tags=("text", "dedup", "curation"),
+)
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, _PREFIX_TOKENS)).alias(
+            "prefix"
+        ),
+    )
+    return (
+        pref.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("min_doc_id")
+    )
