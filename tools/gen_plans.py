@@ -65,6 +65,14 @@ COMMENT = {
     "events_hourly_anomaly": "single events scan to (type, hour) counts; per-type "
     "moments (3 longs each) broadcast back onto the hourly series; the z-score is pure "
     "codegen arithmetic over exact integer sums",
+    "common_shingle_fraction": "document frequency as a window COUNT over the shingle "
+    "partition — ONE shuffle on the shingle key replaces the df-aggregate + join-back "
+    "(which would shuffle the shingle table twice); per-doc aggregation follows",
+    "vocab_oov_rate": "vocabulary = global top-10 TakeOrderedAndProject over the "
+    "token-frequency aggregate, broadcast to tag the token stream map-side; only the "
+    "two token aggregations shuffle",
+    "prefix_dup_groups": "prefix computed map-side from the scan (no explode); one hash "
+    "aggregation on the prefix key — shuffle volume is one short string per document",
 }
 
 
