@@ -75,10 +75,11 @@ HEADLINE = [
     "events_hourly_anomaly",
     "events_rolling_engagement",
     "disjunctive_predicate_revenue",
-    # round 7 additions (queries/curation.py)
+    # round 7 additions (queries/curation.py, relational3.py)
     "common_shingle_fraction",
     "vocab_oov_rate",
     "prefix_dup_groups",
+    "dormant_customer_balance",
 ]
 
 

@@ -152,14 +152,15 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-7 rotation policy: the checked window is the 50 queries with the
     # oldest external evidence (computed by tools/rotate_window.py).  The
-    # three round-7 additions have no external history, so they lead;
+    # four round-7 additions have no external history, so they lead;
     # then the staleness histogram is r4:17 / r5:38 / r6:50.
     window = set(names[:50])
     # Never-externally-green queries head the window unconditionally.
-    assert _PRIORITY[:3] == [
+    assert _PRIORITY[:4] == [
         "common_shingle_fraction",
         "vocab_oov_rate",
         "prefix_dup_groups",
+        "dormant_customer_balance",
     ]
     # All 17 queries whose last external green predates round 5 follow
     # (they are the stalest proven evidence in the registry).
@@ -172,7 +173,7 @@ def test_checked_window_composition():
         "customer_order_histogram", "set_operations_all",
         "orders_rfm_segments", "quantize_embeddings",
     }
-    assert set(_PRIORITY[3:20]) == r4_stale
+    assert set(_PRIORITY[4:21]) == r4_stale
     # Conversely, nothing green in round 6 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
     r6_green_sample = {
@@ -182,11 +183,12 @@ def test_checked_window_composition():
         "rollup_customer_geo", "token_budget_fill",
     }
     assert not (r6_green_sample & window)
-    # The 8 r5-green queries squeezed out at width 50 head the r8 window.
+    # The 9 r5-green queries squeezed out at width 50 head the r8 window.
     assert {
         "similarity_topk", "similarity_pairs_blocked", "similarity_lsh",
         "similarity_topk_ivf", "multimodal_features", "similarity_pairs",
         "market_share_by_year", "trailing_spend_range_frame",
+        "promo_revenue_share",
     } & window == set()
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

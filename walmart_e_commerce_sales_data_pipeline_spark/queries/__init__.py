@@ -32,11 +32,11 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-7 staleness histogram:
-# 3 round-7 additions with no external history yet (they head the window),
+# 4 round-7 additions with no external history yet (they head the window),
 # then 17 queries last green externally in r4, 38 in r5, 50 in r6.  The
-# window is therefore the 3 never-green + the 17 r4-green + the 30
-# stalest r5-green queries in prior registry order; the 8 r5-green
-# queries that don't fit (``tfidf_top_terms`` through
+# window is therefore the 4 never-green + the 17 r4-green + the 29
+# stalest r5-green queries in prior registry order; the 9 r5-green
+# queries that don't fit (``promo_revenue_share`` through
 # ``multimodal_features`` in prior order) head the r8 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
@@ -46,6 +46,7 @@ _PRIORITY = [
     "common_shingle_fraction",
     "vocab_oov_rate",
     "prefix_dup_groups",
+    "dormant_customer_balance",
     "train_val_test_split",
     "embedding_dim_profile",
     "forecast_revenue",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "lateral_explode_embeddings",
     "tfidf_top_terms",
     "top_supplier_revenue",
-    "promo_revenue_share",
 ]
 
 

@@ -594,3 +594,64 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("mkt_share", F.col("revenue") / F.sum("revenue").over(w))
         .orderBy("y", "supp_nation")
     )
+
+
+_DORMANT_CUTOFF = "2000-06-01"
+
+
+@register(
+    "dormant_customer_balance",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT ROUND(SUM(c_acctbal * 100.0)) / 100.0 / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal * 100.0)) / 100.0 AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '{_DORMANT_CUTOFF}')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    description="TPC-H Q22-style global sales opportunity: customers with "
+    "above-average positive account balance and NO order since "
+    f"{_DORMANT_CUTOFF} (dormant high-value accounts), aggregated per "
+    "nation. Composition the suite lacked: scalar subquery (1-row "
+    "broadcast) -> theta filter -> LEFT ANTI join against the filtered "
+    "fact -> aggregate. Scale shape: the anti join is a hash join keyed "
+    "on custkey (the date predicate pushes to the orders scan first); "
+    "the balance average uses the cent-exact ROUND(SUM*100)/100/COUNT "
+    "pattern (queries/stable.py) so both engines compare against the "
+    "identical double",
+    tags=("relational", "tpch", "anti-join", "subquery"),
+)
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stable import cent_avg
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        cent_avg("c_acctbal", "a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    dormant = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            (F.round(F.sum(F.col("c_acctbal") * F.lit(100.0)), 0) / F.lit(100.0)).alias(
+                "total_bal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
