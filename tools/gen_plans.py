@@ -73,6 +73,10 @@ COMMENT = {
     "two token aggregations shuffle",
     "prefix_dup_groups": "prefix computed map-side from the scan (no explode); one hash "
     "aggregation on the prefix key — shuffle volume is one short string per document",
+    "dormant_customer_balance": "Q22 composition: the 1-row balance average broadcasts "
+    "(BroadcastNestedLoopJoin on a single row is the cheap degenerate case); the NOT "
+    "EXISTS is a LEFT ANTI hash join keyed on custkey with the date predicate pushed "
+    "into the orders scan",
 }
 
 
