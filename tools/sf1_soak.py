@@ -54,6 +54,9 @@ HEAVY = [
     # shuffle volume must scale linearly with the corpus
     "decontaminate_corpus",
     "cdc_chunk_stats",
+    # round 7: the window-count document-frequency shape (3 shuffles:
+    # distinct, window-over-shingle, per-doc agg) must stay linear
+    "common_shingle_fraction",
 ]
 
 
