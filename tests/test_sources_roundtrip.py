@@ -89,3 +89,28 @@ def test_zstd_compression_option(spark, orders, tmp_path):
     assert back.count() == orders.count()
     files = list((tmp_path / "orders_zstd").glob("*.zstd.parquet"))
     assert files, "zstd codec suffix expected in file names"
+
+
+def test_orc_pushdown_and_partition_pruning(spark, orders, tmp_path):
+    """The named ORC source/sink must carry the same scale contract as
+    parquet: predicates push to the stripe level and partitionBy enables
+    partition pruning."""
+    from walmart_e_commerce_sales_data_pipeline_spark.sources import (
+        read_orc,
+        write_orc,
+    )
+
+    p = write_orc(orders, str(tmp_path / "orders_orc_part"), partition_by=["o_orderstatus"])
+    back = read_orc(spark, p)
+    q = back.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)
+    ).select("o_orderkey", "o_totalprice")
+    plan = formatted_plan(q)
+    # non-partition predicate pushed into the ORC scan
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].splitlines()[0]
+    # partition predicate pruned at planning time, not scanned+filtered
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+    n_f = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)
+    ).count()
+    assert q.count() == n_f > 0

@@ -66,6 +66,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (engine extension; not in the reference).
+
+    Same columnar posture as parquet: the vectorized ORC reader prunes
+    columns and pushes predicates to stripe/row-group level (asserted in
+    tests/test_sources_roundtrip.py).  Avro, by contrast, stays un-shipped:
+    its data-source module (`spark-avro`) is external since Spark 2.4 and
+    the sandbox has no jar — same documented gate as Delta/Iceberg.
+    """
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

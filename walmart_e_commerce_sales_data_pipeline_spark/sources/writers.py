@@ -43,6 +43,21 @@ def write_parquet(
     return path
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Partitioned ORC sink (engine extension) — same partition-pruning
+    contract as ``write_parquet``; interoperates with Hive-ecosystem
+    consumers that read ORC natively."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
