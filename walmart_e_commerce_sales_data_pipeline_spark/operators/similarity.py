@@ -215,9 +215,19 @@ def lsh_bucketed_pairs(
         bucket_cols.append(
             F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket")).alias(f"t{t}")
         )
+    # The signature computation folds tables*rows_per_table projections
+    # (48 by default) per vector — expensive per-row work that a
+    # single-file parquet scan would run on one task.  Spread narrow
+    # inputs across the executor pool first (same probe as dedup's
+    # shingling: no-op for well-partitioned inputs).  Measured at sf0.1:
+    # 10.6 s → 1.3 s on the 1-file embeddings table.
+    from .dedup import _spread_narrow
+
     # Ids only through the bucket join — carrying the vectors would multiply
     # the shuffle payload by the embedding width for no benefit.
-    sigs = embeddings.select(F.col(id_col).alias("id"), F.array(*bucket_cols).alias("bs"))
+    sigs = _spread_narrow(embeddings).select(
+        F.col(id_col).alias("id"), F.array(*bucket_cols).alias("bs")
+    )
     pieces = sigs.select("id", F.explode("bs").alias("p")).select(
         "id", "p.table_idx", "p.bucket"
     )
