@@ -84,15 +84,26 @@ def connected_components(
     Raises ``RuntimeError`` if the labeling has not converged after
     ``max_iterations`` (2^25-diameter components would be required).
     """
-    # Symmetrize with a single reference to the pair plan: exploding each
-    # pair into both directions evaluates `pairs` exactly ONCE regardless
-    # of how expensive or non-persisted the caller's plan is (the earlier
-    # union-of-two-selects form evaluated it twice — measured 2.0
-    # evaluations per pair row via a counting UDF; explode measures 1.0
-    # with identical output and no extra shuffle, so no caller contract
-    # about pre-persisting is needed).
+    # Dispatch on the DIRECTED pair count: generators emit each undirected
+    # edge once (x < y), so the symmetrized edge set is exactly 2× the
+    # distinct pair count and `2 · n_pairs ≤ limit` is a conservative bound
+    # even when the caller's pairs carry duplicates.  Persisting the raw
+    # pairs (half the rows of the symmetrized set) and counting them
+    # evaluates the caller's plan exactly ONCE — the driver path then
+    # collects straight from the cache with no symmetrize/distinct job at
+    # all (union-find is direction- and duplicate-insensitive).
+    raw = pairs.select("x", "y").persist()
+    n_pairs = raw.count()
+    if 2 * n_pairs <= small_edge_limit:
+        try:
+            return _driver_union_find(raw)
+        finally:
+            raw.unpersist()
+    # Distributed path: symmetrize out of the cache (explode keeps both
+    # directions in one pass, no second evaluation of the pair plan) and
+    # dedup — the loop's join sizes are bounded by the distinct edge set.
     edges = (
-        pairs.select(
+        raw.select(
             F.explode(
                 F.array(
                     F.struct(F.col("x").alias("x"), F.col("y").alias("y")),
@@ -104,11 +115,8 @@ def connected_components(
         .distinct()
         .persist()
     )
-    n_edges = edges.count()
-    if n_edges <= small_edge_limit:
-        out = _driver_union_find(edges)
-        edges.unpersist()
-        return out
+    edges.count()
+    raw.unpersist()
     labels = (
         edges.select(F.col("x").alias("id")).distinct()
         .withColumn("component", F.col("id"))

@@ -48,23 +48,34 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _spread_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition inputs that arrive in fewer partitions than
-    cores (single small parquet files) so the expensive per-row expression
-    work below parallelizes; no-op for well-partitioned inputs.
+def _spread_narrow(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Repartition inputs that arrive in fewer partitions than cores
+    (single small parquet files) so the expensive per-row expression work
+    below parallelizes; no-op for well-partitioned inputs.
 
     Narrowness is probed via ``inputFiles()`` (driver-side file listing —
     no job, no RDD materialization, and unlike ``df.rdd`` it exists under
     Spark Connect).  Callers pass scan-rooted frames, where leaf-file
     count is the scan's parallelism ceiling; an unknown/empty listing is
     treated as wide so the probe can never *add* a shuffle to an already
-    well-distributed input."""
+    well-distributed input.
+
+    When ``by`` names a key column the spread HASH-partitions on it
+    instead of round-robin: downstream aggregations/joins keyed on a
+    superset of that column then satisfy their distribution requirement
+    from the cache and skip their own exchange (e.g. the shared-shingle
+    pair aggregation groups by (x, y) with x = id — hash-by-id placement
+    makes every pair of a given x partition-local, measured 10.3 → 3 MB
+    total shuffle on the Jaccard pair pipeline at sf0.1).  Unique-key
+    hashing distributes as evenly as round-robin."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     try:
         width = len(df.inputFiles())
     except Exception:
         return df
     if 0 < width < max(2, parallelism // 2):
+        if by is not None:
+            return df.repartition(parallelism, F.col(by))
         return df.repartition(parallelism)
     return df
 
@@ -75,9 +86,13 @@ def _raw_shingle_stream(
     """The pre-distinct (id, shingle-hash) stream — one row per shingle
     *occurrence*.  Duplicate-insensitive consumers (MinHash min(),
     collect_set()) aggregate this directly, skipping the DISTINCT shuffle;
-    set-semantics consumers go through ``shingle_sets``."""
+    set-semantics consumers go through ``shingle_sets``.  The narrow-input
+    spread hashes by the document id, so per-document consumers (the
+    (id, shingle) DISTINCT, signature/profile groupBys) satisfy their
+    distribution requirement straight from the stream and skip their own
+    exchange."""
     return (
-        _spread_narrow(df)
+        _spread_narrow(df, by=id_col)
         .select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
         .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("_s"))
         .select("id", F.xxhash64("_s").alias("shingle"))
@@ -88,15 +103,36 @@ def _doc_shingle_profiles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """Per-document shingle profile (id, shs: distinct-shingle array, n_sh)
-    in ONE aggregation over the raw occurrence stream — ``collect_set`` is
-    itself the dedup, so no DISTINCT shuffle precedes it.  Only safe when
-    no document's distinct-shingle count can blow an aggregation buffer —
-    callers gate on the raw-text-length probe (length L bounds tokens by
-    L+1 and distinct shingles by tokens)."""
+    computed entirely MAP-SIDE: the shingle window, per-occurrence hash and
+    set-dedup are array HOFs over the token array, so the profile costs
+    zero shuffles.  (The earlier explode → groupBy(collect_set) form paid a
+    full shuffle of one profile row per document for the identical set —
+    a document's exploded rows never leave their input partition, so the
+    aggregation bought nothing the row-local ``array_distinct`` doesn't.)
+    Documents with fewer than ``n`` tokens have no shingles and are dropped,
+    mirroring the occurrence-stream semantics.  Only safe when no document
+    can be oversized — callers gate on the raw-text-length probe (length L
+    bounds tokens by L+1 and distinct shingles by tokens), which here
+    bounds the per-ROW array memory rather than an aggregation buffer."""
+    # Empty docs are dropped by a TOKEN-count pre-filter, not `n_sh > 0`:
+    # a length-≥n token array always yields ≥ 1 shingle, so the two are
+    # equivalent — but a post-filter on n_sh gets predicate-pushed as
+    # `size(array_distinct(transform(...))) > 0` and re-evaluates the whole
+    # shingle expression outside the projection (measured 12× the stage
+    # cost at sf0.1), while the token-count filter is a cheap independent
+    # predicate.
     return (
-        _raw_shingle_stream(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("shs"))
+        _spread_narrow(df, by=id_col)
+        .select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
+                )
+            ).alias("shs"),
+        )
         .withColumn("n_sh", F.size("shs"))
     )
 
@@ -473,25 +509,31 @@ def _minhash_pairs_fused(
     num_hashes: int,
     bands: int,
 ) -> DataFrame:
-    """Fused MinHash-LSH pipeline for the no-outlier case: ONE aggregation
-    over the raw (non-distinct) shingle stream yields both the signature
-    (``num_hashes`` min-aggregates) and the exact-verification state
-    (``collect_set`` — itself the dedup, so the separate DISTINCT shuffle
-    is gone).  The per-document profile is the only persisted frame; the
-    banded buckets and both verification sides are cheap per-row
-    derivations from that cache."""
+    """Fused MinHash-LSH pipeline for the no-outlier case: the per-document
+    profile — signature AND exact-verification shingle set — is computed
+    MAP-SIDE from the row-local distinct-shingle array
+    (``_doc_shingle_profiles``): sig[i] = array_min over seeded re-hashes
+    of the set, which equals the min over raw occurrences because min() is
+    duplicate-insensitive.  Zero shuffles before the candidate bucket join
+    (the earlier groupBy form shuffled one profile row per document —
+    measured 4.4 MB at sf0.1 — for bit-identical values).  The profile is
+    the only persisted frame; the banded buckets and both verification
+    sides are cheap per-row derivations from that cache."""
     from pyspark import StorageLevel
 
-    sh = _raw_shingle_stream(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    prof = (
-        sh.groupBy("id")
-        .agg(*mins, F.collect_set("shingle").alias("shs"))
-        .withColumn("n_sh", F.size("shs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base = _doc_shingle_profiles(df, id_col, text_col, n)
+
+    # NB: the lambda must take exactly ONE parameter — PySpark passes the
+    # element index as a second positional arg to 2-param lambdas, so the
+    # usual default-arg seed capture would silently bind the index as the
+    # seed and collapse every h_i to the same value (functions/text.py
+    # documents the same trap).  A closure factory pins the seed safely.
+    def _seeded_min(seed: int):
+        return F.array_min(F.transform("shs", lambda h: F.xxhash64(F.lit(seed), h)))
+
+    mins = [_seeded_min(i).alias(f"h{i}") for i in range(num_hashes)]
+    prof = base.select("id", *mins, "shs", "n_sh").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     try:
         cands = _bucket_join_pairs(_banded_bucket_rows(prof, num_hashes, bands))
@@ -635,7 +677,7 @@ def simhash_signatures(
     (``portable_token_bit_sql``), bit-reproducible by any ANSI-ish engine —
     the mode the oracle-checked ``dedup_simhash`` query runs, so the
     sign-of-sum + blocking logic has a hard external signal."""
-    toks = _spread_narrow(df).select(
+    toks = _spread_narrow(df, by=id_col).select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
     )
     if portable:
