@@ -150,45 +150,38 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-7 rotation policy: the checked window is the 50 queries with the
-    # oldest external evidence (computed by tools/rotate_window.py).  The
-    # four round-7 additions have no external history, so they lead;
-    # then the staleness histogram is r4:17 / r5:38 / r6:50.
+    # Round-8 rotation policy: the checked window is the 50 queries with the
+    # oldest external evidence (computed by tools/rotate_window.py).
+    # Staleness histogram entering r8: r5:9 / r6:50 / r7:50 — the window is
+    # the 9 r5-green queries plus the 41 stalest r6-green ones.
     window = set(names[:50])
-    # Never-externally-green queries head the window unconditionally.
-    assert _PRIORITY[:4] == [
-        "common_shingle_fraction",
-        "vocab_oov_rate",
-        "prefix_dup_groups",
-        "dormant_customer_balance",
-    ]
-    # All 17 queries whose last external green predates round 5 follow
-    # (they are the stalest proven evidence in the registry).
-    r4_stale = {
-        "train_val_test_split", "embedding_dim_profile", "forecast_revenue",
-        "shipping_priority_top10", "large_quantity_orders",
-        "above_average_orders", "pivot_status_by_year", "price_percentiles",
-        "regex_math_functions", "ship_delay_buckets", "map_array_functions",
-        "join_right_outer", "local_supplier_volume",
-        "customer_order_histogram", "set_operations_all",
-        "orders_rfm_segments", "quantize_embeddings",
-    }
-    assert set(_PRIORITY[4:21]) == r4_stale
-    # Conversely, nothing green in round 6 re-occupies a window slot — the
-    # window is reserved for the stalest evidence.
-    r6_green_sample = {
-        "events_dow_hour_heatmap", "bm25_doc_retrieval", "monthly_avg_value",
-        "events_sessionization", "decontaminate_corpus",
-        "dedup_canonical_keep", "mixture_sampling_plan", "scalar_means",
-        "rollup_customer_geo", "token_budget_fill",
-    }
-    assert not (r6_green_sample & window)
-    # The 9 r5-green queries squeezed out at width 50 head the r8 window.
-    assert {
-        "similarity_topk", "similarity_pairs_blocked", "similarity_lsh",
-        "similarity_topk_ivf", "multimodal_features", "similarity_pairs",
-        "market_share_by_year", "trailing_spend_range_frame",
+    # The 9 r5-green queries squeezed out of the r7 window lead.
+    assert _PRIORITY[:9] == [
         "promo_revenue_share",
+        "trailing_spend_range_frame",
+        "market_share_by_year",
+        "similarity_pairs",
+        "similarity_topk",
+        "similarity_pairs_blocked",
+        "similarity_lsh",
+        "similarity_topk_ivf",
+        "multimodal_features",
+    ]
+    # Conversely, nothing green in round 7 re-occupies a window slot — the
+    # window is reserved for the stalest evidence.
+    r7_green_sample = {
+        "common_shingle_fraction", "vocab_oov_rate", "prefix_dup_groups",
+        "dormant_customer_balance", "quantize_embeddings", "pricing_summary",
+        "dedup_minhash_lsh", "dedup_clusters", "tfidf_top_terms",
+        "top_supplier_revenue", "local_supplier_volume",
+    }
+    assert not (r7_green_sample & window)
+    # The 9 r6-green queries squeezed out at width 50 head the r9 window.
+    assert {
+        "mixture_sampling_plan", "grouped_zscore_histogram",
+        "asof_join_latest_order", "range_join_close_events",
+        "events_funnel", "events_session_window", "events_cohort_retention",
+        "events_hourly_anomaly", "from_json_map",
     } & window == set()
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

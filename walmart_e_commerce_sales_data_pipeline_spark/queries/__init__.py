@@ -31,68 +31,67 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-7 staleness histogram:
-# 4 round-7 additions with no external history yet (they head the window),
-# then 17 queries last green externally in r4, 38 in r5, 50 in r6.  The
-# window is therefore the 4 never-green + the 17 r4-green + the 29
-# stalest r5-green queries in prior registry order; the 9 r5-green
-# queries that don't fit (``promo_revenue_share`` through
-# ``multimodal_features`` in prior order) head the r8 window.  Every tail
+# committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
+# 9 queries last green externally in r5 (they head the window —
+# ``promo_revenue_share`` through ``multimodal_features``, squeezed out of
+# the r7 window), then 50 in r6, 50 in r7.  The window is therefore the
+# 9 r5-green + the 41 stalest r6-green queries in prior registry order;
+# the 9 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "common_shingle_fraction",
-    "vocab_oov_rate",
-    "prefix_dup_groups",
-    "dormant_customer_balance",
-    "train_val_test_split",
-    "embedding_dim_profile",
-    "forecast_revenue",
-    "shipping_priority_top10",
-    "large_quantity_orders",
-    "above_average_orders",
-    "pivot_status_by_year",
-    "price_percentiles",
-    "regex_math_functions",
-    "ship_delay_buckets",
-    "map_array_functions",
-    "join_right_outer",
-    "local_supplier_volume",
-    "customer_order_histogram",
-    "set_operations_all",
-    "orders_rfm_segments",
-    "quantize_embeddings",
-    "pricing_summary",
-    "regional_revenue",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    "dedup_clusters",
-    "dedup_embedding",
-    "corpus_clean_pipeline",
-    "profile_documents",
-    "stratified_sample_stats",
-    "join_cross",
-    "null_ordering",
-    "window_frames_suite",
-    "grouping_sets_explicit",
-    "correlated_subquery_orders",
-    "min_price_per_type",
-    "exists_not_exists_combo",
-    "lateral_explode_embeddings",
-    "tfidf_top_terms",
-    "top_supplier_revenue",
+    "promo_revenue_share",
+    "trailing_spend_range_frame",
+    "market_share_by_year",
+    "similarity_pairs",
+    "similarity_topk",
+    "similarity_pairs_blocked",
+    "similarity_lsh",
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "monthly_avg_value",
+    "events_hourly_window",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "latest_record_compaction",
+    "events_dow_hour_heatmap",
+    "scalar_means",
+    "impute_group_avg",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "window_topk_orders",
+    "window_running_total",
+    "top10_expensive_items",
+    "set_operations",
+    "distinct_counts",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "string_functions",
+    "date_functions",
+    "agg_suite",
+    "case_when_tiers",
+    "union_all_monthly",
+    "decontaminate_corpus",
+    "vocab_top_ngrams",
+    "quality_percentile_filter",
+    "cdc_chunk_stats",
+    "token_budget_fill",
+    "dedup_canonical_keep",
+    "event_transition_matrix",
+    "dup_graph_triangles",
+    "bm25_doc_retrieval",
+    "source_unigram_divergence",
+    "disjunctive_predicate_revenue",
+    "events_rolling_engagement",
 ]
 
 
