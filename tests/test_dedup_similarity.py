@@ -287,22 +287,39 @@ def test_quantize_int8_exact_semantics(spark):
 
 
 def test_minhash_releases_caches_on_failed_job(spark, docs):
-    """The persisted intermediates (shingle table, banded buckets) must be
-    released even when a job inside minhash_dedup_pairs fails mid-flight —
-    a leaked persist pins executor memory for the rest of the session."""
-    from pyspark.sql.types import StringType
+    """The persisted intermediates (per-doc profile / shingle table, banded
+    buckets) must be released even when a job inside minhash_dedup_pairs
+    fails mid-flight — a leaked persist pins executor memory for the rest
+    of the session.
 
-    @F.udf(StringType())
-    def boom(s):
+    The failure is injected on the ID column, not the text: the oversized-
+    doc probe reads only length(text) (column pruning drops the poisoned
+    id), so the probe SUCCEEDS, the profile frame is persisted, and the
+    error fires in the eager pair-materialization job — exercising the
+    try/finally release path after the persist exists, not the pre-persist
+    probe."""
+    from pyspark.sql.types import LongType
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        _has_oversized_docs,
+    )
+
+    @F.udf(LongType())
+    def boom(i):
         raise ValueError("synthetic mid-job failure")
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
     assert cache_mgr.isEmpty()
-    broken = docs.withColumn("text", boom("text"))
-    with pytest.raises(Exception):
-        # Analysis succeeds; the first executed job (the oversize-doc
-        # probe reads length(text)) evaluates the exploding UDF and dies.
+    broken = docs.withColumn("doc_id", boom("doc_id"))
+    # Pin the injection point: the probe itself survives the poisoned id
+    # (if it raised here, the failure would fire before any persist and
+    # the release assertion below would be vacuous).
+    assert _has_oversized_docs(broken, "text", 65_536) is False
+    with pytest.raises(Exception, match="synthetic mid-job failure"):
+        # Analysis and the probe succeed; the eager localCheckpoint job
+        # evaluates the poisoned id with the profile persist registered,
+        # and dies inside the try/finally.
         minhash_dedup_pairs(broken, threshold=0.5)
     assert cache_mgr.isEmpty(), "persisted intermediates leaked on the error path"
     # And the success path still leaves nothing cached behind.

@@ -70,6 +70,18 @@ def main() -> None:
     }
 
     def drain(name, fn, conf: dict[str, str]) -> dict[str, float]:
+        # Snapshot-and-restore discipline via explicit defaults: state-store
+        # confs are read at query START and persist on the session, so a
+        # prior RocksDB drain would silently leak its provider into every
+        # later "hdfs_state" measurement (the provider labels in the
+        # emitted evidence would be wrong).  Reset every key the RocksDB
+        # conf can touch to its default before applying this run's conf.
+        from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+            rocksdb_state_conf as _rocks,
+        )
+
+        for k in _rocks():
+            spark.conf.unset(k)
         for k, v in conf.items():
             spark.conf.set(k, v)
         stream = read_events_stream(spark, staging)

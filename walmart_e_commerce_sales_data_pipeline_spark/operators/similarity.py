@@ -102,6 +102,35 @@ def quantize_int8(
 TOPK_BRUTE_ROW_LIMIT = 100_000
 
 
+def _corpus_rows_upper_bound(df: DataFrame, max_files: int = 4096) -> int | None:
+    """Driver-side parquet-footer row count of the frame's leaf files — an
+    UPPER bound on the frame's row count (plan operators above the scan can
+    only drop rows), with no Spark job at all.  Same no-materialization
+    posture as ``_spread_narrow``'s ``inputFiles()`` probe; footer metadata
+    reads are O(files), so an over-wide listing opts out.  Returns None for
+    non-parquet/unreadable roots, letting the caller fall back to a real
+    sizing count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return None
+            path = f.removeprefix("file://") if f.startswith("file:") else f
+            path = path.removeprefix("file:")
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def topk_neighbors(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -124,8 +153,15 @@ def topk_neighbors(
     whose shuffle shards the corpus instead of a nested-loop
     CartesianProduct that scans the full corpus per task
     (asserted in tests/test_plans.py).  ``corpus_rows`` short-circuits
-    the sizing count when the caller already knows it.
+    the sizing probe when the caller already knows it; otherwise the
+    parquet-footer upper bound decides without running a job (an upper
+    bound routes dispatch safely in both directions: bound ≤ limit
+    proves the frame fits the brute regime, and a filtered frame whose
+    FILES exceed the limit merely takes the equally-exact IVF path), and
+    only a non-parquet computed input pays a real count().
     """
+    if corpus_rows is None:
+        corpus_rows = _corpus_rows_upper_bound(embeddings)
     n = embeddings.count() if corpus_rows is None else corpus_rows
     if n > brute_limit:
         cents = train_ivf_centroids(

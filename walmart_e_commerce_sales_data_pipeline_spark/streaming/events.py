@@ -28,6 +28,13 @@ from ..session import ensure_utc
 # the current testdata encoding: parquet timestamp[us] isAdjustedToUTC=false
 # → TIMESTAMP_NTZ (see queries/tables.py for the encoding history);
 # ``with_event_time`` normalizes either encoding downstream.
+#
+# SCOPE: the empty-dir fallback covers the µs encoding ONLY.  A feed that
+# will deliver TIMESTAMP(NANOS)-as-long files into an initially-empty
+# directory must pass its schema explicitly (``read_events_stream``'s
+# ``schema`` arg, with ``ts`` as LongType) — the file-stream source pins
+# the declared schema at start, so a NTZ declaration against later
+# nanos-long files would fail or misread at batch time.
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -69,7 +76,9 @@ def read_events_stream(
     queries/tables.py).  A stream may legitimately start against an empty
     staging directory with files arriving later — inference has nothing to
     read then, so fall back to ``RAW_EVENTS_SCHEMA`` instead of failing
-    with UNABLE_TO_INFER_SCHEMA.
+    with UNABLE_TO_INFER_SCHEMA.  The fallback assumes the µs encoding;
+    an empty-dir start for a nanos-encoded feed must supply ``schema``
+    (see the RAW_EVENTS_SCHEMA scope note above).
     """
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
