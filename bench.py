@@ -92,6 +92,26 @@ def main() -> None:
     # Warm the executor pool / codegen before the timed runs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Machine-speed calibration: a fixed synthetic workload (pure compute +
+    # one shuffle, no file I/O, identical every round) timed min-of-3.
+    # Round-over-round wall-clock deltas on sub-second queries proved to be
+    # dominated by ambient machine state (r7: +98 % on quantize_embeddings
+    # with byte-identical shuffle/row metrics and zero code change) — this
+    # number lets a reader normalize a round's walls before calling a
+    # drift a regression.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "avg"})
+            .collect()
+        )
+        cal_runs.append(round(time.perf_counter() - t0, 3))
+    calibration = min(cal_runs)
+
     # min of 3 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
     # throughput at scale, and recording all three runs in the sidecar
@@ -228,6 +248,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_measured": n_measured,
+                "calibration_sec": calibration,
+                "calibration_runs": cal_runs,
                 "queries": timings,
                 "runs": all_runs,
                 "errors": errors,
@@ -247,6 +269,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "n_measured": n_measured,
+            "calibration_sec": calibration,
             "queries": timings,
             **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,

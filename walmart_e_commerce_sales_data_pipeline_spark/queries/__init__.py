@@ -32,16 +32,21 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 9 queries last green externally in r5 (they head the window —
-# ``promo_revenue_share`` through ``multimodal_features``, squeezed out of
-# the r7 window), then 50 in r6, 50 in r7.  The window is therefore the
-# 9 r5-green + the 41 stalest r6-green queries in prior registry order;
-# the 9 r6-green queries that don't fit head the r9 window.  Every tail
+# 3 round-8 additions with no external history (they head the window),
+# then 9 queries last green externally in r5 (``promo_revenue_share``
+# through ``multimodal_features``, squeezed out of the r7 window), then
+# 50 in r6, 50 in r7.  The window is therefore the 3 never-green + the
+# 9 r5-green + the 38 stalest r6-green queries in prior registry order;
+# the 12 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # round-8 additions — never externally checked, so they head the window
+    "dedup_cluster_density",
+    "text_token_entropy",
+    "doc_unigram_logprob",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -89,9 +94,6 @@ _PRIORITY = [
     "event_transition_matrix",
     "dup_graph_triangles",
     "bm25_doc_retrieval",
-    "source_unigram_divergence",
-    "disjunctive_predicate_revenue",
-    "events_rolling_engagement",
 ]
 
 

@@ -131,6 +131,88 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_density",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+    csize AS (
+        SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    ),
+    cedge AS (
+        SELECT c.component AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+        FROM pairs p JOIN comp c ON c.id = p.x
+        GROUP BY c.component
+    )
+    SELECT s.cluster_id, s.cluster_size, e.n_edges,
+           CAST(2 * e.n_edges AS DOUBLE)
+               / (s.cluster_size * (s.cluster_size - 1)) AS density,
+           e.avg_jaccard
+    FROM csize s JOIN cedge e ON e.cluster_id = s.cluster_id
+    ORDER BY s.cluster_id
+    """,
+    description="near-duplicate cluster cohesion: per connected component "
+    "of the exact-Jaccard graph (J ≥ 0.5), internal edge count, edge "
+    "density 2E/(n·(n−1)) and mean pair similarity — density ≈ 1 means a "
+    "tight clique (canonical-keep is safe), low density means a chained "
+    "cluster where transitive merging may join unlike documents (the "
+    "triangle census's per-cluster refinement).  Both endpoints of a pair "
+    "share a component by construction, so edges attribute by x alone.  "
+    "Scale shape: the pair set is bounded post-threshold and is computed "
+    "once (eager checkpoint) feeding components, edge stats and sizes; "
+    "density is an exact integer ratio, avg jaccard rounds at 6 dp",
+    tags=("dedup", "graph", "diagnostics"),
+)
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    edges = (
+        pairs.join(labels.withColumnRenamed("id", "x"), "x")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+    return (
+        sizes.join(edges, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_edges",
+            (
+                (F.lit(2) * F.col("n_edges")).cast("double")
+                / (F.col("cluster_size") * (F.col("cluster_size") - 1))
+            ).alias("density"),
+            "avg_jaccard",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (

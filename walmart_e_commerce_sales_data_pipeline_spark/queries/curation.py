@@ -554,3 +554,99 @@ def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("min_doc_id")
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy_nats
+    FROM tc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="per-document unigram token entropy (nats) — the classic "
+    "repetition/gibberish quality signal: near-zero entropy means a "
+    "degenerate repeated-token document, entropy ≈ ln(n_tokens) means "
+    "all-distinct tokens.  Algebraic identity H = ln(n) − Σ c·ln(c)/n "
+    "turns the per-token probability fold into two plain aggregates, so "
+    "no per-document probability vector is ever materialized.  Scale "
+    "shape: one shuffle on (doc_id, token) for counts, then a per-doc "
+    "aggregation over the distinct-token rows (Zipf-bounded per doc); "
+    "everything map-side-combinable, no windows, no broadcast state.  "
+    "Terms mirror the oracle exactly; the sum of c·ln(c) doubles rounds "
+    "once at 6 dp (house JSD precedent)",
+    tags=("text", "quality", "curation"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("distinct_tokens"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    cc AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM tc GROUP BY 1),
+    gt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot FROM cc)
+    SELECT t.doc_id,
+           CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(t.c * (LN(gt.tot) - LN(cc.ct))) / SUM(t.c), 6)
+               AS mean_surprisal
+    FROM tc t JOIN cc ON cc.token = t.token CROSS JOIN gt
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    description="per-document mean corpus-model surprisal: average "
+    "−ln p(token) over the document's token occurrences, where p is the "
+    "corpus unigram distribution — the cheap perplexity proxy used for "
+    "quality filtering and importance sampling (documents of common "
+    "words score low, rare-token documents score high).  Scale shape: "
+    "the corpus unigram model is Zipf-bounded (vocab grows ~log with "
+    "corpus size) so it joins as a BROADCAST onto the per-doc token "
+    "counts — no corpus-wide shuffle beyond the (doc_id, token) count; "
+    "ln(tot)−ln(ct) mirrors the oracle term-by-term and the final mean "
+    "rounds once at 6 dp",
+    tags=("text", "quality", "curation", "sampling"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    cc = tc.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
+    gt = cc.agg(F.sum("ct").cast("long").alias("tot"))
+    surp = F.col("c") * (F.log(F.col("tot")) - F.log(F.col("ct")))
+    return (
+        tc.join(F.broadcast(cc), "token")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(surp) / F.sum("c"), 6).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
