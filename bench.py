@@ -80,6 +80,10 @@ HEADLINE = [
     "vocab_oov_rate",
     "prefix_dup_groups",
     "dormant_customer_balance",
+    # round 8 additions (queries/clusters.py, curation.py)
+    "dedup_cluster_density",
+    "text_token_entropy",
+    "doc_unigram_logprob",
 ]
 
 
