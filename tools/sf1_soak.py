@@ -57,6 +57,10 @@ HEAVY = [
     # round 7: the window-count document-frequency shape (3 shuffles:
     # distinct, window-over-shingle, per-doc agg) must stay linear
     "common_shingle_fraction",
+    # round 8: the heaviest new query — pairs → components → per-cluster
+    # edge/size joins; cross-replica shingle disjointness means clusters
+    # stay intra-replica, so output must be exactly 10× the sf0.1 rows
+    "dedup_cluster_density",
 ]
 
 
