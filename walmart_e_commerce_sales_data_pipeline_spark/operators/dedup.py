@@ -279,6 +279,26 @@ def jaccard_pairs(
     return out
 
 
+# Up to this many total shingle OCCURRENCES (16 bytes each hashed — ids +
+# hashes, ~tens of MB in executor memory at the limit) the shared-shingle
+# self-join broadcasts its build side; above it, the linear shuffle join
+# runs.  Same bounded-materialization posture as similarity's
+# BROADCAST_ROW_LIMIT: an explicit, size-gated broadcast decided from an
+# exact driver-side statistic, never an unconditional one.
+SHINGLE_BROADCAST_LIMIT = 4_000_000
+
+# The banded LSH bucket table has num_bands rows per document (24 bytes
+# each); up to this many documents the bucket self-join broadcasts its
+# build side — the streamed side keeps its id-hash placement, so the
+# candidate-pair dedup aggregation skips its exchange.
+BUCKET_BROADCAST_DOC_LIMIT = 250_000
+
+# The per-document size table is 16 bytes/row; up to this many documents
+# it broadcasts into the Jaccard denominator joins (the pair stream then
+# never re-partitions before the threshold filter).
+SIZES_BROADCAST_DOC_LIMIT = 2_000_000
+
+
 def jaccard_pairs_from_docs(
     df: DataFrame,
     threshold: float,
@@ -291,13 +311,28 @@ def jaccard_pairs_from_docs(
 
     Same result as ``jaccard_pairs(shingle_sets(df, ...), threshold)`` but
     with the fused plan when no document can be oversized
-    (``_has_oversized_docs`` probe): the per-doc profile aggregation *is*
-    the dedup (collect_set), so the DISTINCT shuffle of the full shingle
-    stream is gone, the self-join sides explode out of the persisted
-    profile cache, and the per-doc sizes are precomputed — measured ~2×
-    lower wall clock at sf0.1.  With a potential outlier document the
-    classic join-chain path runs instead (its per-row state is one
-    (id, shingle) pair, immune to oversized aggregation buffers).
+    (``_has_oversized_docs`` probe): the per-doc profile is computed
+    map-side (``_doc_shingle_profiles`` — zero shuffles), the self-join
+    sides explode out of the persisted profile cache, and the per-doc
+    sizes are precomputed.  With a potential outlier document the classic
+    join-chain path runs instead (its per-row state is one (id, shingle)
+    pair, immune to oversized per-row arrays).
+
+    Self-join regime is a BOUNDED-BROADCAST dispatch (house posture of
+    ``similarity.verify_pairs``): the profile materialization also yields
+    the exact total shingle-occurrence count, and while it stays at or
+    under ``shingle_broadcast_limit`` the build side of the shared-shingle
+    join is broadcast — the streamed side then keeps the hash-by-id
+    spread placement, so the (x, y) pair aggregation needs NO exchange at
+    all (measured 9 MB total shuffle at sf1 vs 434 MB for the sort-merge
+    form, whose shingle re-partitioning destroys the id placement and
+    pays the full partial-pair exchange).  Above the limit the plan
+    degrades to the honest linear-scaling shuffle join.  The explicit
+    dispatch exists because the cache-statistics route is both racy
+    (an unmaterialized cache plans as a sort-merge join intermittently)
+    and unstable-by-accuracy (accurate array-cache stats exceed the 10 MB
+    AQE threshold exactly where the broadcast is still the right call on
+    real executors).
     """
     from pyspark import StorageLevel
 
@@ -307,17 +342,33 @@ def jaccard_pairs_from_docs(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
+        # One eager job: materializes the cache (deterministic planning —
+        # see the docstring) and returns the exact broadcast-dispatch
+        # statistics.
+        n_docs, tot_sh = prof.agg(F.count("*"), F.sum("n_sh")).first()
+        tot_sh = tot_sh or 0
         ex = prof.select("id", F.explode("shs").alias("shingle"))
         a = ex.select(F.col("id").alias("x"), "shingle")
         b = ex.select(F.col("id").alias("y"), "shingle")
+        if tot_sh <= SHINGLE_BROADCAST_LIMIT:
+            b = F.broadcast(b)
         inter = (
             a.join(b, "shingle")
             .filter(F.col("x") < F.col("y"))
             .groupBy("x", "y")
             .agg(F.count("*").alias("inter"))
         )
+        # The per-doc size sides are 16 bytes/row after pruning, but their
+        # CACHE statistics include the shingle arrays (21.5 MiB at sf1), so
+        # the planner refuses the obvious broadcast and instead exchanges
+        # the full PRE-threshold pair stream for the y-side join (measured
+        # 110 MB at sf1).  Dispatch on the exact doc count: ≤ the limit the
+        # pruned sizes broadcast (the x-join then also rides the id-hash
+        # placement), above it the honest shuffle join runs.
         sx = prof.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
         sy = prof.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+        if n_docs <= SIZES_BROADCAST_DOC_LIMIT:
+            sx, sy = F.broadcast(sx), F.broadcast(sy)
         out = (
             inter.join(sx, "x")
             .join(sy, "y")
@@ -368,12 +419,18 @@ def _banded_bucket_rows(
     ).select("id", "bb.band_idx", "bb.band_hash")
 
 
-def _bucket_join_pairs(bucketed: DataFrame) -> DataFrame:
+def _bucket_join_pairs(bucketed: DataFrame, broadcast_build: bool = False) -> DataFrame:
     """Distinct candidate pairs (x < y) from a bucket table: documents
     sharing any (band_idx, band_hash) bucket meet exactly here — the
-    all-pairs problem becomes a per-bucket equi-join."""
+    all-pairs problem becomes a per-bucket equi-join.  With
+    ``broadcast_build`` the build side broadcasts (caller has proven the
+    table small via an exact count) and the streamed side keeps its
+    placement, so the candidate-dedup DISTINCT can ride the upstream
+    partitioning instead of paying a bucket-key exchange."""
     a = bucketed.select(F.col("id").alias("x"), "band_idx", "band_hash")
     b = bucketed.select(F.col("id").alias("y"), "band_idx", "band_hash")
+    if broadcast_build:
+        b = F.broadcast(b)
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("x") < F.col("y"))
@@ -536,7 +593,16 @@ def _minhash_pairs_fused(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        cands = _bucket_join_pairs(_banded_bucket_rows(prof, num_hashes, bands))
+        # Materialize before planning the bucket/verification joins (same
+        # AQE-stats race as in jaccard_pairs_from_docs) and dispatch the
+        # bucket self-join on the exact document count: ≤ the limit, the
+        # banded build side broadcasts and the candidate dedup rides the
+        # id-hash placement; above it, the honest linear shuffle join.
+        n_docs = prof.count()
+        cands = _bucket_join_pairs(
+            _banded_bucket_rows(prof, num_hashes, bands),
+            broadcast_build=n_docs <= BUCKET_BROADCAST_DOC_LIMIT,
+        )
         ax = prof.select(
             F.col("id").alias("x"), F.col("shs").alias("shx"), F.col("n_sh").alias("nx")
         )
