@@ -222,21 +222,31 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    description="exact interpolated percentiles (Spark percentile == DuckDB "
-    "quantile_cont linear interpolation), rounded at 4 dp",
+    description="exact interpolated percentiles (== DuckDB quantile_cont "
+    "linear interpolation), rounded at 4 dp — computed by the distributed "
+    "histogram ladder (operators.percentiles.exact_group_percentiles) "
+    "rather than the sort-buffer percentile() builtin: the builtin "
+    "materializes every value of a group in ONE aggregation buffer (fatal "
+    "when a group holds billions of rows at 100 TB; also serializes on "
+    "the 3 return-flag buffers here — measured slower than the ladder "
+    "even at sf0.1), while the ladder's state is a per-group value "
+    "histogram + index-range bracketing, bit-identical to the builtin "
+    "(pinned in tests/test_percentiles.py)",
     tags=("agg", "percentile"),
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("l_returnflag")
+    pct = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
     )
+    return pct.select(
+        "l_returnflag",
+        F.round("p_0", 4).alias("p50"),
+        F.round("p_1", 4).alias("p90"),
+        F.round("p_2", 4).alias("p99"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
