@@ -239,29 +239,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
-    # Shape notes (each variant measured at sf0.1):
-    # - explode + groupBy rather than per-row size(array_distinct(...))
-    #   with a total_ng > 0 filter: Catalyst pushes a deterministic filter
-    #   BELOW the spreading repartition, inlining the entire shingle
-    #   transform into a predicate evaluated serially on the single input
-    #   partition — 4.6 s vs 0.1 s for this formulation.  Exploding drops
-    #   shingle-less docs naturally (no rows → no group), matching the
-    #   oracle's empty UNNEST semantics with no filter at all.
+    # Fully MAP-SIDE per-doc stats (round 8; the earlier explode + groupBy
+    # paid a (doc, shingle) shuffle for counts the row can compute alone).
+    # Shape notes:
+    # - The per-row formulation originally lost 4.6 s to a pushdown trap:
+    #   a post-hoc `total_ng > 0` filter was pushed BELOW the spreading
+    #   repartition, inlining the entire shingle transform into a
+    #   predicate evaluated serially on the single input partition.  The
+    #   equivalent TOKEN-count pre-filter (≥ 3 tokens ⇔ ≥ 1 shingle,
+    #   matching the oracle's empty UNNEST semantics) is a cheap
+    #   independent predicate, so the trap cannot re-arm — same fix as
+    #   operators/dedup.py's profile.
     # - tokens materialize into a column before shingling (no CSE inside
-    #   HOF lambdas, SCALE.md §4) and single-file inputs spread across
-    #   cores first.
+    #   HOF lambdas, SCALE.md §4); the shingle array materializes once per
+    #   row and codegen CSEs it across the two size() references.
     per_doc = (
         _spread_narrow(docs)
-        .select("doc_id", "source", tokenize("text").alias("_t"))
+        .select("source", tokenize("text").alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("source", word_shingles(F.col("_t"), 3).alias("_sh"))
         .select(
-            "doc_id",
             "source",
-            F.explode(word_shingles(F.col("_t"), 3)).alias("_s"),
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("total_ng"),
-            F.countDistinct("_s").alias("distinct_ng"),
+            F.size("_sh").alias("total_ng"),
+            F.size(F.array_distinct("_sh")).alias("distinct_ng"),
         )
     )
     return (
