@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_cluster_density",
     "text_token_entropy",
     "doc_unigram_logprob",
+    "kmv_distinct_sketch",
 ]
 
 

@@ -133,3 +133,23 @@ def test_dormant_customer_balance_invariants(spark):
     ).first()[0]
     for r in rows:
         assert r["total_bal"] > r["n_cust"] * avg_bal - 1e-6, r
+
+
+def test_kmv_sketch_estimator_branch_and_plan(spark):
+    """The registered sketch must actually exercise the (k−1)/F(h_k)
+    estimator (per-source shingle cardinality ≫ k), keep its error inside
+    sane KMV bounds (stderr ≈ 1/√(k−2) ≈ 13% at k=64), and plan the
+    rank filter as a per-partition group limit rather than a full
+    per-group sort."""
+    df = q.REGISTRY["kmv_distinct_sketch"].fn(spark, SF001)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # estimator branch, not the m < k exact fallback
+        assert r["n_exact"] > 64, r
+        assert r["kmv_estimate"] != float(r["n_exact"]) or r["rel_err"] > 0
+        assert 0 <= r["rel_err"] < 0.6, r
+    errs = sorted(r["rel_err"] for r in rows)
+    assert errs[len(errs) // 2] < 0.2, errs  # median within ~1.5 stderr
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -69,3 +69,28 @@ def portable_bucket_sql(key_expr: str, str_type: str = "STRING") -> str:
         for i in range(4)
     )
     return f"({terms})"
+
+
+def portable_hex_value_sql(
+    key_expr: str, n_chars: int = 12, str_type: str = "STRING"
+) -> str:
+    """SQL expression for the first ``n_chars`` hex chars of ``md5(key)``
+    as a BIGINT in [0, 16^n_chars) — ``portable_bucket_sql`` generalized
+    to an order-preserving hash VALUE (hex-prefix order == numeric order).
+
+    The engine-portable uniform hash primitive behind the KMV distinct
+    sketch: both Spark and the DuckDB oracle evaluate the identical
+    md5/substring/instr fold, so order statistics over the hash values —
+    and estimators derived from them — agree bit-for-bit across engines.
+    12 hex chars = 48 bits: comfortably inside BIGINT, collision odds on
+    a Zipf vocabulary negligible (and identical in both engines if one
+    ever occurs, since the hash is the same md5).
+    """
+    assert 1 <= n_chars <= 15  # 16 chars would touch the BIGINT sign bit
+    h = f"md5(CAST({key_expr} AS {str_type}))"
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
+        for i in range(n_chars)
+    )
+    return f"({terms})"

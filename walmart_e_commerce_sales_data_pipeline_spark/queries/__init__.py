@@ -32,12 +32,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 3 round-8 additions with no external history (they head the window),
+# 4 round-8 additions with no external history (they head the window),
 # then 9 queries last green externally in r5 (``promo_revenue_share``
 # through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 3 never-green + the
-# 9 r5-green + the 38 stalest r6-green queries in prior registry order;
-# the 12 r6-green queries that don't fit head the r9 window.  Every tail
+# 50 in r6, 50 in r7.  The window is therefore the 4 never-green + the
+# 9 r5-green + the 37 stalest r6-green queries in prior registry order;
+# the 13 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -47,6 +47,7 @@ _PRIORITY = [
     "dedup_cluster_density",
     "text_token_entropy",
     "doc_unigram_logprob",
+    "kmv_distinct_sketch",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "dedup_canonical_keep",
     "event_transition_matrix",
     "dup_graph_triangles",
-    "bm25_doc_retrieval",
 ]
 
 

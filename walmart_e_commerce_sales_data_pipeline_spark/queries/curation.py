@@ -650,3 +650,113 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KMV_K = 64
+_KMV_HEX_CHARS = 12
+_KMV_SCALE = float(16 ** _KMV_HEX_CHARS)  # 2^48 as an exact double
+
+
+def _kmv_hash_sql(str_type: str) -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    return portable_hex_value_sql("shingle", _KMV_HEX_CHARS, str_type)
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    h AS (SELECT DISTINCT source, {_kmv_hash_sql("VARCHAR")} AS hv FROM sh),
+    r AS (
+        SELECT source, hv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk
+        FROM h
+    ),
+    mink AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               MAX(hv) AS kth_hv
+        FROM r WHERE rk <= {_KMV_K}
+        GROUP BY source
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact
+        FROM sh GROUP BY source
+    )
+    SELECT ex.source, ex.n_exact,
+           CASE WHEN mink.m < {_KMV_K} THEN CAST(mink.m AS DOUBLE)
+                ELSE ROUND(({_KMV_K} - 1) * {_KMV_SCALE!r} / mink.kth_hv, 4)
+           END AS kmv_estimate,
+           CASE WHEN mink.m < {_KMV_K} THEN 0.0
+                ELSE ROUND(ABS(({_KMV_K} - 1) * {_KMV_SCALE!r} / mink.kth_hv
+                               - ex.n_exact) / ex.n_exact, 4)
+           END AS rel_err
+    FROM ex JOIN mink ON mink.source = ex.source
+    ORDER BY ex.source
+    """,
+    description="KMV (k-minimum-values) distinct-3-gram sketch per source, "
+    "k=64 over a 48-bit engine-portable md5 hash "
+    "(operators.splits.portable_hex_value_sql) — the mergeable "
+    "cardinality sketch a 100 TB pipeline keeps per shard instead of "
+    "exact distinct state; DV ≈ (k−1)/F(h₍ₖ₎), with the exact count "
+    "carried alongside so the oracle verifies BOTH the estimator "
+    "arithmetic and its error, bit-for-bit (the hash is the identical "
+    "md5 fold in both engines — a deterministic sketch CAN share an "
+    "exact oracle, unlike approx_count_distinct's HLL; shingles rather "
+    "than unigrams so the per-group cardinality actually exceeds k and "
+    "the estimator branch is exercised, asserted in "
+    "tests/test_curation.py).  Scale shape: the k smallest hashes per "
+    "group come from a rank-filter window the optimizer rewrites to "
+    "per-partition group limits (WindowGroupLimit, plan-asserted), so "
+    "no group's full hash set ever sorts in one place; groups with "
+    "fewer than k values fall back to their exact count, as standard",
+    tags=("sketch", "text", "distinct", "portable"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        _spread_narrow(docs)
+        .select("source", tokenize("text").alias("_t"))
+        .select("source", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+        .distinct()
+    )
+    h = sh.select("source", F.expr(_kmv_hash_sql("STRING")).alias("hv")).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    mink = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.max("hv").alias("kth_hv"),
+        )
+    )
+    ex = sh.groupBy("source").agg(
+        F.countDistinct("shingle").cast("long").alias("n_exact")
+    )
+    est = F.lit(_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("kth_hv")
+    return (
+        ex.join(mink, "source")
+        .select(
+            "source",
+            "n_exact",
+            F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+            .otherwise(F.round(est, 4))
+            .alias("kmv_estimate"),
+            F.when(F.col("m") < _KMV_K, F.lit(0.0))
+            .otherwise(F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4))
+            .alias("rel_err"),
+        )
+        .orderBy("source")
+    )
