@@ -85,6 +85,12 @@ HEADLINE = [
     "text_token_entropy",
     "doc_unigram_logprob",
     "kmv_distinct_sketch",
+    # round 8 TPC-H completions (queries/relational5.py)
+    "bilateral_trade_volume",
+    "product_profit_by_nation_year",
+    "returned_item_customers",
+    "priority_shipping_split",
+    "brand_supplier_counts",
 ]
 
 

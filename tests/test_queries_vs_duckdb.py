@@ -152,19 +152,24 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-8 rotation policy: the checked window is the 50 queries with the
     # oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r8: never:4 / r5:9 / r6:50 / r7:50 — the
-    # window is the 4 round-8 additions (never externally green), the 9
-    # r5-green queries, and the 37 stalest r6-green ones.
+    # Staleness histogram entering r8: never:9 / r5:9 / r6:50 / r7:50 — the
+    # window is the 9 round-8 additions (never externally green), the 9
+    # r5-green queries, and the 32 stalest r6-green ones.
     window = set(names[:50])
     # Never-externally-green round-8 additions lead unconditionally.
-    assert _PRIORITY[:4] == [
+    assert _PRIORITY[:9] == [
         "dedup_cluster_density",
         "text_token_entropy",
         "doc_unigram_logprob",
         "kmv_distinct_sketch",
+        "bilateral_trade_volume",
+        "product_profit_by_nation_year",
+        "returned_item_customers",
+        "priority_shipping_split",
+        "brand_supplier_counts",
     ]
     # The 9 r5-green queries squeezed out of the r7 window follow.
-    assert _PRIORITY[4:13] == [
+    assert _PRIORITY[9:18] == [
         "promo_revenue_share",
         "trailing_spend_range_frame",
         "market_share_by_year",
@@ -184,7 +189,7 @@ def test_checked_window_composition():
         "top_supplier_revenue", "local_supplier_volume",
     }
     assert not (r7_green_sample & window)
-    # The 13 r6-green queries squeezed out at width 50 head the r9 window.
+    # The 18 r6-green queries squeezed out at width 50 head the r9 window.
     assert {
         "mixture_sampling_plan", "grouped_zscore_histogram",
         "asof_join_latest_order", "range_join_close_events",
@@ -192,6 +197,8 @@ def test_checked_window_composition():
         "events_hourly_anomaly", "from_json_map",
         "source_unigram_divergence", "disjunctive_predicate_revenue",
         "events_rolling_engagement", "bm25_doc_retrieval",
+        "token_budget_fill", "dedup_canonical_keep",
+        "event_transition_matrix", "dup_graph_triangles", "cdc_chunk_stats",
     } & window == set()
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

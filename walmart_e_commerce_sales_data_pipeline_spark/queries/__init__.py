@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     streaming_media,
     text,
@@ -32,12 +33,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 4 round-8 additions with no external history (they head the window),
+# 9 round-8 additions with no external history (they head the window),
 # then 9 queries last green externally in r5 (``promo_revenue_share``
 # through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 4 never-green + the
-# 9 r5-green + the 37 stalest r6-green queries in prior registry order;
-# the 13 r6-green queries that don't fit head the r9 window.  Every tail
+# 50 in r6, 50 in r7.  The window is therefore the 9 never-green + the
+# 9 r5-green + the 32 stalest r6-green queries in prior registry order;
+# the 18 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -48,6 +49,11 @@ _PRIORITY = [
     "text_token_entropy",
     "doc_unigram_logprob",
     "kmv_distinct_sketch",
+    "bilateral_trade_volume",
+    "product_profit_by_nation_year",
+    "returned_item_customers",
+    "priority_shipping_split",
+    "brand_supplier_counts",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -89,11 +95,6 @@ _PRIORITY = [
     "decontaminate_corpus",
     "vocab_top_ngrams",
     "quality_percentile_filter",
-    "cdc_chunk_stats",
-    "token_budget_fill",
-    "dedup_canonical_keep",
-    "event_transition_matrix",
-    "dup_graph_triangles",
 ]
 
 
