@@ -297,6 +297,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_measured": n_measured,
+                "calibration_sec": calibration,
                 "queries": slim,
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,
