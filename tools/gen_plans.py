@@ -41,9 +41,10 @@ COMMENT = {
     "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
     "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
     "the partial/final aggregate and the per-year share window",
-    "text_repetition": "explode + two-level aggregate; no row filter exists to be pushed "
-    "below the spreading repartition (the size()-predicate variant was pushed to the "
-    "single-partition scan and ran serially — SCALE.md §4)",
+    "text_repetition": "fully map-side per-doc stats (round 8): total/distinct shingle "
+    "counts from size()/array_distinct() in one projection — the only shuffle is the "
+    "tiny per-source aggregate; the token-count pre-filter replaces the post-hoc "
+    "size()-predicate that Catalyst pushed below the spreading repartition (SCALE.md §4)",
     "local_supplier_volume": "Q5 tree: supplier/customer/nation/region broadcast; the "
     "cross-dimension nation equality is a post-join filter on two broadcast sides; date "
     "+ region predicates pushed to their scans",
@@ -77,6 +78,37 @@ COMMENT = {
     "(BroadcastNestedLoopJoin on a single row is the cheap degenerate case); the NOT "
     "EXISTS is a LEFT ANTI hash join keyed on custkey with the date predicate pushed "
     "into the orders scan",
+    "dedup_cluster_density": "the eagerly-checkpointed pair set feeds components, "
+    "per-cluster sizes and edge stats; the component labels are a driver-resolved "
+    "local relation that broadcasts into both joins",
+    "text_token_entropy": "H = ln n − Σc·ln c/n turns the per-token probability fold "
+    "into two plain aggregates over (doc_id, token) counts — both map-side-combinable, "
+    "no windows, no broadcast state",
+    "doc_unigram_logprob": "the Zipf-bounded corpus unigram model and its 1-row total "
+    "broadcast onto the per-doc token counts; one shuffle on (doc_id, token), one "
+    "per-doc aggregate",
+    "kmv_distinct_sketch": "the rank-≤-k filter plans as WindowGroupLimit — "
+    "per-partition k-row group limits before the single per-source window sort; the "
+    "48-bit md5 fold is pure codegen string/arithmetic expressions",
+    "bilateral_trade_volume": "Q7: both nation roles broadcast; the disjunctive "
+    "nation-pair predicate is a post-join residual over the two broadcast dims while "
+    "orders/customer/supplier join key-local",
+    "product_profit_by_nation_year": "Q9 shape: part (LIKE-filtered at the scan), "
+    "supplier and nation broadcast into the lineitem-orders join; one "
+    "partial-aggregated shuffle on (nation, year)",
+    "returned_item_customers": "Q10: returnflag filter pushed to the lineitem scan; "
+    "global top-20 after the grouped aggregation is TakeOrderedAndProject, never a "
+    "full sort",
+    "priority_shipping_split": "Q12 shape: both CASE branches fold into one "
+    "partial+final aggregate over the fact-fact join; the shipdate ≥ orderdate "
+    "residual evaluates inside the join",
+    "brand_supplier_counts": "Q16 shape: the NOT IN subquery plans as a broadcast "
+    "null-aware anti join; COUNT(DISTINCT) is the two-level expand aggregate, partial "
+    "on (brand, band, suppkey)",
+    "price_percentiles": "distributed histogram ladder (round 8): value-histogram "
+    "groupBy, per-group running count window, equi-join against the tiny target-rank "
+    "table + residual bracket filter — bounded memory per executor where the "
+    "percentile() builtin buffers the whole group",
 }
 
 
