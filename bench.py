@@ -91,6 +91,10 @@ HEADLINE = [
     "returned_item_customers",
     "priority_shipping_split",
     "brand_supplier_counts",
+    "order_priority_checking",
+    "important_supplier_share",
+    "small_quantity_order_revenue",
+    "excess_shipping_suppliers",
 ]
 
 

@@ -33,12 +33,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 9 round-8 additions with no external history (they head the window),
+# 13 round-8 additions with no external history (they head the window),
 # then 9 queries last green externally in r5 (``promo_revenue_share``
 # through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 9 never-green + the
-# 9 r5-green + the 32 stalest r6-green queries in prior registry order;
-# the 18 r6-green queries that don't fit head the r9 window.  Every tail
+# 50 in r6, 50 in r7.  The window is therefore the 13 never-green + the
+# 9 r5-green + the 28 stalest r6-green queries in prior registry order;
+# the 22 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -54,6 +54,10 @@ _PRIORITY = [
     "returned_item_customers",
     "priority_shipping_split",
     "brand_supplier_counts",
+    "order_priority_checking",
+    "important_supplier_share",
+    "small_quantity_order_revenue",
+    "excess_shipping_suppliers",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -91,10 +95,6 @@ _PRIORITY = [
     "date_functions",
     "agg_suite",
     "case_when_tiers",
-    "union_all_monthly",
-    "decontaminate_corpus",
-    "vocab_top_ngrams",
-    "quality_percentile_filter",
 ]
 
 

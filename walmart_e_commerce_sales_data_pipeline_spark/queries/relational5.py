@@ -1,7 +1,9 @@
-"""TPC-H shapes Q7 / Q9 / Q10 / Q12 / Q16, adapted to the driver schema
-(no partsupp / shipmode / comment columns — substitutions documented per
-query).  Completes the repo's coverage of the TPC-H join/subquery
-catalogue alongside Q1–Q3, Q5, Q6, Q8, Q13–Q15, Q18, Q19, Q21, Q22.
+"""TPC-H shapes Q4 / Q7 / Q9 / Q10 / Q11 / Q12 / Q16 / Q17 / Q20,
+adapted to the driver schema (no partsupp / shipmode / receipt-commit /
+comment columns — substitutions documented per query).  With these, every
+TPC-H query number 1–22 is covered in some shape across the registry
+(Q1–Q3, Q5, Q6, Q8, Q13–Q15, Q18, Q19, Q21, Q22 live in
+relational*.py/curation.py).
 
 Money sums follow the house cent-exact rules (queries/stable.py):
 term-by-term mirrored arithmetic, one ROUND at the end on values far
@@ -249,4 +251,172 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         ORDER BY supplier_cnt DESC, p_brand, size_band
         """
+    )
+
+
+@register(
+    "order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 (order priority checking) adapted: orders in a "
+    "one-year window having at least one LATE lineitem (shipped > 60 days "
+    "after ordering — the driver schema has no commit/receipt dates), "
+    "counted per priority.  The correlated EXISTS plans as a LEFT SEMI "
+    "hash join on orderkey; the date window pushes to the orders scan and "
+    "the lateness predicate is the join residual (it references both "
+    "sides)",
+    tags=("join", "tpch", "subquery", "semi"),
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "important_supplier_share",
+    oracle=f"""
+    WITH sv AS (
+        SELECT l_suppkey,
+               {unit_sum_sql("l_extendedprice * (1 - l_discount)", "value")}
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(value) AS t FROM sv)
+    SELECT s_name, sv.value,
+           ROUND(sv.value / tot.t, 6) AS share
+    FROM sv JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN tot
+    WHERE sv.value > 0.0105 * tot.t
+    ORDER BY sv.value DESC, s_name
+    """,
+    description="TPC-H Q11 (important stock) adapted: the driver schema "
+    "has no partsupp, so supplier importance is shipped value share — "
+    "per-supplier revenue HAVING-filtered against a scalar fraction of "
+    "the GLOBAL total (the Q11 signature shape: aggregate compared to a "
+    "scalar subquery over the same aggregation).  The per-supplier values "
+    "are first rounded to exact units (house cent-exact sum), so the "
+    "global total, the threshold comparison and the share division start "
+    "from identical integers in both engines; one shuffle for the "
+    "supplier aggregate, 1-row total broadcast back",
+    tags=("agg", "tpch", "subquery", "having"),
+)
+def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    sv = li.groupBy("l_suppkey").agg(
+        unit_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "value")
+    )
+    tot = sv.agg(F.sum("value").alias("t"))
+    return (
+        sv.join(F.broadcast(s), sv.l_suppkey == s.s_suppkey)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.lit(0.0105) * F.col("t"))
+        .select(
+            "s_name",
+            "value",
+            F.round(F.col("value") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("value"), "s_name")
+    )
+
+
+@register(
+    "small_quantity_order_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l1.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      )
+    """,
+    description="TPC-H Q17 (small-quantity-order revenue): lineitems "
+    "below half their part's average quantity, for one brand — the "
+    "correlated scalar AVG decorrelates into a per-part aggregate joined "
+    "back on partkey (Spark and DuckDB both rewrite it; the per-part "
+    "averages divide identical doubles).  Revenue/7 rounds once at 2 dp; "
+    "the brand filter pushes to the part scan and prunes the aggregate's "
+    "probe side",
+    tags=("join", "tpch", "subquery", "scalar"),
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "excess_shipping_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%3%'
+        )
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 400
+    )
+    AND s_nationkey < 13
+    ORDER BY s_name
+    """,
+    description="TPC-H Q20 (potential part promotion) adapted: suppliers "
+    "who shipped more than a threshold quantity of pattern-matched parts "
+    "since a date — the nested IN chain (supplier IN (aggregated lineitem "
+    "IN (filtered part))) plans inside-out as a broadcast semi join into "
+    "the lineitem aggregate, then a LEFT SEMI join into supplier; both "
+    "the date and the nationkey predicates push to their scans",
+    tags=("join", "tpch", "subquery", "semi", "nested"),
+)
+def excess_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%3%"))
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
