@@ -95,6 +95,13 @@ HEADLINE = [
     "important_supplier_share",
     "small_quantity_order_revenue",
     "excess_shipping_suppliers",
+    # late round 8 additions (queries/analysis.py)
+    "kmv_sketch_union",
+    "sliding_chunk_windows",
+    "bigram_pmi",
+    "dup_graph_degree_hist",
+    "winsorized_price_stats",
+    "ngram_distribution_profile",
 ]
 
 

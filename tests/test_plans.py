@@ -179,3 +179,45 @@ def test_topk_neighbors_routes_to_cell_join_above_brute_limit(spark):
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
     }
     assert key(routed) == key(brute)
+
+
+def test_bigram_pmi_broadcasts_and_take_ordered(spark):
+    """Unigram-count joins broadcast (vocab-bounded) and the top-25 is
+    TakeOrderedAndProject, never a global sort."""
+    df = q.REGISTRY["bigram_pmi"].fn(spark, SF001)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_sliding_chunks_no_shuffle_before_sort(spark):
+    """Chunking is pure per-row work: the only Exchange in the plan is
+    the presentation sort's range partitioning — no hash shuffle, no
+    aggregation, no join anywhere."""
+    plan = formatted_plan(q.REGISTRY["sliding_chunk_windows"].fn(spark, SF001))
+    assert "rangepartitioning" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
+
+
+def test_winsorized_fences_broadcast(spark):
+    """The 3-row fence table must broadcast back onto the fact scan."""
+    df = q.REGISTRY["winsorized_price_stats"].fn(spark, SF001)
+    assert has_broadcast_join(df)
+
+
+def test_kmv_rank_filters_rewrite_to_group_limits(spark):
+    """row_number() <= k prunes via WindowGroupLimit in both sketch
+    queries — no group's full hash set ever sorts in one place — and the
+    shared shingle subtree feeding the sketch and exact-count branches
+    dedupes via exchange reuse instead of a persist (the reason neither
+    query caches anything)."""
+    for name in ("kmv_distinct_sketch", "kmv_sketch_union"):
+        df = q.REGISTRY[name].fn(spark, SF001)
+        df.collect()  # AQE finalizes reuse decisions in the executed plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
+        assert "ReusedExchange" in plan or "TableCacheQueryStage" in plan, (
+            name,
+            plan,
+        )

@@ -109,6 +109,16 @@ COMMENT = {
     "groupBy, per-group running count window, equi-join against the tiny target-rank "
     "table + residual bracket filter — bounded memory per executor where the "
     "percentile() builtin buffers the whole group",
+    "sliding_chunk_windows": "overlap chunking is pure per-row work (late round 8): "
+    "scan -> project -> Generate(explode(sequence)) -> project; the only Exchange is "
+    "the presentation sort's range partitioning — no hash shuffle at any corpus size",
+    "bigram_pmi": "collocation mining (late round 8): one shuffle for bigram counts; "
+    "the unigram-count table is vocab-bounded and broadcast onto BOTH join sides; "
+    "top-25 via TakeOrderedAndProject after rounding the PMI (deterministic ranking)",
+    "kmv_sketch_union": "KMV set operations (late round 8): the shared distinct-shingle "
+    "and distinct-hash subtrees dedupe via ReusedExchange (no persists); rank filters "
+    "rewrite to WindowGroupLimit so no partition's full hash set sorts in one place; "
+    "the merge consumes sketch rows only (<= k per side)",
 }
 
 

@@ -8,6 +8,7 @@ from . import events, relational  # noqa: F401  (registration side effects)
 from .registry import REGISTRY, Query, oracle_map, register, spark_queries  # noqa: F401
 
 from . import (  # noqa: F401
+    analysis,
     clusters,
     corpus,
     curation,
@@ -33,12 +34,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 13 round-8 additions with no external history (they head the window),
+# 19 round-8 additions with no external history (they head the window),
 # then 9 queries last green externally in r5 (``promo_revenue_share``
 # through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 13 never-green + the
-# 9 r5-green + the 28 stalest r6-green queries in prior registry order;
-# the 22 r6-green queries that don't fit head the r9 window.  Every tail
+# 50 in r6, 50 in r7.  The window is therefore the 19 never-green + the
+# 9 r5-green + the 22 stalest r6-green queries in prior registry order;
+# the 28 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -58,6 +59,12 @@ _PRIORITY = [
     "important_supplier_share",
     "small_quantity_order_revenue",
     "excess_shipping_suppliers",
+    "kmv_sketch_union",
+    "sliding_chunk_windows",
+    "bigram_pmi",
+    "dup_graph_degree_hist",
+    "winsorized_price_stats",
+    "ngram_distribution_profile",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -89,12 +96,6 @@ _PRIORITY = [
     "top10_expensive_items",
     "set_operations",
     "distinct_counts",
-    "rollup_customer_geo",
-    "cube_order_status",
-    "string_functions",
-    "date_functions",
-    "agg_suite",
-    "case_when_tiers",
 ]
 
 

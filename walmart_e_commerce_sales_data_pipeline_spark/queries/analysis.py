@@ -1,0 +1,665 @@
+"""Corpus-analysis extensions, round 8: mergeable-sketch set operations,
+overlapping context chunking, collocation mining, dup-graph degree
+diagnostics, and robust (winsorized) statistics.
+
+Every query carries an exact DuckDB oracle; doubles that pass through
+order-dependent summation are rounded on both sides per the registry
+contract (queries/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from .registry import register
+from .tables import table
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations (union / intersection from MERGED sketches).
+# ---------------------------------------------------------------------------
+
+_K = 64
+_HEX_CHARS = 12
+_SCALE = float(16**_HEX_CHARS)  # 2^48, exactly representable as a double
+
+
+def _hash_sql(str_type: str) -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    return portable_hex_value_sql("shingle", _HEX_CHARS, str_type)
+
+
+def _est_sql(m: str, kth: str) -> str:
+    return (
+        f"CASE WHEN {m} < {_K} THEN CAST({m} AS DOUBLE) "
+        f"ELSE ({_K} - 1) * {_SCALE!r} / {kth} END"
+    )
+
+
+@register(
+    "kmv_sketch_union",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS par, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT par, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    h AS (SELECT DISTINCT par, {_hash_sql("VARCHAR")} AS hv FROM sh),
+    r AS (
+        SELECT par, hv,
+               ROW_NUMBER() OVER (PARTITION BY par ORDER BY hv) AS rk
+        FROM h
+    ),
+    sk AS (SELECT par, hv FROM r WHERE rk <= {_K}),
+    -- merged sketch: the k smallest of the UNION of the two sketch sets
+    -- (never touches the full hash sets — the mergeability property)
+    u AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM sk)
+    ),
+    usk AS (SELECT hv FROM u WHERE rk <= {_K}),
+    stats AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sk WHERE par = 0) AS m_a,
+            (SELECT MAX(hv) FROM sk WHERE par = 0) AS kth_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sk WHERE par = 1) AS m_b,
+            (SELECT MAX(hv) FROM sk WHERE par = 1) AS kth_b,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM usk) AS m_u,
+            (SELECT MAX(hv) FROM usk) AS kth_u,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM usk
+             WHERE hv IN (SELECT hv FROM sk WHERE par = 0)
+               AND hv IN (SELECT hv FROM sk WHERE par = 1)) AS m_both
+    ),
+    ests AS (
+        SELECT {_est_sql('m_a', 'kth_a')} AS est_a,
+               {_est_sql('m_b', 'kth_b')} AS est_b,
+               {_est_sql('m_u', 'kth_u')} AS est_union,
+               CAST(m_both AS DOUBLE) / m_u AS rho
+        FROM stats
+    ),
+    exact AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sh WHERE par = 0) AS n_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sh WHERE par = 1) AS n_b,
+            (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM sh) AS n_union,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM (SELECT shingle FROM sh WHERE par = 0
+                   INTERSECT SELECT shingle FROM sh WHERE par = 1)) AS n_inter
+    )
+    SELECT exact.n_a, exact.n_b, exact.n_union, exact.n_inter,
+           ROUND(ests.est_a, 4) AS est_a,
+           ROUND(ests.est_b, 4) AS est_b,
+           ROUND(ests.est_union, 4) AS est_union,
+           ROUND(ests.rho * ests.est_union, 4) AS est_inter
+    FROM exact CROSS JOIN ests
+    """,
+    description="KMV sketch SET OPERATIONS over distinct 3-gram shingles, "
+    "partitioned by doc_id parity: per-partition k=64 sketches on the "
+    "48-bit engine-portable md5 hash, then union cardinality from the "
+    "MERGED sketch (k smallest of the union of the two sketch sets — "
+    "mergeability is the property that lets a 100 TB pipeline keep one "
+    "tiny sketch per shard and combine at the coordinator) and "
+    "intersection via the standard rho·est_union estimator "
+    "(rho = fraction of merged-sketch members present in both input "
+    "sketches).  Exact distinct counts are carried alongside so the "
+    "oracle pins the estimator arithmetic bit-for-bit; both engines "
+    "evaluate the identical md5 fold (operators.splits."
+    "portable_hex_value_sql), so the order statistics agree exactly.  "
+    "Scale shape: rank-filter windows rewrite to per-partition group "
+    "limits (WindowGroupLimit), sketches are ≤ k rows each, and the "
+    "merge works on sketch rows only — never the full hash sets",
+    tags=("sketch", "text", "distinct", "portable"),
+)
+def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    # No persists: all consumers live in ONE final DAG, so the shared
+    # distinct-shingle and distinct-hash subtrees dedupe via Catalyst's
+    # exchange reuse (ReusedExchange, plan-asserted in tests/test_plans.py)
+    # and the ≤ 2k-row sketch recomputes from the reused exchange are
+    # bounded by WindowGroupLimit.
+    sh = (
+        _spread_narrow(docs)
+        .select(
+            (F.col("doc_id") % 2).alias("par"), tokenize("text").alias("_t")
+        )
+        .select("par", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+        .distinct()
+    )
+    h = sh.select("par", F.expr(_hash_sql("STRING")).alias("hv")).distinct()
+    w = Window.partitionBy("par").orderBy("hv")
+    sk = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("par", "hv")
+    )
+
+    def _est(m: str, kth: str) -> F.Column:
+        return F.when(F.col(m) < _K, F.col(m).cast("double")).otherwise(
+            F.lit(float(_K - 1)) * F.lit(_SCALE) / F.col(kth)
+        )
+
+    sk_a = sk.filter(F.col("par") == 0).select("hv")
+    sk_b = sk.filter(F.col("par") == 1).select("hv")
+    a_stats = sk_a.agg(
+        F.count("*").cast("long").alias("m_a"), F.max("hv").alias("kth_a")
+    )
+    b_stats = sk_b.agg(
+        F.count("*").cast("long").alias("m_b"), F.max("hv").alias("kth_b")
+    )
+    # merged sketch: k smallest of the union of the two sketch sets only
+    usk = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rk") <= _K)
+        .select("hv")
+    )
+    u_stats = usk.agg(
+        F.count("*").cast("long").alias("m_u"), F.max("hv").alias("kth_u")
+    )
+    both = (
+        usk.join(sk_a, "hv", "left_semi")
+        .join(sk_b, "hv", "left_semi")
+        .agg(F.count("*").cast("long").alias("m_both"))
+    )
+    exact = (
+        sh.select(
+            F.when(F.col("par") == 0, 1).otherwise(0).alias("ia"),
+            F.when(F.col("par") == 1, 1).otherwise(0).alias("ib"),
+            "shingle",
+        )
+        .groupBy("shingle")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .agg(
+            F.sum("ia").cast("long").alias("n_a"),
+            F.sum("ib").cast("long").alias("n_b"),
+            F.count("*").cast("long").alias("n_union"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(a_stats))
+        .crossJoin(F.broadcast(b_stats))
+        .crossJoin(F.broadcast(u_stats))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_inter",
+            F.round(_est("m_a", "kth_a"), 4).alias("est_a"),
+            F.round(_est("m_b", "kth_b"), 4).alias("est_b"),
+            F.round(_est("m_u", "kth_u"), 4).alias("est_union"),
+            F.round(
+                (F.col("m_both").cast("double") / F.col("m_u"))
+                * _est("m_u", "kth_u"),
+                4,
+            ).alias("est_inter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window context chunking with overlap.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # window size in tokens
+_CHUNK_S = 24  # stride in tokens (overlap = W - S where not truncated)
+
+
+@register(
+    "sliding_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, t, n,
+               CASE WHEN n <= {_CHUNK_W} THEN 1
+                    ELSE CAST(CEIL((n - {_CHUNK_W}) / CAST({_CHUNK_S} AS DOUBLE)) AS INTEGER) + 1
+               END AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, t, n, CAST(i AS INTEGER) AS chunk_idx,
+               CAST(i * {_CHUNK_S} + 1 AS INTEGER) AS start_tok,
+               CAST(LEAST(i * {_CHUNK_S} + {_CHUNK_W}, n) AS INTEGER) AS end_tok
+        FROM plan, UNNEST(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok, end_tok,
+           CAST(end_tok - start_tok + 1 AS INTEGER) AS n_chunk_tokens,
+           CAST(CASE WHEN chunk_idx = 0 THEN 0
+                ELSE GREATEST(0, LEAST((chunk_idx - 1) * {_CHUNK_S} + {_CHUNK_W}, n)
+                                 - start_tok + 1)
+           END AS INTEGER) AS overlap_prev,
+           t[start_tok] AS head_token
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    description="overlapping sliding-window chunking (window "
+    f"{_CHUNK_W} tokens, stride {_CHUNK_S}) — the context-window "
+    "splitter an LLM training pipeline runs before packing: per chunk, "
+    "1-based token boundaries, token count, overlap with the previous "
+    "chunk, and the head token.  Chunk count is the exact integer "
+    "ceil((n−W)/S)+1 with a single-chunk floor for short documents.  "
+    "Scale shape: pure per-row expressions (sequence → explode), zero "
+    "shuffles before the presentation sort — embarrassingly parallel at "
+    "any corpus size",
+    tags=("text", "chunking", "packing"),
+)
+def sliding_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w, s = _CHUNK_W, _CHUNK_S
+    base = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        F.when(F.col("n") <= w, F.lit(1))
+        .otherwise(
+            F.ceil((F.col("n") - w) / F.lit(float(s))).cast("int") + F.lit(1)
+        )
+        .alias("n_chunks"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * s + 1).cast("int").alias("start_tok"),
+        F.least(F.col("chunk_idx") * s + w, F.col("n")).cast("int").alias("end_tok"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok") + 1).cast("int").alias("n_chunk_tokens"),
+        F.when(F.col("chunk_idx") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    (F.col("chunk_idx") - 1) * s + w, F.col("n")
+                )
+                - F.col("start_tok")
+                + 1,
+            )
+        )
+        .cast("int")
+        .alias("overlap_prev"),
+        F.element_at("t", F.col("start_tok")).alias("head_token"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by pointwise mutual information.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 25
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_u FROM uni),
+    big AS (
+        SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        GROUP BY w1, w2
+    ),
+    btot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_b FROM big),
+    scored AS (
+        SELECT w1 || ' ' || w2 AS bigram, c_xy,
+               ux.c AS c_x, uy.c AS c_y,
+               ROUND(LN((CAST(c_xy AS DOUBLE) * n_u * n_u)
+                        / (CAST(n_b AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+        FROM big
+        JOIN uni ux ON ux.tok = w1
+        JOIN uni uy ON uy.tok = w2
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_xy, c_x, c_y, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT {_PMI_TOP}
+    """,
+    description="bigram collocation mining by pointwise mutual information "
+    "— PMI = ln(p(xy) / (p(x)·p(y))) over corpus unigram/bigram counts, "
+    f"min bigram count {_PMI_MIN_COUNT}, top {_PMI_TOP} (PMI rounded at "
+    "6 dp BEFORE ranking so the cross-engine ordering is deterministic; "
+    "bigram string tie-break).  The association-strength signal behind "
+    "phrase detection / tokenizer-merge candidates in corpus prep.  "
+    "Scale shape: one shuffle for bigram counts; unigram counts are "
+    "vocab-bounded and broadcast to both join sides; the final top-k is "
+    "TakeOrderedAndProject, never a global sort",
+    tags=("text", "collocation", "statistics"),
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_u"))
+    # Guard: sequence(1, 0) DESCENDS in Spark (see functions.text.
+    # word_shingles), so single-token documents must be excluded up front.
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - 1)
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    # n_b is the total over ALL bigrams (pre-min-count): sum of per-doc
+    # bigram counts, computed map-side without touching the filtered table.
+    btot_all = toks.select(
+        F.greatest(F.lit(0), F.size("t") - 1).alias("nb")
+    ).agg(F.sum("nb").cast("long").alias("n_b"))
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c_x")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c_y")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_all))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_u") * F.col("n_u"))
+                    / (F.col("n_b").cast("double") * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the near-duplicate graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_graph_degree_hist",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT x AS id FROM pairs UNION ALL SELECT y AS id FROM pairs)
+        GROUP BY id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    description="degree distribution of the exact-Jaccard near-duplicate "
+    "graph (J ≥ 0.5, same edge set as dedup_clusters): how many documents "
+    "have how many near-dup partners — the pre-clustering diagnostic that "
+    "tells a dedup pipeline whether it is looking at isolated twins "
+    "(degree 1), tight cliques (uniform high degree), or hub documents "
+    "(template/boilerplate masquerading as near-dups, where transitive "
+    "clustering would over-merge).  Scale shape: reuses the fused "
+    "shared-shingle pair plan (operators.dedup.jaccard_pairs_from_docs), "
+    "then a two-level aggregation on bounded keys",
+    tags=("dedup", "graph", "diagnostics"),
+)
+def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_from_docs
+    from .dedup import JACCARD_THRESHOLD
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    deg = (
+        pairs.select(F.col("x").alias("id"))
+        .unionAll(pairs.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (robust) price statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    clamped AS (
+        SELECT l.l_returnflag, p.lo, p.hi,
+               GREATEST(p.lo, LEAST(p.hi, l.l_extendedprice)) AS v,
+               l.l_extendedprice AS raw
+        FROM lineitem l JOIN p ON p.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(lo), 4) AS p05,
+           ROUND(ANY_VALUE(hi), 4) AS p95,
+           ROUND(AVG(v), 4) AS mean_winsorized,
+           ROUND(STDDEV_SAMP(v), 2) AS std_winsorized,
+           CAST(SUM(CASE WHEN raw < lo OR raw > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM clamped
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="winsorized robust statistics per return flag: exact "
+    "interpolated p05/p95 fences (distributed histogram ladder, "
+    "operators.percentiles.exact_group_percentiles — bit-identical to "
+    "DuckDB quantile_cont, pinned in tests/test_percentiles.py), values "
+    "clamped into the fences, then mean/stddev over the clamped column "
+    "plus a clamp count — the outlier-robust summary a feature pipeline "
+    "computes instead of trusting raw moments.  Doubles round at 4/2 dp "
+    "(parallel summation order differs across engines at the last ulp).  "
+    "Scale shape: the ladder avoids per-group sort buffers, the 3-row "
+    "fence table broadcasts back onto the fact scan, and the final "
+    "aggregation is a plain partial-agg group-by",
+    tags=("agg", "percentile", "robust"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
+    li = table(spark, sf_dir, "lineitem")
+    fences = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+    ).select(
+        "l_returnflag", F.col("p_0").alias("lo"), F.col("p_1").alias("hi")
+    )
+    clamped = li.join(F.broadcast(fences), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.greatest("lo", F.least("hi", F.col("l_extendedprice"))).alias("v"),
+        F.col("l_extendedprice").alias("raw"),
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.first("lo"), 4).alias("p05"),
+            F.round(F.first("hi"), 4).alias("p95"),
+            F.round(F.avg("v"), 4).alias("mean_winsorized"),
+            F.round(F.stddev_samp("v"), 2).alias("std_winsorized"),
+            F.sum(
+                F.when((F.col("raw") < F.col("lo")) | (F.col("raw") > F.col("hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram distribution profile: Zipf slope + Gini concentration.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "ngram_distribution_profile",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    uni AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))
+        GROUP BY g
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rk,
+               ROW_NUMBER() OVER (ORDER BY c ASC, g) AS rk_asc
+        FROM uni
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    zipf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               SUM(LN(rk)) AS sx, SUM(LN(c)) AS sy,
+               SUM(LN(rk) * LN(c)) AS sxy, SUM(LN(rk) * LN(rk)) AS sxx
+        FROM ranked WHERE rk <= {_ZIPF_TOP}
+    ),
+    gini AS (SELECT 2.0 * SUM(CAST(rk_asc AS DOUBLE) * c) AS num FROM ranked)
+    SELECT tot.v AS n_vocab, tot.n AS n_total,
+           ROUND((zipf.sxy - zipf.sx * zipf.sy / zipf.m)
+                 / (zipf.sxx - zipf.sx * zipf.sx / zipf.m), 6) AS zipf_slope,
+           ROUND(gini.num / (tot.v * CAST(tot.n AS DOUBLE))
+                 - (tot.v + 1.0) / tot.v, 6) AS gini
+    FROM tot CROSS JOIN zipf CROSS JOIN gini
+    """,
+    description="corpus 3-gram distribution profile: OLS Zipf slope of "
+    f"ln(freq) vs ln(rank) over the top {_ZIPF_TOP} n-grams, plus the "
+    "exact Gini concentration coefficient over the full frequency "
+    "distribution (G = 2·Σ rank_asc·c / (V·N) − (V+1)/V, count-ascending "
+    "ranks with n-gram tie-break) — the corpus-health fingerprint a data "
+    "pipeline tracks across crawl snapshots: a collapsing slope or "
+    "spiking Gini flags template/boilerplate flooding before any dedup "
+    "runs.  The Gini numerator sums exactly-representable integers "
+    "(rank·count < 2^53), so it is bit-exact across engines; the Zipf "
+    "sums round at 6 dp.  Scale shape: one shuffle to count n-grams, "
+    "then rank windows over the AGGREGATED vocabulary table (vocab-sized, "
+    "not corpus-sized); at extreme vocab the exact ranks would come from "
+    "a sort-based zipWithIndex or binned Lorenz approximation, the same "
+    "plan class as the percentile ladder",
+    tags=("text", "statistics", "diagnostics"),
+)
+def ngram_distribution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(tokenize("text").alias("_t"))
+        .select(F.explode(word_shingles(F.col("_t"), 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = uni.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "g")).alias("rk"),
+        F.row_number().over(Window.orderBy(F.col("c").asc(), "g")).alias("rk_asc"),
+    )
+    tot = uni.agg(
+        F.count("*").cast("long").alias("v"), F.sum("c").cast("long").alias("n")
+    )
+    lnrk = F.log(F.col("rk").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+    zipf = ranked.filter(F.col("rk") <= _ZIPF_TOP).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(lnrk).alias("sx"),
+        F.sum(lnc).alias("sy"),
+        F.sum(lnrk * lnc).alias("sxy"),
+        F.sum(lnrk * lnrk).alias("sxx"),
+    )
+    gini = ranked.agg(
+        (F.lit(2.0) * F.sum(F.col("rk_asc").cast("double") * F.col("c"))).alias(
+            "num"
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(zipf))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            F.col("v").alias("n_vocab"),
+            F.col("n").alias("n_total"),
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")),
+                6,
+            ).alias("zipf_slope"),
+            F.round(
+                F.col("num") / (F.col("v") * F.col("n").cast("double"))
+                - (F.col("v") + F.lit(1.0)) / F.col("v"),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -725,6 +725,11 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
+    # The shingle stream feeds BOTH the sketch branch and the exact-count
+    # branch, but no persist is needed: both consumers sit in ONE final
+    # DAG reading the identical distinct-aggregation subtree, so Catalyst
+    # reuses the exchange (ReusedExchange, plan-asserted in
+    # tests/test_plans.py) and the tokenize→explode pipeline runs once.
     sh = (
         _spread_narrow(docs)
         .select("source", tokenize("text").alias("_t"))
