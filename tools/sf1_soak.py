@@ -61,7 +61,23 @@ HEAVY = [
     # edge/size joins; cross-replica shingle disjointness means clusters
     # stay intra-replica, so output must be exactly 10× the sf0.1 rows
     "dedup_cluster_density",
+    # late round 8: the sketch-merge query (shingle universe grows ~10×,
+    # sketches stay k rows), the percentile-ladder winsorization (10×
+    # lineitem through the histogram ladder + clamp agg), and the
+    # rank-window distribution profile (vocab grows ~10× via the
+    # per-replica token suffix — the global rank windows must stay
+    # vocab-bounded, not corpus-bounded)
+    "kmv_sketch_union",
+    "winsorized_price_stats",
+    "ngram_distribution_profile",
 ]
+
+# Optional: soak only the named queries (positional args), e.g.
+#   python tools/sf1_soak.py kmv_sketch_union winsorized_price_stats
+if len(sys.argv) > 1:
+    unknown = [n for n in sys.argv[1:] if n not in HEAVY]
+    assert not unknown, f"not in the soak set: {unknown}"
+    HEAVY = sys.argv[1:]
 
 
 def generate(spark) -> None:
