@@ -102,6 +102,7 @@ HEADLINE = [
     "dup_graph_degree_hist",
     "winsorized_price_stats",
     "ngram_distribution_profile",
+    "cross_source_dup_matrix",
 ]
 
 

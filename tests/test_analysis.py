@@ -157,3 +157,31 @@ def test_ngram_profile_bounds_and_totals(spark):
     )
     assert r["n_total"] == sh.count()
     assert r["n_vocab"] == sh.distinct().count()
+
+
+def test_cross_source_matrix_partitions_the_pair_set(spark):
+    """Matrix cells partition the exact pair set: n_pairs sums to |pairs|,
+    cells are unordered (src_a <= src_b), and each cell's average Jaccard
+    re-derives from the raw pairs."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_from_docs,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    rows = q.REGISTRY["cross_source_dup_matrix"].fn(spark, SF001).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(pairs)
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    by_cell: dict[tuple, list] = {}
+    for p in pairs:
+        a, b = sorted((src[p["x"]], src[p["y"]]))
+        by_cell.setdefault((a, b), []).append(p["jaccard"])
+    assert {(r["src_a"], r["src_b"]) for r in rows} == set(by_cell)
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]
+        js = by_cell[(r["src_a"], r["src_b"])]
+        assert abs(r["avg_jaccard"] - sum(js) / len(js)) < 1e-5

@@ -152,12 +152,12 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-8 rotation policy: the checked window is the 50 queries with the
     # oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r8: never:19 / r5:9 / r6:50 / r7:50 — the
-    # window is the 19 round-8 additions (never externally green), the 9
-    # r5-green queries, and the 22 stalest r6-green ones.
+    # Staleness histogram entering r8: never:20 / r5:9 / r6:50 / r7:50 — the
+    # window is the 20 round-8 additions (never externally green), the 9
+    # r5-green queries, and the 21 stalest r6-green ones.
     window = set(names[:50])
     # Never-externally-green round-8 additions lead unconditionally.
-    assert _PRIORITY[:19] == [
+    assert _PRIORITY[:20] == [
         "dedup_cluster_density",
         "text_token_entropy",
         "doc_unigram_logprob",
@@ -177,9 +177,10 @@ def test_checked_window_composition():
         "dup_graph_degree_hist",
         "winsorized_price_stats",
         "ngram_distribution_profile",
+        "cross_source_dup_matrix",
     ]
     # The 9 r5-green queries squeezed out of the r7 window follow.
-    assert _PRIORITY[19:28] == [
+    assert _PRIORITY[20:29] == [
         "promo_revenue_share",
         "trailing_spend_range_frame",
         "market_share_by_year",
@@ -199,10 +200,11 @@ def test_checked_window_composition():
         "top_supplier_revenue", "local_supplier_volume",
     }
     assert not (r7_green_sample & window)
-    # The 28 r6-green queries squeezed out at width 50 head the r9 window
-    # (the original 22 plus the 6 displaced when the late-round-8 additions
-    # took the window head: rollup_customer_geo, cube_order_status,
-    # string_functions, date_functions, agg_suite, case_when_tiers).
+    # The 29 r6-green queries squeezed out at width 50 head the r9 window
+    # (the original 22 plus the 7 displaced when the late-round-8 additions
+    # took the window head: distinct_counts, rollup_customer_geo,
+    # cube_order_status, string_functions, date_functions, agg_suite,
+    # case_when_tiers).
     assert {
         "mixture_sampling_plan", "grouped_zscore_histogram",
         "asof_join_latest_order", "range_join_close_events",
@@ -213,8 +215,8 @@ def test_checked_window_composition():
         "token_budget_fill", "dedup_canonical_keep",
         "event_transition_matrix", "dup_graph_triangles", "cdc_chunk_stats",
         "union_all_monthly", "decontaminate_corpus", "vocab_top_ngrams",
-        "quality_percentile_filter", "rollup_customer_geo",
-        "cube_order_status",
+        "quality_percentile_filter", "distinct_counts",
+        "rollup_customer_geo", "cube_order_status",
         "string_functions", "date_functions", "agg_suite", "case_when_tiers",
     } & window == set()
     # every query everywhere carries an exact oracle

@@ -663,3 +663,73 @@ def ngram_distribution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-duplicate contamination matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT LEAST(dx.source, dy.source) AS src_a,
+           GREATEST(dx.source, dy.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+    FROM pairs p
+    JOIN documents dx ON dx.doc_id = p.x
+    JOIN documents dy ON dy.doc_id = p.y
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+    description="cross-source near-duplicate contamination matrix: the "
+    "exact-Jaccard pair set (J ≥ 0.5, same edges as dedup_clusters) "
+    "attributed to unordered source pairs — diagonal cells are "
+    "within-source duplication (crawl artifacts), off-diagonal cells are "
+    "cross-source syndication/mirroring, the signal that tells a corpus "
+    "pipeline which source pairs need joint (not per-source) dedup and "
+    "which benchmark sources leak into training sources.  Scale shape: "
+    "reuses the fused shared-shingle pair plan, then two id-equi-joins "
+    "against the narrow (doc_id, source) projection and a bounded "
+    "source²-keyed aggregation",
+    tags=("dedup", "diagnostics", "curation"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_from_docs
+    from .dedup import JACCARD_THRESHOLD
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    srcs = docs.select(F.col("doc_id").alias("id"), "source")
+    sx = srcs.withColumnRenamed("id", "x").withColumnRenamed("source", "src_x")
+    sy = srcs.withColumnRenamed("id", "y").withColumnRenamed("source", "src_y")
+    return (
+        pairs.join(sx, "x")
+        .join(sy, "y")
+        .select(
+            F.least("src_x", "src_y").alias("src_a"),
+            F.greatest("src_x", "src_y").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
