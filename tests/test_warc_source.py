@@ -1,0 +1,150 @@
+"""WARC custom data source (sources/warc.py): round-trip, partitioning,
+reader-side record-type pushdown, gzip handling, and malformed input.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from walmart_e_commerce_sales_data_pipeline_spark.sources.warc import (
+    WarcDataSource,
+    parse_warc,
+    write_warc,
+)
+
+
+def _records(prefix: str, n: int):
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "record_id": f"<urn:uuid:{prefix}-{i}>",
+                "warc_type": "response" if i % 2 == 0 else "request",
+                "target_uri": f"http://example.com/{prefix}/{i}",
+                "warc_date": "2026-08-14T00:00:00Z",
+                "content_type": "text/plain",
+                # binary payloads with CRLFs and a fake header block inside,
+                # to prove Content-Length framing (not delimiter scanning)
+                "payload": f"HTTP/1.1 200 OK\r\n\r\nbody {prefix} {i}\r\n".encode()
+                + bytes([0, 1, 2, i]),
+            }
+        )
+    return out
+
+
+@pytest.fixture
+def warc_dir(tmp_path):
+    write_warc(str(tmp_path / "seg-00.warc"), _records("a", 4))
+    write_warc(str(tmp_path / "seg-01.warc.gz"), _records("b", 3))
+    return tmp_path
+
+
+def test_roundtrip_and_partitioning(spark, warc_dir):
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(warc_dir))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 7
+    # one partition per segment file
+    assert df.rdd.getNumPartitions() == 2
+    # payload bytes survive exactly, through gzip too
+    orig = {r["record_id"]: r for r in _records("a", 4) + _records("b", 3)}
+    for rid, rec in orig.items():
+        got = rows[rid]
+        assert bytes(got["payload"]) == rec["payload"]
+        assert got["content_length"] == len(rec["payload"])
+        assert got["warc_type"] == rec["warc_type"]
+        assert got["target_uri"] == rec["target_uri"]
+    # source_file attribution matches the segment the record came from
+    assert {r["source_file"].rsplit("/", 1)[-1] for r in rows.values()} == {
+        "seg-00.warc",
+        "seg-01.warc.gz",
+    }
+
+
+def test_record_type_pushdown_filters_in_reader(spark, warc_dir):
+    spark.dataSource.register(WarcDataSource)
+    df = (
+        spark.read.format("warc")
+        .option("record_types", "response")
+        .load(str(warc_dir))
+    )
+    types = {r["warc_type"] for r in df.collect()}
+    assert types == {"response"}
+    assert df.count() == 4  # a: i in {0,2}; b: i in {0,2}
+
+
+def test_downstream_spark_ops_compose(spark, warc_dir):
+    """The source feeds normal Catalyst ops: filter, length(), group-by —
+    the payload stays binary until a downstream decode stage."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(warc_dir))
+    agg = (
+        df.filter(F.col("warc_type") == "response")
+        .groupBy("warc_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("bytes"),
+        )
+        .collect()
+    )
+    assert agg[0]["n"] == 4
+    expected = sum(
+        len(r["payload"])
+        for r in _records("a", 4) + _records("b", 3)
+        if r["warc_type"] == "response"
+    )
+    assert agg[0]["bytes"] == expected
+
+
+def test_parser_handles_folded_headers_and_lf_endings(tmp_path):
+    raw = (
+        b"WARC/1.0\n"
+        b"WARC-Record-ID: <urn:uuid:x>\n"
+        b"WARC-Type: metadata\n"
+        b"WARC-Target-URI: http://example.com/very/long\n"
+        b"\t/folded/continuation\n"
+        b"Content-Length: 5\n"
+        b"\n"
+        b"hello\n\n"
+    )
+    p = tmp_path / "lf.warc"
+    p.write_bytes(raw)
+    with open(p, "rb") as f:
+        (rec,) = list(parse_warc(f))
+    assert rec["payload"] == b"hello"
+    assert rec["target_uri"].endswith("/folded/continuation")
+
+
+def test_truncated_record_raises(tmp_path):
+    p = tmp_path / "bad.warc"
+    p.write_bytes(
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:y>\r\n"
+        b"Content-Length: 100\r\n\r\nshort"
+    )
+    with open(p, "rb") as f:
+        with pytest.raises(ValueError, match="truncated"):
+            list(parse_warc(f))
+
+
+def test_multimember_gzip_streams(tmp_path):
+    """CommonCrawl writes one gzip member per record; Python gzip streams
+    across members, so the reader must see every record."""
+    p = tmp_path / "mm.warc.gz"
+    with open(p, "wb") as out:
+        for rec in _records("m", 3):
+            payload = rec["payload"]
+            head = (
+                f"WARC/1.0\r\nWARC-Record-ID: {rec['record_id']}\r\n"
+                f"WARC-Type: {rec['warc_type']}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            out.write(gzip.compress(head + payload + b"\r\n\r\n"))
+    with gzip.open(p, "rb") as f:
+        recs = list(parse_warc(f))
+    assert [r["record_id"] for r in recs] == [
+        r["record_id"] for r in _records("m", 3)
+    ]
