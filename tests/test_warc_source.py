@@ -189,3 +189,47 @@ def test_stream_tails_segment_drops(spark, tmp_path):
     by_id = {r["record_id"]: bytes(r["payload"]) for r in seen}
     for rec in _records("s0", 2) + _records("s1", 3):
         assert by_id[rec["record_id"]] == rec["payload"]
+
+
+def test_write_roundtrip_and_atomicity(spark, tmp_path):
+    """df.write.format('warc') re-shards a corpus: one segment per input
+    partition, mode('overwrite') clears prior segments, no .inprogress
+    files survive a successful commit, and reading back returns the
+    identical records."""
+    spark.dataSource.register(WarcDataSource)
+    out = tmp_path / "out"
+    src = _records("w", 6)
+    df = spark.createDataFrame(
+        [
+            (
+                r["record_id"],
+                r["warc_type"],
+                r["target_uri"],
+                r["warc_date"],
+                r["content_type"],
+                len(r["payload"]),
+                r["payload"],
+                "orig",
+            )
+            for r in src
+        ],
+        schema=(
+            "record_id string, warc_type string, target_uri string, "
+            "warc_date string, content_type string, content_length long, "
+            "payload binary, source_file string"
+        ),
+    ).repartition(3)
+    df.write.format("warc").mode("append").save(str(out))
+    names = sorted(p.name for p in out.iterdir())
+    assert len([n for n in names if n.endswith(".warc.gz")]) == 3
+    assert not [n for n in names if n.endswith(".inprogress")]
+
+    back = spark.read.format("warc").load(str(out)).collect()
+    got = {r["record_id"]: bytes(r["payload"]) for r in back}
+    assert got == {r["record_id"]: r["payload"] for r in src}
+
+    # overwrite replaces the previous segments entirely
+    df.limit(2).repartition(1).write.format("warc").mode("overwrite").save(str(out))
+    again = spark.read.format("warc").load(str(out)).collect()
+    assert len(again) == 2
+    assert len([p for p in out.iterdir() if p.name.endswith(".warc.gz")]) == 1

@@ -37,12 +37,15 @@ import gzip
 import io
 import os
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -193,32 +196,41 @@ class WarcDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
         return WarcStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "WarcWriter":
+        return WarcWriter(self.options, overwrite)
 
-def write_warc(path: str, records: list[dict]) -> None:
+
+def _emit_records(out, records: list[dict]) -> None:
+    for rec in records:
+        payload: bytes = rec["payload"]
+        head = [
+            "WARC/1.0",
+            f"WARC-Record-ID: {rec['record_id']}",
+            f"WARC-Type: {rec['warc_type']}",
+            f"Content-Length: {len(payload)}",
+        ]
+        for opt, key in (
+            ("target_uri", "WARC-Target-URI"),
+            ("warc_date", "WARC-Date"),
+            ("content_type", "Content-Type"),
+        ):
+            if rec.get(opt):
+                head.append(f"{key}: {rec[opt]}")
+        out.write("\r\n".join(head).encode() + b"\r\n\r\n")
+        out.write(payload)
+        out.write(b"\r\n\r\n")
+
+
+def write_warc(path: str, records: list[dict], *, compress: bool | None = None) -> None:
     """Minimal spec-conformant WARC writer (fixtures + round-trip tests;
-    gzip if the path ends in .gz).  Each record dict needs ``record_id``,
-    ``warc_type``, ``payload`` (bytes) and may carry ``target_uri``,
-    ``warc_date``, ``content_type``."""
-    opener = gzip.open if path.endswith(".gz") else open
+    gzip if the path ends in .gz unless ``compress`` overrides).  Each
+    record dict needs ``record_id``, ``warc_type``, ``payload`` (bytes)
+    and may carry ``target_uri``, ``warc_date``, ``content_type``."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    opener = gzip.open if compress else open
     with opener(path, "wb") as out:
-        for rec in records:
-            payload: bytes = rec["payload"]
-            head = [
-                "WARC/1.0",
-                f"WARC-Record-ID: {rec['record_id']}",
-                f"WARC-Type: {rec['warc_type']}",
-                f"Content-Length: {len(payload)}",
-            ]
-            for opt, key in (
-                ("target_uri", "WARC-Target-URI"),
-                ("warc_date", "WARC-Date"),
-                ("content_type", "Content-Type"),
-            ):
-                if rec.get(opt):
-                    head.append(f"{key}: {rec[opt]}")
-            out.write("\r\n".join(head).encode() + b"\r\n\r\n")
-            out.write(payload)
-            out.write(b"\r\n\r\n")
+        _emit_records(out, records)
 
 
 # ---------------------------------------------------------------------------
@@ -293,3 +305,71 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("files", []))
         replay = [f for f in end.get("files", []) if f not in seen]
         return iter(list(self._rows_for(replay)))
+
+
+# ---------------------------------------------------------------------------
+# Writing: re-shard / export a corpus back to WARC segments.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _WarcSegmentCommit(WriterCommitMessage):
+    path: str
+    records: int
+
+
+class WarcWriter(DataSourceWriter):
+    """``df.write.format("warc").mode("append").save(dir)``: one segment
+    file per input partition (so the write parallelism IS the sharding),
+    gzip by default (``option("compression", "none")`` opts out).  Tasks
+    write to ``.inprogress`` names and ``commit`` renames them — an
+    aborted/speculated task never leaves a readable segment behind,
+    which is what makes the job-level all-or-nothing contract hold on a
+    plain filesystem.  NB: Spark's Python data source framework only
+    permits Append/Overwrite save modes (the default ErrorIfExists is
+    rejected before ``writer()`` is called)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("warc writer requires a directory path")
+        self.compress = options.get("compression", "gzip") != "none"
+        os.makedirs(self.dir, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith((".warc", ".warc.gz", ".inprogress")):
+                    os.remove(os.path.join(self.dir, f))
+
+    def write(self, rows) -> _WarcSegmentCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        suffix = ".warc.gz" if self.compress else ".warc"
+        final = os.path.join(
+            self.dir, f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}{suffix}"
+        )
+        tmp = final + ".inprogress"
+        records = [
+            {
+                "record_id": row["record_id"],
+                "warc_type": row["warc_type"],
+                "target_uri": row["target_uri"],
+                "warc_date": row["warc_date"],
+                "content_type": row["content_type"],
+                "payload": bytes(row["payload"]),
+            }
+            for row in rows
+        ]
+        # the .inprogress tmp name hides the final suffix, so compression
+        # is decided explicitly rather than by suffix sniffing
+        write_warc(tmp, records, compress=self.compress)
+        return _WarcSegmentCommit(path=tmp, records=len(records))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.rename(m.path, m.path[: -len(".inprogress")])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
