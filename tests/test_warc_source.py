@@ -233,3 +233,59 @@ def test_write_roundtrip_and_atomicity(spark, tmp_path):
     again = spark.read.format("warc").load(str(out)).collect()
     assert len(again) == 2
     assert len([p for p in out.iterdir() if p.name.endswith(".warc.gz")]) == 1
+
+
+def test_warc_feeds_the_curation_operators(spark, tmp_path):
+    """End-to-end ingestion composition: WARC segments -> payload decode
+    (expression-level, payload is UTF-8 here) -> the text-curation
+    operators run unchanged on the decoded column."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spark reads web archives now and the corpus grows",
+        "short",
+    ]
+    write_warc(
+        str(tmp_path / "docs.warc.gz"),
+        [
+            {
+                "record_id": f"<urn:uuid:d{i}>",
+                "warc_type": "response",
+                "target_uri": f"http://example.com/{i}",
+                "content_type": "text/plain",
+                "payload": t.encode(),
+            }
+            for i, t in enumerate(texts)
+        ],
+    )
+    docs = (
+        spark.read.format("warc")
+        .option("record_types", "response")
+        .load(str(tmp_path))
+        .select(
+            "record_id",
+            F.decode("payload", "UTF-8").alias("text"),
+            F.length(F.decode("payload", "UTF-8")).alias("n_chars"),
+        )
+    )
+    rows = docs.select(
+        "record_id",
+        token_count("text").alias("toks"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    ).collect()
+    got = {r["record_id"]: r for r in rows}
+    assert got["<urn:uuid:d0>"]["toks"] == 9
+    assert got["<urn:uuid:d2>"]["toks"] == 1
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+    # the score re-derives exactly from the decoded text (pin one doc:
+    # d1 has 9 tokens, 2 stopwords "and"/"the", 49 chars)
+    expect_d1 = (9 / 100) * 0.4 + (1 - 2 / 9) * 0.3 + (49 / 500) * 0.3
+    assert abs(got["<urn:uuid:d1>"]["q"] - expect_d1) < 1e-9
