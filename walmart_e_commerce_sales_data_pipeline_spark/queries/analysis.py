@@ -120,20 +120,41 @@ def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
-    # No persists: all consumers live in ONE final DAG, so the shared
-    # distinct-shingle and distinct-hash subtrees dedupe via Catalyst's
-    # exchange reuse (ReusedExchange, plan-asserted in tests/test_plans.py)
-    # and the ≤ 2k-row sketch recomputes from the reused exchange are
-    # bounded by WindowGroupLimit.
-    sh = (
+    # ONE heavy shuffle for everything: aggregate the raw (par, shingle)
+    # stream by shingle with per-partition membership flags.  The exact
+    # branch is a 1-row agg over this table; the sketch branch derives
+    # (par, hv) rows from the flags (no second shingle-distinct pass).
+    # No persists: both consumers read the identical aggregation subtree
+    # inside one final DAG, so Catalyst's exchange reuse dedupes it
+    # (ReusedExchange, plan-asserted in tests/test_plans.py), and the
+    # rank filters rewrite to WindowGroupLimit.
+    flags = (
         _spread_narrow(docs)
         .select(
             (F.col("doc_id") % 2).alias("par"), tokenize("text").alias("_t")
         )
         .select("par", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(
+            F.max(F.when(F.col("par") == 0, 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("par") == 1, 1).otherwise(0)).alias("ib"),
+        )
+    )
+    # (par, hv) pairs from the flag table; distinct because two shingles
+    # may (in principle) share a 48-bit hash — the oracle dedups hv too.
+    h = (
+        flags.select(
+            F.expr(_hash_sql("STRING")).alias("hv"),
+            F.when(F.col("ia") == 1, F.array(F.lit(0)))
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_pa"),
+            F.when(F.col("ib") == 1, F.array(F.lit(1)))
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_pb"),
+        )
+        .select(F.explode(F.concat("_pa", "_pb")).alias("par"), "hv")
         .distinct()
     )
-    h = sh.select("par", F.expr(_hash_sql("STRING")).alias("hv")).distinct()
     w = Window.partitionBy("par").orderBy("hv")
     sk = (
         h.withColumn("rk", F.row_number().over(w))
@@ -170,20 +191,11 @@ def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sk_b, "hv", "left_semi")
         .agg(F.count("*").cast("long").alias("m_both"))
     )
-    exact = (
-        sh.select(
-            F.when(F.col("par") == 0, 1).otherwise(0).alias("ia"),
-            F.when(F.col("par") == 1, 1).otherwise(0).alias("ib"),
-            "shingle",
-        )
-        .groupBy("shingle")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
-        .agg(
-            F.sum("ia").cast("long").alias("n_a"),
-            F.sum("ib").cast("long").alias("n_b"),
-            F.count("*").cast("long").alias("n_union"),
-            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter"),
-        )
+    exact = flags.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_union"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter"),
     )
     return (
         exact.crossJoin(F.broadcast(a_stats))
