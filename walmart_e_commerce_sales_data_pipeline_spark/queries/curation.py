@@ -747,8 +747,11 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hv").alias("kth_hv"),
         )
     )
+    # sh is distinct by construction, so the exact cardinality is a plain
+    # count — countDistinct here would re-run a whole distinct-aggregation
+    # phase over rows that are already unique.
     ex = sh.groupBy("source").agg(
-        F.countDistinct("shingle").cast("long").alias("n_exact")
+        F.count("*").cast("long").alias("n_exact")
     )
     est = F.lit(_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("kth_hv")
     return (
