@@ -103,6 +103,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "ngram_distribution_profile",
     "cross_source_dup_matrix",
+    "scd2_user_state_history",
 ]
 
 

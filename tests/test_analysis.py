@@ -185,3 +185,30 @@ def test_cross_source_matrix_partitions_the_pair_set(spark):
         assert r["src_a"] <= r["src_b"]
         js = by_cell[(r["src_a"], r["src_b"])]
         assert abs(r["avg_jaccard"] - sum(js) / len(js)) < 1e-5
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """Version intervals chain exactly (valid_to == next valid_from),
+    exactly one current version per user, versions are 1..k, adjacent
+    versions change state, and the per-user event counts re-add to the
+    raw stream."""
+    rows = q.REGISTRY["scd2_user_state_history"].fn(spark, SF001).collect()
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(per_user)
+    for uid, vers in by_user.items():
+        vers.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vers] == list(range(1, len(vers) + 1))
+        assert sum(v["n_events"] for v in vers) == per_user[uid]
+        assert sum(v["is_current"] for v in vers) == 1
+        assert vers[-1]["is_current"] and vers[-1]["valid_to"] is None
+        for a, b in zip(vers, vers[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] < b["valid_from"]
+            assert a["state"] != b["state"], "adjacent versions must differ"

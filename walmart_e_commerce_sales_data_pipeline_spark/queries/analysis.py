@@ -745,3 +745,93 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 history build (validity intervals from a change stream).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, event_type, tsn,
+               SUM(CASE WHEN prev IS NOT DISTINCT FROM event_type
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM seq
+    ),
+    ver AS (
+        SELECT user_id, island,
+               MIN(event_type) AS state,
+               CAST(MIN(tsn) AS BIGINT) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           state, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           (LEAD(valid_from) OVER w IS NULL) AS is_current,
+           n_events
+    FROM ver
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, island)
+    ORDER BY user_id, version
+    """,
+    description="SCD-2 (slowly-changing-dimension type 2) history build "
+    "from a change stream: per user, consecutive runs of the same state "
+    "(event_type) collapse into one version row — the gaps-and-islands "
+    "pattern (lag-detects-change → running-sum island id) — then each "
+    "version gets [valid_from, valid_to) nanosecond validity bounds via "
+    "lead(), an is_current flag, and the event count it absorbed.  The "
+    "dimension-history maintenance every warehouse load performs, and "
+    "the point-in-time-join input for training-data correctness "
+    "(feature state AS OF label time).  Change detection uses "
+    "null-safe equality so a null state still opens a version.  Scale "
+    "shape: all four steps partition by user_id — one shuffle on the "
+    "natural key, windows and aggregation reuse it with no further "
+    "exchange",
+    tags=("event-time", "scd", "warehouse"),
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    isl = seq.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev").eqNullSafe(F.col("event_type")), 0).otherwise(1)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ver = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts_ns").cast("long").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return (
+        ver.select(
+            "user_id",
+            F.row_number().over(w2).alias("version"),
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            F.lead("valid_from").over(w2).isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
