@@ -51,9 +51,8 @@ def test_morton_key_locality():
     assert got[(0, 1)] == 2
     assert got[(1, 1)] == 3
     assert got[(2, 2)] == 12          # x=10b -> 4, y=10b -> 8
-    assert got[(3, 5)] == 0b100111    # x=011 -> 5? no: computed below
     # x=3 (11b) contributes 1<<0 | 1<<2 = 5; y=5 (101b) contributes
-    # 1<<1 | 1<<5 = 34; total 39 = 0b100111
+    # 1<<1 | 1<<5 = 34; total 39
     assert got[(3, 5)] == 39
 
 
@@ -113,3 +112,69 @@ def test_zorder_preserves_rows_exactly(spark, tmp_path):
     assert a["p"] == b["p"]  # integer sum: exact
     # double sum is order-dependent at the last ulp after re-layout
     assert abs(a["s"] - b["s"]) < 1e-4 * abs(a["s"])
+
+
+def _hilbert_ref(bits, x, y):
+    """Reference xy->d (classic public-domain iteration)."""
+    d = 0
+    n = 1 << bits
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_distance_matches_reference(spark):
+    """The expression-chain xy->d equals the classic iterative reference
+    for a grid of points, and the curve is a bijection on the 16x16
+    grid (every d in [0, 256) hit exactly once at bits=4)."""
+    import pyspark.sql.types as T
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.layout import (
+        hilbert_d,
+    )
+
+    bits = 4
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(
+        pts,
+        schema=T.StructType(
+            [
+                T.StructField("_hx", T.LongType()),
+                T.StructField("_hy", T.LongType()),
+            ]
+        ),
+    ).select(F.col("_hx").alias("x"), F.col("_hy").alias("y"), "_hx", "_hy")
+    rows = hilbert_d(df, bits).collect()
+    got = {(r["x"], r["y"]): r["_hd"] for r in rows}
+    for (x, y), d in got.items():
+        assert d == _hilbert_ref(bits, x, y), (x, y, d)
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_prunes_both_dimensions(spark, tmp_path):
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.layout import (
+        hilbert_write,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice"
+    )
+    px = _band(li, "l_extendedprice", 0.45, 0.55)
+    py = _band(li, "l_partkey", 0.45, 0.55)
+    hdir = str(tmp_path / "hilbert")
+    hilbert_write(li, hdir, "l_extendedprice", "l_partkey", n_files=N_FILES)
+    h_x = files_pruned_by_minmax(hdir, {"l_extendedprice": px})
+    h_y = files_pruned_by_minmax(hdir, {"l_partkey": py})
+    assert h_x["skipped"] >= h_x["total"] * 0.25, h_x
+    assert h_y["skipped"] >= h_y["total"] * 0.25, h_y
+    back = spark.read.parquet(hdir)
+    assert back.count() == li.count()

@@ -118,3 +118,86 @@ def files_pruned_by_minmax(
                 break
         skipped += skip
     return {"total": total, "skipped": skipped}
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve variant: tighter envelopes than Morton at the same cost.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_d(keyed: DataFrame, bits: int = _BITS) -> DataFrame:
+    """Append a ``_hd`` Hilbert-distance column computed from integer
+    coordinate columns ``_hx``/``_hy`` in [0, 2^bits) — the classic
+    xy→d iteration (quadrant digit + rotate/reflect).  The iteration
+    carries per-step state (x, y, d mutate under rotation), which would
+    duplicate the whole expression tree if nested naively — each step is
+    therefore materialized as its own projection, keeping the plan
+    linear in ``bits`` (16 narrow Projects, all whole-stage codegen).
+    Consumes ``_hx``/``_hy`` (mutated in place)."""
+    keyed = keyed.withColumn("_hd", F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        keyed = keyed.select(
+            "*",
+            rx.alias("_rx"),
+            ry.alias("_ry"),
+        )
+        keyed = keyed.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s).cast("long")
+            * F.lit(s)
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+        )
+        # rotate the quadrant: when ry == 0, reflect about the FULL grid
+        # (n-1, not s-1 — x still carries untouched low bits) if rx == 1,
+        # then swap x/y; each step reads the PREVIOUS step's columns, so
+        # the swap is safe inside one select.
+        n_minus_1 = (1 << bits) - 1
+        nx = F.when(
+            F.col("_ry") == 0,
+            F.when(
+                F.col("_rx") == 1, F.lit(n_minus_1) - F.col("_hy")
+            ).otherwise(F.col("_hy")),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            F.col("_ry") == 0,
+            F.when(
+                F.col("_rx") == 1, F.lit(n_minus_1) - F.col("_hx")
+            ).otherwise(F.col("_hx")),
+        ).otherwise(F.col("_hy"))
+        keyed = keyed.select(
+            *[c for c in keyed.columns if c not in ("_hx", "_hy", "_rx", "_ry")],
+            nx.alias("_hx"),
+            ny.alias("_hy"),
+        )
+    return keyed.drop("_hx", "_hy")
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = _BITS,
+) -> None:
+    """``zorder_write`` with the Hilbert curve instead of Morton: the
+    Hilbert traversal has no long diagonal jumps, so file envelopes are
+    typically tighter for the same file count (measured in SCALE.md
+    §10)."""
+    keyed = hilbert_d(
+        df.withColumn("_hx", _rank01(col_x, bits)).withColumn(
+            "_hy", _rank01(col_y, bits)
+        ),
+        bits,
+    )
+    (
+        keyed.repartitionByRange(n_files, "_hd")
+        .sortWithinPartitions("_hd")
+        .drop("_hd")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
