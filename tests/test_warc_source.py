@@ -289,3 +289,42 @@ def test_warc_feeds_the_curation_operators(spark, tmp_path):
     # d1 has 9 tokens, 2 stopwords "and"/"the", 49 chars)
     expect_d1 = (9 / 100) * 0.4 + (1 - 2 / 9) * 0.3 + (49 / 500) * 0.3
     assert abs(got["<urn:uuid:d1>"]["q"] - expect_d1) < 1e-9
+
+
+def test_stream_writer_relays_warc_to_warc(spark, tmp_path):
+    """Full-circle streaming relay: tail a drop directory and re-export
+    as consolidated WARC segments via writeStream.format('warc') —
+    committed segments per epoch, no .inprogress leftovers, every record
+    byte-exact after the round trip."""
+    spark.dataSource.register(WarcDataSource)
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    write_warc(str(src / "drop-0.warc"), _records("r0", 3))
+
+    q = (
+        spark.readStream.format("warc")
+        .load(str(src))
+        .repartition(1)
+        .writeStream.format("warc")
+        .option("path", str(dst))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_warc(str(src / "drop-1.warc"), _records("r1", 2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    names = sorted(p.name for p in dst.iterdir())
+    assert not [n for n in names if n.endswith(".inprogress")], names
+    assert all(n.startswith("batch-") for n in names), names
+    back = {
+        r["record_id"]: bytes(r["payload"])
+        for r in spark.read.format("warc").load(str(dst)).collect()
+    }
+    assert back == {
+        r["record_id"]: r["payload"] for r in _records("r0", 3) + _records("r1", 2)
+    }

@@ -42,6 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -198,6 +199,9 @@ class WarcDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "WarcWriter":
         return WarcWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "WarcStreamWriter":
+        return WarcStreamWriter(self.options)
 
 
 def _emit_records(out, records: list[dict]) -> None:
@@ -370,6 +374,59 @@ class WarcWriter(DataSourceWriter):
             os.rename(m.path, m.path[: -len(".inprogress")])
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class WarcStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("warc")``: every micro-batch lands as one
+    segment per task, named ``batch-{epoch}-part-{partition}`` so a
+    REPLAYED epoch (failure recovery) rewrites the same file names —
+    idempotent at the segment level, the property exactly-once sinks on
+    plain filesystems are built from.  Tasks write ``.inprogress`` and
+    ``commit(messages, batchId)`` renames, so a crashed epoch never
+    leaves a readable segment."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("warc stream writer requires a directory path")
+        self.compress = options.get("compression", "gzip") != "none"
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, rows) -> _WarcSegmentCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        suffix = ".warc.gz" if self.compress else ".warc"
+        # streaming epochs carry the batch id via the task-local property
+        # set by the micro-batch engine; fall back to attempt number
+        batch = ctx.getLocalProperty("streaming.sql.batchId") or "x"
+        final = os.path.join(
+            self.dir, f"batch-{batch}-part-{ctx.partitionId():05d}{suffix}"
+        )
+        tmp = final + ".inprogress"
+        records = [
+            {
+                "record_id": row["record_id"],
+                "warc_type": row["warc_type"],
+                "target_uri": row["target_uri"],
+                "warc_date": row["warc_date"],
+                "content_type": row["content_type"],
+                "payload": bytes(row["payload"]),
+            }
+            for row in rows
+        ]
+        write_warc(tmp, records, compress=self.compress)
+        return _WarcSegmentCommit(path=tmp, records=len(records))
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.rename(m.path, m.path[: -len(".inprogress")])
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
