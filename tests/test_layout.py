@@ -178,3 +178,34 @@ def test_hilbert_prunes_both_dimensions(spark, tmp_path):
     assert h_y["skipped"] >= h_y["total"] * 0.25, h_y
     back = spark.read.parquet(hdir)
     assert back.count() == li.count()
+
+
+def test_row_group_pruning_is_finer_than_file_pruning(spark, tmp_path):
+    """Within-file row-group stats prune FINER than file envelopes on a
+    curve-sorted layout: every file-level skip implies its groups skip,
+    and straddling files still skip some of their groups."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.layout import (
+        row_groups_pruned_by_minmax,
+    )
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice"
+    )
+    px = _band(li, "l_extendedprice", 0.45, 0.55)
+    zdir = str(tmp_path / "z")
+    # few files, small row groups -> many groups per file (the writer
+    # option reaches the parquet writer; a runtime spark.conf does not)
+    zorder_write(
+        li,
+        zdir,
+        "l_extendedprice",
+        "l_partkey",
+        n_files=4,
+        writer_options={"parquet.block.size": str(64 * 1024)},
+    )
+    f = files_pruned_by_minmax(zdir, {"l_extendedprice": px})
+    rg = row_groups_pruned_by_minmax(zdir, {"l_extendedprice": px})
+    assert rg["total"] > f["total"], (rg, f)  # multiple groups per file
+    # row-group skipping must beat the file-level skip RATE: straddling
+    # files contribute skippable groups the file decision cannot see
+    assert rg["skipped"] / rg["total"] > f["skipped"] / f["total"], (rg, f)

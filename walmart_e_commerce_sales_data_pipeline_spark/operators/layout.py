@@ -58,6 +58,7 @@ def zorder_write(
     col_y: str,
     n_files: int = 16,
     bits: int = _BITS,
+    writer_options: dict | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Morton curve of
     (col_x, col_y): range-partition on the key so each file owns a
@@ -79,6 +80,7 @@ def zorder_write(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
         .write.mode("overwrite")
+        .options(**(writer_options or {}))
         .parquet(path)
     )
 
@@ -201,3 +203,35 @@ def hilbert_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def row_groups_pruned_by_minmax(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> dict[str, int]:
+    """Row-group-granularity twin of ``files_pruned_by_minmax`` — the
+    decision parquet readers actually make at production file sizes
+    (1 GB files hold ~8 row groups; a file whose envelope straddles the
+    predicate can still skip most of its groups when the data inside is
+    curve-sorted, which is exactly what ``sortWithinPartitions`` on the
+    clustering key buys).  Returns {"total": N, "skipped": M} over all
+    row groups under ``path``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            total += 1
+            for col, (lo, hi) in predicates.items():
+                st = md.row_group(rg).column(cols[col]).statistics
+                if st is not None and st.has_min_max and (
+                    st.min > hi or st.max < lo
+                ):
+                    skipped += 1
+                    break
+    return {"total": total, "skipped": skipped}
