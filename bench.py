@@ -146,13 +146,26 @@ def main() -> None:
         metrics_since,
     )
 
+    def _loadavg() -> float:
+        # 1-minute load average at measurement time: ambient co-tenant
+        # waves on this box inflate consecutive bench positions 1.4-2x
+        # (r7/r8 diagnosis); recording the load NEXT TO each wall makes
+        # wave attribution mechanical instead of forensic.
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     N_RUNS = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     runtime: dict[str, dict[str, int]] = {}
     all_runs: dict[str, list[float]] = {}
+    loadavgs: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
+        loadavgs[name] = _loadavg()
         runs: list[float] = []
         try:
             for _ in range(N_RUNS):
@@ -182,6 +195,7 @@ def main() -> None:
     from walmart_e_commerce_sales_data_pipeline_spark.pipeline import main as etl_main
 
     try:
+        loadavgs["walmart_etl_e2e"] = _loadavg()
         runs = []
         for _ in range(N_RUNS):
             with tempfile.TemporaryDirectory() as out:
@@ -276,6 +290,7 @@ def main() -> None:
                 "calibration_runs": cal_runs,
                 "queries": timings,
                 "runs": all_runs,
+                "loadavg_1m": loadavgs,
                 "errors": errors,
                 "runtime_metrics": runtime,
                 "ivf_pruned": ivf_pruned,
