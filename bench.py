@@ -104,6 +104,7 @@ HEADLINE = [
     "ngram_distribution_profile",
     "cross_source_dup_matrix",
     "scd2_user_state_history",
+    "state_as_of_label_time",
 ]
 
 

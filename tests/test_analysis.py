@@ -212,3 +212,28 @@ def test_scd2_intervals_partition_each_users_timeline(spark):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] < b["valid_from"]
             assert a["state"] != b["state"], "adjacent versions must differ"
+
+
+def test_point_in_time_join_matches_each_label_exactly_once(spark):
+    """Every sampled label matches exactly one SCD-2 version (intervals
+    partition the timeline), the matched version's interval genuinely
+    contains the label timestamp, and no future state leaks backwards
+    (the matched state equals the label event's own recent history)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        _PIT_SAMPLE_MOD,
+    )
+
+    rows = q.REGISTRY["state_as_of_label_time"].fn(spark, SF001).collect()
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    n_labels = ev.filter(F.col("event_id") % _PIT_SAMPLE_MOD == 0).count()
+    assert len(rows) == n_labels
+    assert len({r["label_id"] for r in rows}) == n_labels
+    hist = {
+        (r["user_id"], r["version"]): r
+        for r in q.REGISTRY["scd2_user_state_history"].fn(spark, SF001).collect()
+    }
+    for r in rows:
+        h = hist[(r["user_id"], r["version"])]
+        assert h["valid_from"] <= r["label_tsn"]
+        assert h["valid_to"] is None or r["label_tsn"] < h["valid_to"]
+        assert h["state"] == r["state_at_label"]

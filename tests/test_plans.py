@@ -221,3 +221,13 @@ def test_kmv_rank_filters_rewrite_to_group_limits(spark):
             name,
             plan,
         )
+
+
+def test_point_in_time_join_is_hash_not_nested_loop(spark):
+    """The SCD-2 interval join must ride the user_id equi key as a hash
+    join with the containment as a residual — a nested loop here would
+    be labels x history at scale."""
+    plan = formatted_plan(q.REGISTRY["state_as_of_label_time"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

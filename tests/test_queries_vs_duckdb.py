@@ -152,12 +152,12 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-8 rotation policy: the checked window is the 50 queries with the
     # oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r8: never:21 / r5:9 / r6:50 / r7:50 — the
-    # window is the 21 round-8 additions (never externally green), the 9
-    # r5-green queries, and the 20 stalest r6-green ones.
+    # Staleness histogram entering r8: never:22 / r5:9 / r6:50 / r7:50 — the
+    # window is the 22 round-8 additions (never externally green), the 9
+    # r5-green queries, and the 19 stalest r6-green ones.
     window = set(names[:50])
     # Never-externally-green round-8 additions lead unconditionally.
-    assert _PRIORITY[:21] == [
+    assert _PRIORITY[:22] == [
         "dedup_cluster_density",
         "text_token_entropy",
         "doc_unigram_logprob",
@@ -179,9 +179,10 @@ def test_checked_window_composition():
         "ngram_distribution_profile",
         "cross_source_dup_matrix",
         "scd2_user_state_history",
+        "state_as_of_label_time",
     ]
     # The 9 r5-green queries squeezed out of the r7 window follow.
-    assert _PRIORITY[21:30] == [
+    assert _PRIORITY[22:31] == [
         "promo_revenue_share",
         "trailing_spend_range_frame",
         "market_share_by_year",
@@ -201,11 +202,11 @@ def test_checked_window_composition():
         "top_supplier_revenue", "local_supplier_volume",
     }
     assert not (r7_green_sample & window)
-    # The 30 r6-green queries squeezed out at width 50 head the r9 window
-    # (the original 22 plus the 8 displaced when the late-round-8 additions
-    # took the window head: set_operations, distinct_counts,
-    # rollup_customer_geo, cube_order_status, string_functions,
-    # date_functions, agg_suite, case_when_tiers).
+    # The 31 r6-green queries squeezed out at width 50 head the r9 window
+    # (the original 22 plus the 9 displaced when the late-round-8 additions
+    # took the window head: top10_expensive_items, set_operations,
+    # distinct_counts, rollup_customer_geo, cube_order_status,
+    # string_functions, date_functions, agg_suite, case_when_tiers).
     assert {
         "mixture_sampling_plan", "grouped_zscore_histogram",
         "asof_join_latest_order", "range_join_close_events",
@@ -216,7 +217,8 @@ def test_checked_window_composition():
         "token_budget_fill", "dedup_canonical_keep",
         "event_transition_matrix", "dup_graph_triangles", "cdc_chunk_stats",
         "union_all_monthly", "decontaminate_corpus", "vocab_top_ngrams",
-        "quality_percentile_filter", "set_operations", "distinct_counts",
+        "quality_percentile_filter", "top10_expensive_items",
+        "set_operations", "distinct_counts",
         "rollup_customer_geo", "cube_order_status",
         "string_functions", "date_functions", "agg_suite", "case_when_tiers",
     } & window == set()

@@ -34,12 +34,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 21 round-8 additions with no external history (they head the window),
+# 22 round-8 additions with no external history (they head the window),
 # then 9 queries last green externally in r5 (``promo_revenue_share``
 # through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 21 never-green + the
-# 9 r5-green + the 20 stalest r6-green queries in prior registry order;
-# the 30 r6-green queries that don't fit head the r9 window.  Every tail
+# 50 in r6, 50 in r7.  The window is therefore the 22 never-green + the
+# 9 r5-green + the 19 stalest r6-green queries in prior registry order;
+# the 31 r6-green queries that don't fit head the r9 window.  Every tail
 # query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -67,6 +67,7 @@ _PRIORITY = [
     "ngram_distribution_profile",
     "cross_source_dup_matrix",
     "scd2_user_state_history",
+    "state_as_of_label_time",
     "promo_revenue_share",
     "trailing_spend_range_frame",
     "market_share_by_year",
@@ -95,7 +96,6 @@ _PRIORITY = [
     "join_full_outer",
     "window_topk_orders",
     "window_running_total",
-    "top10_expensive_items",
 ]
 
 

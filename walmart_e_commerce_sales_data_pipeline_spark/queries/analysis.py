@@ -835,3 +835,96 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD-2 history (AS OF semantics).
+# ---------------------------------------------------------------------------
+
+_PIT_SAMPLE_MOD = 37  # every 37th event acts as a "label" probe
+
+
+@register(
+    "state_as_of_label_time",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, event_type, tsn,
+               SUM(CASE WHEN prev IS NOT DISTINCT FROM event_type
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM seq
+    ),
+    ver AS (
+        SELECT user_id, island,
+               MIN(event_type) AS state,
+               CAST(MIN(tsn) AS BIGINT) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island
+    ),
+    hist AS (
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+               state, valid_from,
+               LEAD(valid_from) OVER w AS valid_to
+        FROM ver
+        WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, island)
+    ),
+    labels AS (
+        SELECT event_id AS label_id, user_id, epoch_ns(ts) AS label_tsn
+        FROM events WHERE event_id % {_PIT_SAMPLE_MOD} = 0
+    )
+    SELECT l.label_id, l.user_id, l.label_tsn,
+           h.state AS state_at_label, h.version
+    FROM labels l
+    JOIN hist h
+      ON h.user_id = l.user_id
+     AND h.valid_from <= l.label_tsn
+     AND (h.valid_to IS NULL OR l.label_tsn < h.valid_to)
+    ORDER BY l.label_id
+    """,
+    description="point-in-time (AS OF) join against the SCD-2 history: a "
+    "deterministic label sample (every 37th event) is joined to the "
+    "versioned state intervals on user + [valid_from, valid_to) "
+    "containment — the feature-state-as-of-label-time lookup that keeps "
+    "training data free of temporal leakage (a naive latest-state join "
+    "would leak future state into past labels).  Intervals partition "
+    "each user's timeline, so every label matches EXACTLY one version "
+    "(row count == label count, asserted in tests).  Scale shape: the "
+    "interval join is a hash join on user_id with the containment as a "
+    "join residual — never a nested loop (the equi key carries it); "
+    "history and labels both shuffle once on the same natural key",
+    tags=("event-time", "scd", "warehouse", "training-data"),
+)
+def state_as_of_label_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hist = scd2_user_state_history(spark, sf_dir).select(
+        "user_id", "version", "state", "valid_from", "valid_to"
+    )
+    labels = ev.filter(F.col("event_id") % _PIT_SAMPLE_MOD == 0).select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts_ns").alias("label_tsn"),
+    )
+    return (
+        labels.join(
+            hist,
+            (hist.user_id == labels.user_id)
+            & (hist.valid_from <= labels.label_tsn)
+            & (hist.valid_to.isNull() | (labels.label_tsn < hist.valid_to)),
+        )
+        .select(
+            "label_id",
+            labels.user_id,
+            "label_tsn",
+            F.col("state").alias("state_at_label"),
+            "version",
+        )
+        .orderBy("label_id")
+    )
