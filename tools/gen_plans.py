@@ -119,6 +119,12 @@ COMMENT = {
     "and distinct-hash subtrees dedupe via ReusedExchange (no persists); rank filters "
     "rewrite to WindowGroupLimit so no partition's full hash set sorts in one place; "
     "the merge consumes sketch rows only (<= k per side)",
+    "scd2_user_state_history": "SCD-2 history build (late round 8): lag-detects-change, "
+    "running-sum island id, per-island aggregate, lead() validity bounds — every stage "
+    "partitions by user_id, so ONE natural-key exchange feeds all four",
+    "state_as_of_label_time": "point-in-time join (late round 8): the interval join rides "
+    "the user_id equi key as a hash join with [valid_from, valid_to) containment as a "
+    "residual — never a nested loop; labels and history shuffle once on the same key",
 }
 
 
