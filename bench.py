@@ -124,17 +124,21 @@ def main() -> None:
     # with byte-identical shuffle/row metrics and zero code change) — this
     # number lets a reader normalize a round's walls before calling a
     # drift a regression.
-    cal_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.range(20_000_000)
-            .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
-            .groupBy("k")
-            .agg({"v": "avg"})
-            .collect()
-        )
-        cal_runs.append(round(time.perf_counter() - t0, 3))
+    def _calibrate() -> list[float]:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(20_000_000)
+                .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
+                .groupBy("k")
+                .agg({"v": "avg"})
+                .collect()
+            )
+            runs.append(round(time.perf_counter() - t0, 3))
+        return runs
+
+    cal_runs = _calibrate()
     calibration = min(cal_runs)
 
     # min of 3 runs per query: the first run of anything pays one-time JVM
@@ -268,6 +272,12 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         ivf_pruned = {"err": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # Second calibration AFTER the measurements: ambient waves that arrive
+    # mid-run defeat a start-only calibration (measured: cal 0.32 at start,
+    # 1-min load 13.8 mid-run) — the start/end pair bounds the machine
+    # state the walls were actually taken under.
+    cal_end_runs = _calibrate()
+
     total = round(sum(timings.values()), 3)
     # Coverage marker: when a query errors it drops out of `total`, which
     # would otherwise read as a speedup vs rounds that measured more
@@ -289,6 +299,8 @@ def main() -> None:
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
                 "calibration_runs": cal_runs,
+                "calibration_end_sec": min(cal_end_runs),
+                "calibration_end_runs": cal_end_runs,
                 "queries": timings,
                 "runs": all_runs,
                 "loadavg_1m": loadavgs,
