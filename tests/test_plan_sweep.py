@@ -13,7 +13,10 @@ from __future__ import annotations
 
 from tests.conftest import SF001
 from walmart_e_commerce_sales_data_pipeline_spark import queries as q
-from walmart_e_commerce_sales_data_pipeline_spark.plans import formatted_plan
+from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+    formatted_plan,
+    unpartitioned_windows,
+)
 
 # Every allowed nested-loop site, with why it cannot blow up at scale.
 # A BNLJ is only acceptable when one side is KNOWN bounded: a 1-row
@@ -44,20 +47,98 @@ BNLJ_WHITELIST = {
 }
 
 
-def test_no_unbounded_nested_loop_joins_anywhere(spark):
+# Every allowed unpartitioned-window site (the r8 verdict's other
+# scale-killer class: a Window with an empty partition spec funnels its
+# ENTIRE input through one task — Spark's "No Partition Defined for Window
+# operation" warning).  Acceptable only when the window's input is provably
+# bounded, independent of data scale.  Why each entry is bounded:
+# - kmv_sketch_union: both rank windows sit above Partial+Final
+#   WindowGroupLimit nodes that cap the input to the sketch size k — the
+#   plan never moves more than k rows into the window task (plan-asserted
+#   below in test_kmv_windows_are_group_limited).
+# - ngram_distribution_profile: the Zipf head window ranks a post-limit
+#   TakeOrderedAndProject result (≤ 100 rows); the Gini cumulative sum runs
+#   over the counts-of-counts table, ≤ √(2N) rows by construction
+#   (d distinct count values satisfy d(d+1)/2 ≤ N).
+# - bm25_doc_retrieval: rank window above orderBy().limit(10).
+# - window_running_total / null_ordering / window_frames_suite: windows
+#   over the (year, month) monthly aggregate — calendar-bounded input.
+# - mixture_sampling_plan: full-frame sum over the per-source doc-count
+#   table — one row per corpus source, a config-sized set.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    "kmv_sketch_union",
+    "ngram_distribution_profile",
+    "bm25_doc_retrieval",
+    "window_running_total",
+    "null_ordering",
+    "window_frames_suite",
+    "mixture_sampling_plan",
+}
+
+
+def test_no_unbounded_nested_loop_joins_or_window_funnels_anywhere(spark):
     offenders: dict[str, str] = {}
     unused_whitelist = set(BNLJ_WHITELIST)
+    unused_win_whitelist = set(UNPARTITIONED_WINDOW_WHITELIST)
     for name, entry in q.REGISTRY.items():
-        plan = formatted_plan(entry.fn(spark, SF001))
+        df = entry.fn(spark, SF001)
+        plan = formatted_plan(df)
         has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
         if has_nlj:
             if name in BNLJ_WHITELIST:
                 unused_whitelist.discard(name)
             else:
                 offenders[name] = "nested-loop join outside the whitelist"
+        wins = unpartitioned_windows(df)
+        if wins:
+            if name in UNPARTITIONED_WINDOW_WHITELIST:
+                unused_win_whitelist.discard(name)
+            else:
+                offenders[name] = f"unpartitioned window funnel: {wins[0][:120]}"
     assert not offenders, offenders
-    # keep the whitelist honest: entries whose queries no longer plan a
-    # BNLJ should be removed, not accumulate.
+    # keep the whitelists honest: entries whose queries no longer plan the
+    # guarded shape should be removed, not accumulate.
     assert not unused_whitelist, (
         f"stale whitelist entries (no BNLJ in plan anymore): {unused_whitelist}"
     )
+    assert not unused_win_whitelist, (
+        "stale window-whitelist entries (no unpartitioned window in plan "
+        f"anymore): {unused_win_whitelist}"
+    )
+
+
+def test_window_detector_flags_injected_funnel(spark):
+    """The detector actually fires on the shape it guards — a deliberately
+    unpartitioned ranking window over an unbounded scan — and stays quiet
+    on the partitioned twin AND on the partitionBy-without-orderBy form
+    (which formatted explain also prints as two argument groups)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF001}/orders.parquet")
+    bad = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert unpartitioned_windows(bad), "injected funnel not detected"
+    good = df.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ),
+    )
+    assert not unpartitioned_windows(good)
+    part_only = df.withColumn(
+        "t", F.sum("o_totalprice").over(Window.partitionBy("o_custkey"))
+    )
+    assert not unpartitioned_windows(part_only)
+
+
+def test_kmv_windows_are_group_limited(spark):
+    """The justification for kmv_sketch_union's whitelist entry: its rank
+    windows must keep their WindowGroupLimit caps (Partial on the map side,
+    Final after the exchange), so at most k rows ever reach the single
+    window task.  If a rewrite drops the rank predicate Spark can no longer
+    push the limit and this stops holding."""
+    plan = formatted_plan(q.REGISTRY["kmv_sketch_union"].fn(spark, SF001))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan

@@ -7,7 +7,10 @@ more) columns into a Morton key and range-partitioning + sorting on it
 gives every file a tight min/max envelope in ALL interleaved dimensions
 at once — the technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
 implemented here over plain parquet with pure Catalyst expressions (no
-UDFs: ``shiftleft``/``|``/rank windows, all whole-stage-codegen).
+UDFs: ``shiftleft``/``|``/broadcast-literal quantile buckets, all
+whole-stage-codegen; the coordinate normalization is sketch-based —
+``approxQuantile`` — so the write path contains no global sort and no
+single-task window).
 
 Pruning is measured, not assumed: ``files_pruned_by_minmax`` reads the
 parquet footers (pyarrow) and counts the files whose min/max envelope
@@ -18,24 +21,74 @@ files on BOTH dimensions where the 1-D sorted layout skips on one.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_BITS = 16  # per-dimension resolution of the interleave (2 dims × 16 = 32-bit key)
+# Per-dimension resolution of the interleave (2 dims × 12 bits = 24-bit key,
+# 16.7M curve cells).  Resolution only has to comfortably exceed the file
+# count so each file's curve segment stays compact: even a 100 TB table at
+# 1 GB files is ~10^5 files, two orders of magnitude under 2^24 cells.
+# Going finer costs O(2^(bits/2)) comparisons per row in the bucket lookup
+# for no extra pruning.
+_BITS = 12
 
 
-def _rank01(col: str, bits: int = _BITS) -> Column:
-    """Equi-depth quantile rank of ``col`` scaled to [0, 2^bits) — Morton
-    interleaving needs uniformly distributed coordinates, and real
-    columns (prices, dates) are anything but.  percent_rank is a global
-    sort per dimension; it runs once per layout job, the write-side cost
-    all clustering techniques pay."""
-    from pyspark.sql import Window
-
-    pr = F.percent_rank().over(Window.orderBy(F.col(col)))
-    return F.least(
-        (pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+def _bucket_expr(value: Column, edges: list[float]) -> Column:
+    """#{edges e : value > e} as a pure Catalyst expression — the bin index
+    of ``value`` in the equi-depth histogram whose sorted boundaries are
+    broadcast as literals.  Two-level chunked lookup: a coarse pass over
+    every ``⌈√B⌉``-th edge picks the chunk, a fine pass scans only that
+    chunk — O(2·√B) comparisons per row instead of O(B), all inside
+    whole-stage codegen (no UDF, no window, no shuffle)."""
+    if not edges:
+        return F.lit(0).cast("long")
+    chunk = max(1, math.isqrt(len(edges)))
+    chunks = [edges[i : i + chunk] for i in range(0, len(edges), chunk)]
+    count_gt = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, e: acc + F.when(value > e, 1).otherwise(0)
     )
+    k = count_gt(F.array(*[F.lit(ch[-1]) for ch in chunks]))
+    matrix = F.array(*[F.array(*[F.lit(e) for e in ch]) for ch in chunks])
+    # v greater than every coarse edge ⇒ greater than every edge; clamp the
+    # element_at index so the (unused) fine lookup stays in bounds under
+    # ANSI mode.
+    fine = count_gt(F.element_at(matrix, F.least(k, F.lit(len(chunks) - 1)) + 1))
+    return (
+        F.when(k >= len(chunks), F.lit(len(edges)))
+        .otherwise(k * chunk + fine)
+        .cast("long")
+    )
+
+
+def _rank01(df: DataFrame, col: str, bits: int = _BITS) -> Column:
+    """Equi-depth quantile bin of numeric ``col`` scaled to [0, 2^bits) —
+    Morton interleaving needs uniformly distributed coordinates, and real
+    columns (prices, dates) are anything but.
+
+    The bin boundaries come from ``approxQuantile`` (the distributed
+    Greenwald-Khanna sketch: map-side summaries merged on the driver — one
+    lightweight aggregation job per dimension, the sampling pass every
+    range partitioner pays) and are applied back as broadcast literals via
+    ``_bucket_expr``.  No window and no global sort anywhere: the earlier
+    ``percent_rank().over(Window.orderBy(...))`` formulation funneled the
+    whole table through a single task, which at 100 TB kills the write job
+    before any clustering benefit exists.  This is the Delta
+    ``OPTIMIZE ZORDER BY`` posture (range-partition-id per dimension).
+    Sketch error only shifts bin *boundaries* slightly — files still own
+    compact curve segments, which is all min/max pruning needs."""
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    rel_err = max(1e-6, 0.25 / n_bins)
+    edges = df.select(F.col(col).cast("double").alias("_q")).approxQuantile(
+        "_q", probs, rel_err
+    )
+    uniq: list[float] = []
+    for e in edges:  # heavy ties collapse bins; keep boundaries strictly increasing
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    return _bucket_expr(F.col(col).cast("double"), uniq)
 
 
 def morton_key(x: Column, y: Column, bits: int = _BITS) -> Column:
@@ -73,7 +126,8 @@ def zorder_write(
     F=16/32 skip 30-60% (measured in SCALE.md §10).  At 100 TB F is in
     the tens of thousands and the envelopes are sub-percent."""
     keyed = df.withColumn(
-        "_zkey", morton_key(_rank01(col_x, bits), _rank01(col_y, bits), bits)
+        "_zkey",
+        morton_key(_rank01(df, col_x, bits), _rank01(df, col_y, bits), bits),
     )
     (
         keyed.repartitionByRange(n_files, "_zkey")
@@ -191,8 +245,8 @@ def hilbert_write(
     typically tighter for the same file count (measured in SCALE.md
     §10)."""
     keyed = hilbert_d(
-        df.withColumn("_hx", _rank01(col_x, bits)).withColumn(
-            "_hy", _rank01(col_y, bits)
+        df.withColumn("_hx", _rank01(df, col_x, bits)).withColumn(
+            "_hy", _rank01(df, col_y, bits)
         ),
         bits,
     )

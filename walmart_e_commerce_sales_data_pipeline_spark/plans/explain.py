@@ -38,6 +38,65 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def _top_level_groups(args: str) -> list[str]:
+    """Split a formatted-explain ``Arguments:`` payload into its top-level
+    ``[...]`` groups (bracket-depth scan — window expressions nest brackets
+    and commas freely, so a regex cannot do this)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(args):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(args[start + 1 : i])
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """The ``Arguments:`` payload of every window-class physical node whose
+    partition spec is EMPTY — the single-task funnel Spark warns about as
+    "No Partition Defined for Window operation".  An unpartitioned window
+    moves its entire input through one task, which is a scale-killer unless
+    the input is provably bounded (a post-``limit`` head, a counts-of-counts
+    table, a 12-row aggregate).  ``tests/test_plan_sweep.py`` fails the
+    suite when one appears outside its justification whitelist.
+
+    Detected from formatted explain: a physical ``Window`` prints
+    ``[exprs], [partSpec], [orderSpec]`` when both are present and
+    ``[exprs], [spec]`` when only one is — the two-group form is an ORDER
+    spec (⇒ unpartitioned) exactly when it carries ASC/DESC sort markers,
+    which partition specs never do.  ``WindowGroupLimit`` leads with its
+    partition spec, empty ⇒ ``[]``.
+    """
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        m = re.match(r"\((\d+)\) (Window|WindowGroupLimit)\b", line.strip())
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            arg_line = lines[j].strip()
+            if arg_line.startswith("Arguments: "):
+                groups = _top_level_groups(arg_line[len("Arguments: ") :])
+                if m.group(2) == "Window":
+                    empty = len(groups) == 1 or (
+                        len(groups) == 2
+                        and (" ASC" in groups[1] or " DESC" in groups[1])
+                    )
+                else:  # WindowGroupLimit: [partSpec], [orderSpec], fn, k, mode
+                    empty = bool(groups) and not groups[0].strip()
+                if empty:
+                    out.append(f"{m.group(2)}: {arg_line[:160]}")
+                break
+    return out
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer spans for the same plan =
     wider fused pipelines = less row materialization between operators).

@@ -617,12 +617,18 @@ _ZIPF_TOP = 100
     "pipeline tracks across crawl snapshots: a collapsing slope or "
     "spiking Gini flags template/boilerplate flooding before any dedup "
     "runs.  The Gini numerator sums exactly-representable integers "
-    "(rank·count < 2^53), so it is bit-exact across engines; the Zipf "
-    "sums round at 6 dp.  Scale shape: one shuffle to count n-grams, "
-    "then rank windows over the AGGREGATED vocabulary table (vocab-sized, "
-    "not corpus-sized); at extreme vocab the exact ranks would come from "
-    "a sort-based zipWithIndex or binned Lorenz approximation, the same "
-    "plan class as the percentile ladder",
+    "(Σ rank·count < 2^53), so it is bit-exact across engines; the Zipf "
+    "sums round at 6 dp.  Scale shape (NO global sort anywhere): the "
+    "Zipf head is a distributed top-K (TakeOrderedAndProject) ranked "
+    "post-limit over ≤ 100 rows, and the Gini ranks are computed WITHOUT "
+    "ranking rows — ties on count share consecutive ranks whose sum "
+    "depends only on the counts-of-counts histogram, so "
+    "Σ rank_asc·c = Σ_c c·(base(c)·m_c + m_c(m_c+1)/2) where base is a "
+    "running sum over the counts-of-counts table.  That table is "
+    "provably ≤ √(2N) rows (distinct count values d satisfy "
+    "d(d+1)/2 ≤ N), ~4.5M rows ≈ 72 MB even at N = 10^13 tokens, so its "
+    "one cumulative-sum window is bounded-small by construction; the "
+    "n-gram tie-break order inside a count class never changes the sum",
     tags=("text", "statistics", "diagnostics"),
 )
 def ngram_distribution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,31 +641,47 @@ def ngram_distribution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    ranked = uni.select(
-        "c",
-        F.row_number().over(Window.orderBy(F.col("c").desc(), "g")).alias("rk"),
-        F.row_number().over(Window.orderBy(F.col("c").asc(), "g")).alias("rk_asc"),
-    )
-    tot = uni.agg(
-        F.count("*").cast("long").alias("v"), F.sum("c").cast("long").alias("n")
-    )
-    lnrk = F.log(F.col("rk").cast("double"))
+    # Zipf head: distributed top-K (per-partition heads merged — Spark plans
+    # orderBy().limit() as TakeOrderedAndProject, never a global sort), then
+    # exact ranks assigned post-limit over at most _ZIPF_TOP rows.
+    top = uni.orderBy(F.col("c").desc(), "g").limit(_ZIPF_TOP)
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "g"))
+    lnrk = F.log(rk.cast("double"))
     lnc = F.log(F.col("c").cast("double"))
-    zipf = ranked.filter(F.col("rk") <= _ZIPF_TOP).agg(
+    zipf = top.select(
+        lnrk.alias("lnrk"), lnc.alias("lnc")
+    ).agg(
         F.count("*").cast("long").alias("m"),
-        F.sum(lnrk).alias("sx"),
-        F.sum(lnc).alias("sy"),
-        F.sum(lnrk * lnc).alias("sxy"),
-        F.sum(lnrk * lnrk).alias("sxx"),
+        F.sum("lnrk").alias("sx"),
+        F.sum("lnc").alias("sy"),
+        F.sum(F.col("lnrk") * F.col("lnc")).alias("sxy"),
+        F.sum(F.col("lnrk") * F.col("lnrk")).alias("sxx"),
     )
-    gini = ranked.agg(
-        (F.lit(2.0) * F.sum(F.col("rk_asc").cast("double") * F.col("c"))).alias(
-            "num"
-        )
+    # Gini WITHOUT ranking any row: every n-gram with count c occupies the
+    # consecutive ascending-rank block (base(c), base(c) + m_c], so
+    # Σ rank_asc·c = Σ_c c·(base(c)·m_c + m_c(m_c+1)/2) over the
+    # counts-of-counts table (≤ √(2N) rows; the tie-break permutation
+    # inside a block never changes the block's rank sum).  All-long
+    # arithmetic — exact while Σ rank·c < 2^63, cast once at the end.
+    coc = uni.groupBy("c").agg(F.count("*").cast("long").alias("m_c"))
+    w_coc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    coc_based = coc.withColumn(
+        "base", F.coalesce(F.sum("m_c").over(w_coc), F.lit(0).cast("long"))
+    )
+    block = F.col("c") * (
+        F.col("base") * F.col("m_c")
+        + F.shiftright(F.col("m_c") * (F.col("m_c") + 1), 1)  # m(m+1)/2, exact in long
+    )
+    # gini + totals fused into ONE aggregate over the (windowed)
+    # counts-of-counts table, so the n-gram count pipeline is planned
+    # exactly twice (top-K head + histogram), not three times.
+    tot = coc_based.agg(
+        (F.lit(2.0) * F.sum(block).cast("double")).alias("num"),
+        F.sum("m_c").cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("m_c")).cast("long").alias("n"),
     )
     return (
         tot.crossJoin(F.broadcast(zipf))
-        .crossJoin(F.broadcast(gini))
         .select(
             F.col("v").alias("n_vocab"),
             F.col("n").alias("n_total"),
