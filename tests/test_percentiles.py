@@ -60,3 +60,87 @@ def test_edge_cases_single_and_duplicate_values(spark):
     assert got == want
     assert got["a"] == (5.0, 5.0, 5.0)  # all-duplicate group
     assert got["c"] == (3.0, 3.0, 3.0)  # singleton group
+
+
+def test_dispatch_boundary_probe_and_overflow(spark):
+    """The bounded-dispatch contract: a parquet-scan input is sized from
+    footer metadata (no job), results below the threshold are the exact
+    ladder (unchanged), and above the threshold the operator routes to the
+    documented overflow path — percentile_approx with the same schema, or
+    a hard error when asked to."""
+    import pytest
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.percentiles import (
+        _histogram_rows_bound,
+    )
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    method, bound = _histogram_rows_bound(li, "l_extendedprice")
+    assert method == "footer"          # plain scan: zero-job sizing
+    assert bound >= li.count()
+
+    # derived-but-row-reducing frame: the footer bound still applies
+    # (aggregation above a scan can only drop rows)
+    method1, bound1 = _histogram_rows_bound(
+        li.groupBy("l_orderkey").agg(F.avg("l_extendedprice").alias("v")), "v"
+    )
+    assert method1 == "footer" and bound1 >= 0
+
+    # no parquet leaves at all: falls back to the HLL pass
+    mem = spark.createDataFrame([(float(i % 7),) for i in range(100)], "v: double")
+    method2, bound2 = _histogram_rows_bound(mem, "v")
+    assert method2 == "hll" and 0 < bound2 < 20
+
+    # below the boundary nothing changes: exact ladder, bit-equal to the
+    # built-in (the default threshold is far above this input)
+    exact = exact_group_percentiles(li, ["l_returnflag"], "l_extendedprice", PS)
+
+    # force the boundary under the input size: approx dispatch, same schema
+    approx = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", PS, max_histogram_rows=10
+    )
+    assert approx.columns == exact.columns
+    want = {
+        r["l_returnflag"]: tuple(r[1:])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile_approx("l_extendedprice", F.lit(p), F.lit(10_000))
+                .cast("double")
+                .alias(f"p_{i}")
+                for i, p in enumerate(PS)
+            ]
+        )
+        .collect()
+    }
+    got = {r["l_returnflag"]: tuple(r[1:]) for r in approx.collect()}
+    assert got == want
+
+    # the histogram window really is gone from the overflow plan
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import formatted_plan
+
+    assert "Window" not in formatted_plan(approx)
+
+    # error mode names the probe and the threshold
+    with pytest.raises(ValueError, match="max_histogram_rows"):
+        exact_group_percentiles(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            PS,
+            max_histogram_rows=10,
+            on_overflow="error",
+        )
+
+    # forced-exact mode skips the probe entirely and stays exact
+    forced = exact_group_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        PS,
+        max_histogram_rows=10,
+        on_overflow="exact",
+    )
+    a = {r["l_returnflag"]: tuple(r[1:]) for r in forced.collect()}
+    b = {r["l_returnflag"]: tuple(r[1:]) for r in exact.collect()}
+    assert a == b

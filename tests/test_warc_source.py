@@ -328,3 +328,50 @@ def test_stream_writer_relays_warc_to_warc(spark, tmp_path):
     assert back == {
         r["record_id"]: r["payload"] for r in _records("r0", 3) + _records("r1", 2)
     }
+
+
+def test_stream_reader_defers_files_modified_during_the_batch(tmp_path):
+    """Non-atomic producer guard: a file whose size/mtime changes while the
+    batch parses it is deferred — no rows emitted, name kept OUT of the
+    offset — and ingested cleanly on the next trigger once settled.  A
+    corrupt file that is NOT changing still fails the batch (real
+    corruption must not be silently skipped forever)."""
+    import os
+
+    from walmart_e_commerce_sales_data_pipeline_spark.sources.warc import (
+        WarcStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    write_warc(str(drop / "seg-00.warc"), _records("s0", 2))
+
+    class MidWriteReader(WarcStreamReader):
+        """Simulates a producer appending to the file mid-parse."""
+
+        def _rows_for(self, names):
+            rows = list(super()._rows_for(names))
+            for name in names:
+                if name in self.touch:
+                    with open(os.path.join(self.dir, name), "ab") as f:
+                        f.write(b"\0")
+            return iter(rows)
+
+    r = MidWriteReader({"path": str(drop)})
+    r.touch = {"seg-00.warc"}
+    rows, off = r.read(r.initialOffset())
+    assert list(rows) == [] and off == {"files": []}  # deferred, not ingested
+
+    # producer finished: the file settles into its complete, valid form
+    r.touch = set()
+    write_warc(str(drop / "seg-00.warc"), _records("s0", 2))
+    rows, off = r.read({"files": []})
+    assert len(list(rows)) == 2
+    assert off == {"files": ["seg-00.warc"]}
+
+    # stable-but-corrupt still raises (truncated record, stat unchanged)
+    bad = drop / "seg-01.warc"
+    data = open(drop / "seg-00.warc", "rb").read()
+    bad.write_bytes(data[: len(data) - 20])
+    with pytest.raises(ValueError):
+        r.read(off)

@@ -16,18 +16,23 @@ Usage: python tools/bench_compare.py OLD.json NEW.json [--band 0.25]
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    band = 0.25
-    for a in sys.argv[1:]:
-        if a.startswith("--band"):
-            band = float(a.split("=", 1)[1]) if "=" in a else band
-    old = json.load(open(args[0]))
-    new = json.load(open(args[1]))
+    ap = argparse.ArgumentParser(
+        description="Compare two bench sidecars with machine-speed "
+        "normalization (accepts both --band=X and --band X)"
+    )
+    ap.add_argument("old", help="previous bench_details.json")
+    ap.add_argument("new", help="current bench_details.json")
+    ap.add_argument("--band", type=float, default=0.25,
+                    help="noise band after normalization (default 0.25)")
+    ns = ap.parse_args()
+    band = ns.band
+    old = json.load(open(ns.old))
+    new = json.load(open(ns.new))
     cal_old = old.get("calibration_sec") or 1.0
     cal_new = new.get("calibration_sec") or 1.0
     speed = cal_new / cal_old  # >1 → the new machine state is slower

@@ -21,13 +21,20 @@ with bounded memory everywhere:
 
 Per-executor state is one histogram partition plus a constant number of
 target rows — no group ever materializes in one buffer.  The window in
-step 2 partitions by the group keys; for the pathological single-group ×
-billions-of-distinct-values case the same ladder works with a
-range-partitioned global sort, which Spark's window already degrades to
-per partition.
+step 2 partitions by the group keys, so its unit of work is ONE GROUP'S
+VALUE HISTOGRAM — fine while distinct values ≪ rows (the stated
+assumption), degenerate when a continuous-valued column makes the
+histogram row-sized.  That boundary is therefore DISPATCHED, not assumed:
+``exact_group_percentiles`` probes an upper bound on the histogram size
+(parquet footer row counts first — no Spark job; else one cheap
+``approx_count_distinct`` pass) and, above ``max_histogram_rows``, routes
+to the configured overflow path — ``percentile_approx`` (the documented
+production posture for continuous values at 100 TB: bounded sketch state
+per group, no histogram window at all) or a hard error.
 
 Equality with the built-in is pinned in tests/test_percentiles.py
-(bit-level agreement on the driver testdata before rounding).
+(bit-level agreement on the driver testdata before rounding); the
+dispatch boundary itself is pinned in the same file.
 """
 
 from __future__ import annotations
@@ -35,19 +42,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this many (value, count) histogram rows PER GROUP the exact ladder's
+# per-group window task is no longer guaranteed small (8M rows ≈ 128 MB of
+# long/double pairs in one task's sort buffer) and the operator dispatches
+# to the overflow path instead of assuming "distinct ≪ rows" holds.
+MAX_HISTOGRAM_ROWS = 8_000_000
+
+
+def _histogram_rows_bound(df: DataFrame, value_col: str) -> tuple[str, int]:
+    """(method, n): a cheap upper bound on any group's value-histogram size.
+
+    A group's histogram has at most ``distinct(value_col)`` rows, which has
+    at most ``count(df)`` rows — so try the zero-job parquet-footer row
+    count first (``similarity._corpus_rows_upper_bound`` posture) and only
+    then pay one narrow ``approx_count_distinct`` aggregation (HLL sketches
+    merge map-side; the 5 % relative error is padded below before the
+    threshold comparison).  Caveat inherited from the footer probe: a
+    row-MULTIPLYING operator between scan and input (explode/posexplode)
+    breaks the "plan can only drop rows" premise — callers feeding a
+    generated frame should pass ``on_overflow="exact"`` or pre-count."""
+    from .similarity import _corpus_rows_upper_bound
+
+    rows = _corpus_rows_upper_bound(df)
+    if rows is not None:
+        return "footer", rows
+    est = df.agg(F.approx_count_distinct(value_col).alias("d")).first()["d"]
+    return "hll", int(est * 1.1)  # pad the sketch's default 5 % rsd
+
 
 def exact_group_percentiles(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     ps: list[float],
+    max_histogram_rows: int = MAX_HISTOGRAM_ROWS,
+    on_overflow: str = "approx",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
     Returns one row per group with a column ``p_<i>`` for each requested
     percentile (in ``ps`` order), matching
-    ``F.expr(f"percentile({value_col}, {p})")`` exactly.
+    ``F.expr(f"percentile({value_col}, {p})")`` exactly — below the
+    dispatch boundary.  When the probed histogram bound exceeds
+    ``max_histogram_rows``: ``on_overflow="approx"`` (default) computes
+    ``percentile_approx`` at ``approx_accuracy`` instead (same output
+    schema, bounded per-group sketch state — the production path for
+    continuous-valued columns); ``"error"`` raises; ``"exact"`` forces the
+    ladder anyway (caller asserts the single-task histogram window fits).
     """
+    if on_overflow not in ("approx", "error", "exact"):
+        raise ValueError(f"unknown on_overflow mode: {on_overflow!r}")
+    if on_overflow != "exact":
+        method, bound = _histogram_rows_bound(df, value_col)
+        if bound > max_histogram_rows:
+            if on_overflow == "error":
+                raise ValueError(
+                    f"value histogram bound {bound} rows ({method} probe) "
+                    f"exceeds max_histogram_rows={max_histogram_rows}; the "
+                    "exact ladder's per-group window would buffer it in one "
+                    "task — use on_overflow='approx' (percentile_approx) or "
+                    "raise the threshold deliberately"
+                )
+            agg_cols = [
+                F.percentile_approx(
+                    value_col, F.lit(float(p)), F.lit(approx_accuracy)
+                )
+                .cast("double")
+                .alias(f"p_{i}")
+                for i, p in enumerate(ps)
+            ]
+            return df.groupBy(*[F.col(k) for k in key_cols]).agg(*agg_cols)
     keys = [F.col(k) for k in key_cols]
 
     hist = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(

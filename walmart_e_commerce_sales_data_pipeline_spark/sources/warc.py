@@ -252,6 +252,16 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     ``start``, so a restarted query reproduces the same batch).  A
     production-scale variant would compact the offset to a high-water
     mark over (mtime, name); the exactly-once contract stays the same.
+
+    Producer protocol: drops MUST be atomic — write to a temporary name,
+    then rename into the directory (exactly what this module's own
+    writers do with ``.inprogress`` names).  A segment still being
+    written in place would either fail the batch mid-parse or, worse,
+    parse cleanly mid-write and have its tail records permanently missed
+    once the name enters the offset.  As a guard against non-atomic
+    producers, ``read`` stats every candidate before AND after parsing
+    and defers any file whose size/mtime changed during the batch to a
+    later trigger instead of committing it to the offset.
     """
 
     def __init__(self, options: dict):
@@ -303,7 +313,38 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         # driver.
         seen = set(start.get("files", []))
         new = [f for f in self._list() if f not in seen]
-        return iter(list(self._rows_for(new))), {"files": sorted(seen | set(new))}
+
+        def _stat(name: str):
+            try:
+                st = os.stat(os.path.join(self.dir, name))
+                return (st.st_size, st.st_mtime_ns)
+            except OSError:
+                return None
+
+        # Parse file-by-file, stat'ing before and after: a file a
+        # non-atomic producer touched while we parsed (stat changed, or a
+        # truncated-record parse error WITH a changed stat) is deferred —
+        # its rows are dropped from this batch and its name stays out of
+        # the offset, so the next trigger re-reads the settled file.  A
+        # parse error on a stable file is genuine corruption and still
+        # fails the batch.
+        rows: list = []
+        stable: list[str] = []
+        for f in new:
+            before = _stat(f)
+            if before is None:
+                continue  # vanished between listing and stat: not ours yet
+            try:
+                file_rows = list(self._rows_for([f]))
+            except ValueError:
+                if _stat(f) != before:
+                    continue  # mid-write truncation: defer
+                raise
+            if _stat(f) != before:
+                continue
+            rows.extend(file_rows)
+            stable.append(f)
+        return iter(rows), {"files": sorted(seen | set(stable))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("files", []))
@@ -320,6 +361,7 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
 class _WarcSegmentCommit(WriterCommitMessage):
     path: str
     records: int
+    partition: int = -1
 
 
 class WarcWriter(DataSourceWriter):
@@ -334,10 +376,19 @@ class WarcWriter(DataSourceWriter):
     rejected before ``writer()`` is called)."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("warc writer requires a directory path")
         self.compress = options.get("compression", "gzip") != "none"
+        # Per-JOB id generated once on the driver and serialized to every
+        # task, exactly as Spark's built-in file writers embed a job UUID:
+        # taskAttemptId alone is only unique within one SparkContext, so
+        # append-mode writes from a LATER application could reproduce the
+        # same part-<pid>-<attempt> name and silently overwrite previously
+        # committed segments.
+        self.job_id = uuid.uuid4().hex[:12]
         os.makedirs(self.dir, exist_ok=True)
         if overwrite:
             for f in os.listdir(self.dir):
@@ -349,8 +400,12 @@ class WarcWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         suffix = ".warc.gz" if self.compress else ".warc"
+        # job UUID makes the name globally unique; taskAttemptId still
+        # separates concurrent speculative attempts within the job.
         final = os.path.join(
-            self.dir, f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}{suffix}"
+            self.dir,
+            f"part-{ctx.partitionId():05d}-{self.job_id}-"
+            f"{ctx.taskAttemptId()}{suffix}",
         )
         tmp = final + ".inprogress"
         records = [
@@ -384,29 +439,35 @@ class WarcStreamWriter(DataSourceStreamWriter):
     segment per task, named ``batch-{epoch}-part-{partition}`` so a
     REPLAYED epoch (failure recovery) rewrites the same file names —
     idempotent at the segment level, the property exactly-once sinks on
-    plain filesystems are built from.  Tasks write ``.inprogress`` and
-    ``commit(messages, batchId)`` renames, so a crashed epoch never
-    leaves a readable segment."""
+    plain filesystems are built from.  Tasks write uniquely-named
+    ``.inprogress`` files; the EPOCH naming happens in
+    ``commit(messages, batchId)``, which is handed the authoritative
+    batch id by the micro-batch engine — tasks never have to guess it
+    from a local property (the old ``streaming.sql.batchId`` lookup fell
+    back to a constant when the property was absent, which made every
+    epoch on that path clobber the previous one).  A crashed epoch never
+    leaves a readable segment; a replayed one atomically replaces its
+    own files."""
 
     def __init__(self, options: dict):
+        import uuid
+
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("warc stream writer requires a directory path")
         self.compress = options.get("compression", "gzip") != "none"
+        self.job_id = uuid.uuid4().hex[:12]  # keeps tmp names globally unique
         os.makedirs(self.dir, exist_ok=True)
 
     def write(self, rows) -> _WarcSegmentCommit:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        suffix = ".warc.gz" if self.compress else ".warc"
-        # streaming epochs carry the batch id via the task-local property
-        # set by the micro-batch engine; fall back to attempt number
-        batch = ctx.getLocalProperty("streaming.sql.batchId") or "x"
-        final = os.path.join(
-            self.dir, f"batch-{batch}-part-{ctx.partitionId():05d}{suffix}"
+        pid = ctx.partitionId()
+        tmp = os.path.join(
+            self.dir,
+            f"part-{pid:05d}-{self.job_id}-{ctx.taskAttemptId()}.inprogress",
         )
-        tmp = final + ".inprogress"
         records = [
             {
                 "record_id": row["record_id"],
@@ -419,12 +480,16 @@ class WarcStreamWriter(DataSourceStreamWriter):
             for row in rows
         ]
         write_warc(tmp, records, compress=self.compress)
-        return _WarcSegmentCommit(path=tmp, records=len(records))
+        return _WarcSegmentCommit(path=tmp, records=len(records), partition=pid)
 
     def commit(self, messages, batchId: int) -> None:
+        suffix = ".warc.gz" if self.compress else ".warc"
         for m in messages:
             if m is not None and os.path.exists(m.path):
-                os.rename(m.path, m.path[: -len(".inprogress")])
+                final = os.path.join(
+                    self.dir, f"batch-{batchId}-part-{m.partition:05d}{suffix}"
+                )
+                os.rename(m.path, final)  # replace = replayed-epoch idempotence
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
