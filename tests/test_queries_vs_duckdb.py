@@ -150,77 +150,86 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-8 rotation policy: the checked window is the 50 queries with the
+    # Round-9 rotation policy: the checked window is the 50 queries with the
     # oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r8: never:22 / r5:9 / r6:50 / r7:50 — the
-    # window is the 22 round-8 additions (never externally green), the 9
-    # r5-green queries, and the 19 stalest r6-green ones.
+    # Staleness histogram entering r9: never:1 / r6:31 / r7:50 / r8:50 — the
+    # window is the new never-externally-green query, all 31 r6-green
+    # queries, and the 18 stalest r7-green ones.
     window = set(names[:50])
-    # Never-externally-green round-8 additions lead unconditionally.
-    assert _PRIORITY[:22] == [
-        "dedup_cluster_density",
-        "text_token_entropy",
-        "doc_unigram_logprob",
-        "kmv_distinct_sketch",
-        "bilateral_trade_volume",
-        "product_profit_by_nation_year",
-        "returned_item_customers",
-        "priority_shipping_split",
-        "brand_supplier_counts",
-        "order_priority_checking",
-        "important_supplier_share",
-        "small_quantity_order_revenue",
-        "excess_shipping_suppliers",
-        "kmv_sketch_union",
-        "sliding_chunk_windows",
-        "bigram_pmi",
-        "dup_graph_degree_hist",
-        "winsorized_price_stats",
-        "ngram_distribution_profile",
-        "cross_source_dup_matrix",
-        "scd2_user_state_history",
-        "state_as_of_label_time",
+    # The never-externally-green round-9 addition leads unconditionally.
+    assert _PRIORITY[0] == "warc_roundtrip_curation"
+    # The 31 queries whose newest external evidence is r6 follow, in prior
+    # registry order (the exact set the r8 verdict names as rotation debt).
+    assert _PRIORITY[1:32] == [
+        "top10_expensive_items",
+        "set_operations",
+        "distinct_counts",
+        "rollup_customer_geo",
+        "cube_order_status",
+        "string_functions",
+        "date_functions",
+        "agg_suite",
+        "case_when_tiers",
+        "union_all_monthly",
+        "decontaminate_corpus",
+        "vocab_top_ngrams",
+        "quality_percentile_filter",
+        "cdc_chunk_stats",
+        "token_budget_fill",
+        "dedup_canonical_keep",
+        "event_transition_matrix",
+        "dup_graph_triangles",
+        "bm25_doc_retrieval",
+        "source_unigram_divergence",
+        "disjunctive_predicate_revenue",
+        "events_rolling_engagement",
+        "events_hourly_anomaly",
+        "grouped_zscore_histogram",
+        "events_funnel",
+        "events_cohort_retention",
+        "mixture_sampling_plan",
+        "from_json_map",
+        "asof_join_latest_order",
+        "range_join_close_events",
+        "events_session_window",
     ]
-    # The 9 r5-green queries squeezed out of the r7 window follow.
-    assert _PRIORITY[22:31] == [
-        "promo_revenue_share",
-        "trailing_spend_range_frame",
-        "market_share_by_year",
-        "similarity_pairs",
-        "similarity_topk",
-        "similarity_pairs_blocked",
-        "similarity_lsh",
-        "similarity_topk_ivf",
-        "multimodal_features",
-    ]
-    # Conversely, nothing green in round 7 re-occupies a window slot — the
-    # window is reserved for the stalest evidence.
-    r7_green_sample = {
-        "common_shingle_fraction", "vocab_oov_rate", "prefix_dup_groups",
-        "dormant_customer_balance", "quantize_embeddings", "pricing_summary",
-        "dedup_minhash_lsh", "dedup_clusters", "tfidf_top_terms",
-        "top_supplier_revenue", "local_supplier_volume",
+    # Nothing green in round 8 re-occupies a window slot — the window is
+    # reserved for the stalest evidence.
+    r8_green_sample = {
+        "dedup_cluster_density", "winsorized_price_stats",
+        "kmv_sketch_union", "kmv_distinct_sketch", "similarity_lsh",
+        "similarity_topk_ivf", "multimodal_features", "monthly_avg_value",
+        "scd2_user_state_history", "bigram_pmi", "join_customer_orders",
+        "window_topk_orders", "ngram_distribution_profile",
     }
-    assert not (r7_green_sample & window)
-    # The 31 r6-green queries squeezed out at width 50 head the r9 window
-    # (the original 22 plus the 9 displaced when the late-round-8 additions
-    # took the window head: top10_expensive_items, set_operations,
-    # distinct_counts, rollup_customer_geo, cube_order_status,
-    # string_functions, date_functions, agg_suite, case_when_tiers).
-    assert {
-        "mixture_sampling_plan", "grouped_zscore_histogram",
-        "asof_join_latest_order", "range_join_close_events",
-        "events_funnel", "events_session_window", "events_cohort_retention",
-        "events_hourly_anomaly", "from_json_map",
-        "source_unigram_divergence", "disjunctive_predicate_revenue",
-        "events_rolling_engagement", "bm25_doc_retrieval",
-        "token_budget_fill", "dedup_canonical_keep",
-        "event_transition_matrix", "dup_graph_triangles", "cdc_chunk_stats",
-        "union_all_monthly", "decontaminate_corpus", "vocab_top_ngrams",
-        "quality_percentile_filter", "top10_expensive_items",
-        "set_operations", "distinct_counts",
-        "rollup_customer_geo", "cube_order_status",
-        "string_functions", "date_functions", "agg_suite", "case_when_tiers",
-    } & window == set()
+    assert not (r8_green_sample & window)
+    # Likewise the 32 freshest r7-green queries stay out; only the 18
+    # stalest r7-green ones fill the window tail.
+    r7_fresh_sample = {
+        "vocab_oov_rate", "prefix_dup_groups", "dormant_customer_balance",
+        "quantize_embeddings", "tfidf_top_terms", "top_supplier_revenue",
+        "local_supplier_volume",
+    }
+    assert not (r7_fresh_sample & window)
+    assert _PRIORITY[32:] == [
+        "pricing_summary",
+        "regional_revenue",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_stats",
+        "text_quality_buckets",
+        "text_lang_id",
+        "doc_fingerprint",
+        "text_bpe_tokens",
+        "text_repetition",
+        "pack_context_segments",
+        "pack_greedy_bins",
+        "dedup_clusters",
+        "dedup_embedding",
+        "corpus_clean_pipeline",
+        "common_shingle_fraction",
+    ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -33,69 +33,71 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-8 staleness histogram:
-# 22 round-8 additions with no external history (they head the window),
-# then 9 queries last green externally in r5 (``promo_revenue_share``
-# through ``multimodal_features``, squeezed out of the r7 window), then
-# 50 in r6, 50 in r7.  The window is therefore the 22 never-green + the
-# 9 r5-green + the 19 stalest r6-green queries in prior registry order;
-# the 31 r6-green queries that don't fit head the r9 window.  Every tail
-# query is re-proven by the local DuckDB mirror
-# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
-# every pytest run.
+# committed CORRECTNESS_r*.json files.  Round-9 staleness histogram:
+# 1 never-green (the new ``warc_roundtrip_curation``), 31 queries last
+# green externally in r6 (the exact set the r8 verdict names as the
+# standing rotation debt), 50 in r7, 50 in r8.  The window is therefore
+# the 1 never-green + all 31 r6-green + the 18 stalest r7-green queries
+# in prior registry order; after this round no query's newest external
+# evidence will be older than r7.  Every tail query is re-proven by the
+# local DuckDB mirror (tests/test_queries_vs_duckdb.py,
+# driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # round-8 additions — never externally checked, so they head the window
-    "dedup_cluster_density",
-    "text_token_entropy",
-    "doc_unigram_logprob",
-    "kmv_distinct_sketch",
-    "bilateral_trade_volume",
-    "product_profit_by_nation_year",
-    "returned_item_customers",
-    "priority_shipping_split",
-    "brand_supplier_counts",
-    "order_priority_checking",
-    "important_supplier_share",
-    "small_quantity_order_revenue",
-    "excess_shipping_suppliers",
-    "kmv_sketch_union",
-    "sliding_chunk_windows",
-    "bigram_pmi",
-    "dup_graph_degree_hist",
-    "winsorized_price_stats",
-    "ngram_distribution_profile",
-    "cross_source_dup_matrix",
-    "scd2_user_state_history",
-    "state_as_of_label_time",
-    "promo_revenue_share",
-    "trailing_spend_range_frame",
-    "market_share_by_year",
-    "similarity_pairs",
-    "similarity_topk",
-    "similarity_pairs_blocked",
-    "similarity_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "monthly_avg_value",
-    "events_hourly_window",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_json_extract",
-    "user_event_paths",
-    "time_series_gap_fill",
-    "key_skew_profile",
-    "latest_record_compaction",
-    "events_dow_hour_heatmap",
-    "scalar_means",
-    "impute_group_avg",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "window_topk_orders",
-    "window_running_total",
+    # round-9 addition — never externally checked, heads the window
+    "warc_roundtrip_curation",
+    # the 31 queries whose newest external evidence is r6 (the standing
+    # rotation debt the r8 verdict names), in prior registry order
+    "top10_expensive_items",
+    "set_operations",
+    "distinct_counts",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "string_functions",
+    "date_functions",
+    "agg_suite",
+    "case_when_tiers",
+    "union_all_monthly",
+    "decontaminate_corpus",
+    "vocab_top_ngrams",
+    "quality_percentile_filter",
+    "cdc_chunk_stats",
+    "token_budget_fill",
+    "dedup_canonical_keep",
+    "event_transition_matrix",
+    "dup_graph_triangles",
+    "bm25_doc_retrieval",
+    "source_unigram_divergence",
+    "disjunctive_predicate_revenue",
+    "events_rolling_engagement",
+    "events_hourly_anomaly",
+    "grouped_zscore_histogram",
+    "events_funnel",
+    "events_cohort_retention",
+    "mixture_sampling_plan",
+    "from_json_map",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "events_session_window",
+    # the 18 stalest r7-green queries fill the remainder of the window
+    "pricing_summary",
+    "regional_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality_buckets",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "text_repetition",
+    "pack_context_segments",
+    "pack_greedy_bins",
+    "dedup_clusters",
+    "dedup_embedding",
+    "corpus_clean_pipeline",
+    "common_shingle_fraction",
 ]
 
 

