@@ -375,3 +375,41 @@ def test_stream_reader_defers_files_modified_during_the_batch(tmp_path):
     bad.write_bytes(data[: len(data) - 20])
     with pytest.raises(ValueError):
         r.read(off)
+
+
+def test_export_cache_is_content_keyed_and_user_scoped(tmp_path):
+    """VERDICT r9 item 2 / ADVICE: the round-trip query's export cache must
+    (a) change when the underlying documents table changes — a rewritten
+    corpus can never be served stale WARC segments — and (b) live in a
+    per-user 0700 base dir so a foreign user's pre-created marker is never
+    trusted."""
+    import os
+    import stat
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.corpus import (
+        _warc_export_dir,
+    )
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    docs = sf_dir / "documents.parquet"
+    docs.write_bytes(b"corpus-v1")
+    d1 = _warc_export_dir(str(sf_dir))
+    assert d1 == _warc_export_dir(str(sf_dir))  # stable while unchanged
+
+    # same path, new content (size changes) -> new export dir
+    docs.write_bytes(b"corpus-v2-longer")
+    d2 = _warc_export_dir(str(sf_dir))
+    assert d2 != d1
+
+    # same size, newer mtime (regenerated corpus) -> new export dir
+    st = os.stat(docs)
+    os.utime(docs, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    d3 = _warc_export_dir(str(sf_dir))
+    assert d3 != d2
+
+    # user-scoped base dir, mode 0700, owned by us
+    base = os.path.dirname(d1)
+    assert f"u{os.getuid()}" in os.path.basename(base)
+    assert stat.S_IMODE(os.stat(base).st_mode) == 0o700
+    assert os.stat(base).st_uid == os.getuid()

@@ -116,17 +116,50 @@ _WARC_DATE = "2026-01-01T00:00:00Z"
 _MIN_TOKENS = 5
 
 
-def _warc_export_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus export directory (content keyed by the
-    sf_dir path), with a marker file making the export write-once per
-    machine: repeated query builds (bench min-of-3, plan sweeps) reuse the
-    segments instead of re-exporting."""
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Cheap, zero-Spark-job fingerprint of the documents table: the sorted
+    list of (name, size, mtime_ns) of its data file(s).  A rewritten or
+    regenerated corpus changes size or mtime, so the fingerprint — and with
+    it the export directory — changes, and stale WARC segments can never be
+    served against a new table."""
     import hashlib
+    import os
+
+    target = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    entries = []
+    if os.path.isdir(target):
+        for name in sorted(os.listdir(target)):
+            p = os.path.join(target, name)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                entries.append((name, st.st_size, st.st_mtime_ns))
+    elif os.path.isfile(target):
+        st = os.stat(target)
+        entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    blob = repr((target, entries)).encode()
+    return hashlib.md5(blob).hexdigest()[:12]
+
+
+def _warc_export_dir(sf_dir: str) -> str:
+    """Per-corpus export directory, content keyed (file names + sizes +
+    mtimes of the documents parquet) and user scoped (uid in the path,
+    0700 base dir), with a marker file making the export write-once:
+    repeated query builds (bench min-of-3, plan sweeps) reuse the
+    segments, while a changed corpus or a foreign user's pre-created dir
+    can never be silently trusted."""
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"warc_curation_{key}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"warc_curation_u{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(base).st_uid != uid:
+        raise RuntimeError(
+            f"WARC export base dir {base} is owned by another user; "
+            "refusing to reuse it"
+        )
+    os.chmod(base, 0o700)
+    return os.path.join(base, _documents_fingerprint(sf_dir))
 
 
 @register(
@@ -161,7 +194,9 @@ def _warc_export_dir(sf_dir: str) -> str:
     "canonical), and accounted per source.  The oracle computes the same "
     "curation directly on the parquet table, so equality certifies the "
     "WARC wire format is byte-lossless end-to-end.  Scale shape: the "
-    "export is write-once (marker-gated) with the write parallelism as "
+    "export is write-once (marker-gated, content-keyed on the corpus "
+    "files' sizes+mtimes, user-scoped 0700 dir) with the write "
+    "parallelism as "
     "the sharding; the read is partition-per-segment; dedup is a "
     "hash-key group-by (md5 shuffle keys, never full texts twice); the "
     "per-source join is a left join between two source-keyed aggregates",
