@@ -15,6 +15,7 @@ from tests.conftest import SF001
 from walmart_e_commerce_sales_data_pipeline_spark import queries as q
 from walmart_e_commerce_sales_data_pipeline_spark.plans import (
     formatted_plan,
+    single_partition_funnels,
     unpartitioned_windows,
 )
 
@@ -76,10 +77,35 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 }
 
 
+# Every allowed Exchange-SinglePartition site (the r9 verdict's third
+# scale-killer class: rows funneled through ONE task by a single-partition
+# shuffle whose child does not bound them).  The detector already treats
+# partial aggregates and WindowGroupLimit/LocalLimit children as bounded —
+# kmv_sketch_union and bm25_doc_retrieval pass without whitelisting because
+# their exchanges sit above WindowGroupLimit caps.  The residue is the
+# whitelisted-unpartitioned-window queries whose window input is a FINAL
+# aggregate the detector cannot size, but whose cardinality is bounded by
+# construction:
+# - window_running_total / null_ordering / window_frames_suite: the
+#   (year, month) monthly aggregate — calendar-bounded.
+# - mixture_sampling_plan: the per-source doc-count table — one row per
+#   corpus source, a config-sized set.
+# - ngram_distribution_profile: the counts-of-counts table — ≤ √(2N) rows
+#   by construction (d distinct count values satisfy d(d+1)/2 ≤ N).
+SINGLE_PARTITION_WHITELIST = {
+    "window_running_total",
+    "null_ordering",
+    "window_frames_suite",
+    "mixture_sampling_plan",
+    "ngram_distribution_profile",
+}
+
+
 def test_no_unbounded_nested_loop_joins_or_window_funnels_anywhere(spark):
     offenders: dict[str, str] = {}
     unused_whitelist = set(BNLJ_WHITELIST)
     unused_win_whitelist = set(UNPARTITIONED_WINDOW_WHITELIST)
+    unused_sp_whitelist = set(SINGLE_PARTITION_WHITELIST)
     for name, entry in q.REGISTRY.items():
         df = entry.fn(spark, SF001)
         plan = formatted_plan(df)
@@ -95,6 +121,12 @@ def test_no_unbounded_nested_loop_joins_or_window_funnels_anywhere(spark):
                 unused_win_whitelist.discard(name)
             else:
                 offenders[name] = f"unpartitioned window funnel: {wins[0][:120]}"
+        funnels = single_partition_funnels(df)
+        if funnels:
+            if name in SINGLE_PARTITION_WHITELIST:
+                unused_sp_whitelist.discard(name)
+            else:
+                offenders[name] = f"single-partition funnel: {funnels[0][:120]}"
     assert not offenders, offenders
     # keep the whitelists honest: entries whose queries no longer plan the
     # guarded shape should be removed, not accumulate.
@@ -104,6 +136,10 @@ def test_no_unbounded_nested_loop_joins_or_window_funnels_anywhere(spark):
     assert not unused_win_whitelist, (
         "stale window-whitelist entries (no unpartitioned window in plan "
         f"anymore): {unused_win_whitelist}"
+    )
+    assert not unused_sp_whitelist, (
+        "stale single-partition-whitelist entries (no unbounded "
+        f"SinglePartition exchange in plan anymore): {unused_sp_whitelist}"
     )
 
 
@@ -142,3 +178,29 @@ def test_kmv_windows_are_group_limited(spark):
     plan = formatted_plan(q.REGISTRY["kmv_sketch_union"].fn(spark, SF001))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_single_partition_detector_flags_injected_funnels(spark):
+    """The r9 task-6 self-test: the detector fires on repartition(1) over
+    lineitem and on coalesce(1), stays quiet on a keyed repartition, on a
+    global aggregate (partial-agg child bounds the exchange input to one
+    row per task), and on a top-k orderBy().limit() (TakeOrderedAndProject
+    plans no exchange at all)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+
+    bad = li.repartition(1)
+    assert single_partition_funnels(bad), "repartition(1) not detected"
+
+    bad2 = li.coalesce(1)
+    assert single_partition_funnels(bad2), "coalesce(1) not detected"
+
+    keyed = li.repartition(8, "l_orderkey")
+    assert not single_partition_funnels(keyed)
+
+    global_agg = li.agg(F.sum("l_quantity").alias("s"))
+    assert not single_partition_funnels(global_agg)
+
+    topk = li.orderBy(F.col("l_extendedprice").desc()).limit(5)
+    assert not single_partition_funnels(topk)

@@ -2,6 +2,7 @@ from .explain import (  # noqa: F401
     formatted_plan,
     has_broadcast_join,
     pushed_filters,
+    single_partition_funnels,
     unpartitioned_windows,
     wholestage_codegen_spans,
 )

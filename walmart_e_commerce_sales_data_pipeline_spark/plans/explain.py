@@ -97,6 +97,99 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return out
 
 
+def _plan_tree(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the tree section of a formatted explain into
+    ``(indent, node_name, node_id)`` triples, in tree order.  Indent is the
+    column where the node name starts, so a node's direct child is the next
+    line with a strictly greater indent."""
+    out: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        if not line.strip():
+            break  # tree section ends at the first blank line
+        m = re.match(r"^([+\-:*\s]*)([A-Za-z][\w ]*?)\s.*\((\d+)\)\s*$", line)
+        if m:
+            out.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    return out
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    """Map node id -> its detail block in a formatted explain."""
+    out: dict[int, str] = {}
+    cur_id: int | None = None
+    buf: list[str] = []
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            if cur_id is not None:
+                out[cur_id] = "\n".join(buf)
+            cur_id = int(m.group(1))
+            buf = [line]
+        elif cur_id is not None:
+            buf.append(line)
+    if cur_id is not None:
+        out[cur_id] = "\n".join(buf)
+    return out
+
+
+# Child shapes that bound the rows entering a single-partition task,
+# independent of data scale: a partial aggregate emits one row per
+# upstream task; WindowGroupLimit / LocalLimit cap rows at k per task.
+_BOUNDED_FUNNEL_CHILDREN = ("WindowGroupLimit", "LocalLimit", "GlobalLimit")
+
+
+def single_partition_funnels(df: DataFrame) -> list[str]:
+    """Every ``Exchange SinglePartition`` whose child does NOT provably
+    bound its input, plus every ``Coalesce 1`` — the remaining silent
+    scale-killer shape after nested-loop joins and unpartitioned windows:
+    a stray ``repartition(1)``/``coalesce(1)``, or an operator that forces
+    the whole dataset through one task.
+
+    A SinglePartition exchange is fine when its child is a partial
+    aggregate (one row per upstream task reaches the exchange) or a
+    WindowGroupLimit/LocalLimit (≤ k rows per task).  Anything else —
+    a Project, Filter, scan, or final aggregate feeding SinglePartition —
+    moves unbounded rows into one task and is reported.
+    ``tests/test_plan_sweep.py`` fails the suite when one appears outside
+    its justification whitelist."""
+    plan = formatted_plan(df)
+    tree = _plan_tree(plan)
+    details = _node_details(plan)
+    out: list[str] = []
+    for i, (indent, name, nid) in enumerate(tree):
+        det = details.get(nid, "")
+        if name == "Coalesce" and re.search(r"Arguments: 1\b", det):
+            out.append(f"Coalesce 1 (node {nid})")
+            continue
+        if name != "Exchange" or "SinglePartition" not in det:
+            continue
+        child = next(
+            ((n, cid) for ind, n, cid in tree[i + 1 :] if ind > indent), None
+        )
+        if child is None:
+            out.append(f"Exchange SinglePartition (node {nid}) with no child")
+            continue
+        cname, cid = child
+        cdet = details.get(cid, "")
+        is_partial_agg = "Aggregate" in cname and "partial_" in cdet
+        # a partial (keyless) distinct/dedup pre-agg also emits ≤ one row
+        # per task per group, but only the keyless form is bounded here
+        is_keyless_partial = (
+            "Aggregate" in cname
+            and re.search(r"Keys(?: \[\d+\])?: \[\]", cdet) is not None
+        )
+        bounded = (
+            is_partial_agg
+            or is_keyless_partial
+            or any(cname.startswith(b) for b in _BOUNDED_FUNNEL_CHILDREN)
+        )
+        if not bounded:
+            out.append(
+                f"Exchange SinglePartition (node {nid}) fed by {cname} "
+                f"(node {cid})"
+            )
+    return out
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer spans for the same plan =
     wider fused pipelines = less row materialization between operators).
