@@ -197,3 +197,84 @@ def test_stream_starts_on_empty_dir_with_fallback_schema(spark, tmp_path):
         )
     ).count()
     assert got == batch > 0
+
+
+def test_streaming_warc_curation_matches_batch(spark, tmp_path):
+    """The incremental twin of warc_curation_by_day: the IDENTICAL
+    transformation chain (extract → quality-filter → watermarked
+    dropDuplicatesWithinWatermark → 1-day windowed per-source rollup) runs
+    as a readStream over WARC segments in APPEND mode and must emit exactly
+    the batch query's rows.  Append mode only emits a (day, source) window
+    once the watermark passes its end, so the test drops two sentinel
+    segments with far-future crawl dates as later waves — the
+    incremental-crawl shape that closes the real windows."""
+    import os
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.corpus import (
+        export_corpus_as_warc,
+        warc_curation_by_day,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.sources.warc import (
+        write_warc,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.curation import (
+        curate_warc_docs,
+        daily_source_counts,
+        extract_warc_docs,
+    )
+
+    batch = {
+        (str(r["day"]), r["source"]): (r["docs_kept"], r["tokens_kept"])
+        for r in warc_curation_by_day(spark, SF0001).collect()
+    }
+    assert batch  # the corpus produces real windows
+
+    # wave 1: the same exported segments the batch query read
+    exp = export_corpus_as_warc(spark, SF0001)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for name in os.listdir(exp):
+        if name.endswith((".warc", ".warc.gz")):
+            os.symlink(os.path.join(exp, name), drop / name)
+
+    stream = spark.readStream.format("warc").load(str(drop))
+    counts = daily_source_counts(curate_warc_docs(extract_warc_docs(stream)))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("warc_curation_stream")
+        .outputMode("append")
+        .start()
+    )
+
+    def sentinel(name: str, date: str, doc_id: int) -> None:
+        write_warc(
+            str(drop / name),
+            [
+                {
+                    "record_id": f"<urn:doc:{doc_id}>",
+                    "warc_type": "response",
+                    "target_uri": f"http://zsentinel.corpus.local/xx/{doc_id}",
+                    "warc_date": date,
+                    "content_type": "text/plain",
+                    "payload": b"sentinel doc with enough tokens here",
+                }
+            ],
+        )
+
+    try:
+        q.processAllAvailable()
+        # waves 2+3: each advances the watermark at the NEXT batch, closing
+        # first the day-1 then the day-2 real windows
+        sentinel("zz-1.warc", "2026-03-01T00:00:00Z", 999901)
+        q.processAllAvailable()
+        sentinel("zz-2.warc", "2026-03-02T00:00:00Z", 999902)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["day"]), r["source"]): (r["docs_kept"], r["tokens_kept"])
+        for r in spark.sql("SELECT * FROM warc_curation_stream").collect()
+        if r["source"] != "zsentinel"
+    }
+    assert got == batch

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
 from ..operators.dedup import jaccard_pairs, normalize_text, shingle_sets
+from ..streaming.curation import MIN_TOKENS
 from .dedup import _SHINGLE_CTE, JACCARD_THRESHOLD
 from .registry import register
 from .tables import table
@@ -112,8 +113,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline is correct, in one check.
 # ---------------------------------------------------------------------------
 
-_WARC_DATE = "2026-01-01T00:00:00Z"
-_MIN_TOKENS = 5
+# Each exported record carries a deterministic synthetic crawl time —
+# _WARC_EPOCH + (doc_id % _WARC_HOURS) hours — so the WARC wire carries a
+# usable event-time axis (the streaming curation pipeline watermarks and
+# windows on it); the round-trip oracle below ignores it, the
+# warc_curation_by_day oracle recomputes it from doc_id.
+_WARC_EPOCH = "2026-01-01 00:00:00"
+_WARC_HOURS = 48
+_MIN_TOKENS = MIN_TOKENS
+# Bump when the exported record format changes: folded into the export
+# cache key so cached segments from an older exporter are never reused.
+_EXPORT_VERSION = 2
 
 
 def _documents_fingerprint(sf_dir: str) -> str:
@@ -136,7 +146,7 @@ def _documents_fingerprint(sf_dir: str) -> str:
     elif os.path.isfile(target):
         st = os.stat(target)
         entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
-    blob = repr((target, entries)).encode()
+    blob = repr((_EXPORT_VERSION, target, entries)).encode()
     return hashlib.md5(blob).hexdigest()[:12]
 
 
@@ -162,8 +172,7 @@ def _warc_export_dir(sf_dir: str) -> str:
     return os.path.join(base, _documents_fingerprint(sf_dir))
 
 
-@register(
-    "warc_roundtrip_curation",
+_ROUNDTRIP_REGISTER = dict(
     oracle=f"""
     WITH ext AS (
         SELECT doc_id, source, lang, text,
@@ -202,7 +211,13 @@ def _warc_export_dir(sf_dir: str) -> str:
     "per-source join is a left join between two source-keyed aggregates",
     tags=("warc", "dedup", "pipeline", "curation"),
 )
-def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def export_corpus_as_warc(spark: SparkSession, sf_dir: str) -> str:
+    """Export the documents table as WARC segments (write-once per corpus
+    content; see ``_warc_export_dir``) and return the segment directory.
+    Record id/URI carry doc_id/source/lang; warc_date carries the
+    deterministic synthetic crawl time; payload is the UTF-8 text."""
     import os
 
     from ..sources.warc import WarcDataSource
@@ -212,6 +227,9 @@ def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(out, "_EXPORTED")
     if not os.path.exists(marker):
         docs = table(spark, sf_dir, "documents")
+        crawl_ts = F.to_timestamp(F.lit(_WARC_EPOCH)) + F.make_interval(
+            hours=(F.col("doc_id") % _WARC_HOURS).cast("int")
+        )
         (
             docs.select(
                 F.concat(
@@ -226,7 +244,9 @@ def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("/"),
                     F.col("doc_id"),
                 ).alias("target_uri"),
-                F.lit(_WARC_DATE).alias("warc_date"),
+                F.date_format(crawl_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                    "warc_date"
+                ),
                 F.lit("text/plain").alias("content_type"),
                 F.encode("text", "UTF-8").alias("payload"),
             )
@@ -235,14 +255,16 @@ def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save(out)
         )
         open(marker, "w").close()
+    return out
 
+
+@register("warc_roundtrip_curation", **_ROUNDTRIP_REGISTER)
+def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation import extract_warc_docs
+
+    out = export_corpus_as_warc(spark, sf_dir)
     seg = spark.read.format("warc").load(out)
-    ext = seg.select(
-        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
-        F.regexp_extract("target_uri", r"^http://([^.]+)\.", 1).alias("source"),
-        F.regexp_extract("target_uri", r"corpus\.local/([^/]+)/", 1).alias("lang"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
-    ).withColumn("toks", F.size(F.split(F.col("text"), " ")).cast("long"))
+    ext = extract_warc_docs(seg).drop("wts", "day")
     filt = ext.filter(F.col("toks") >= _MIN_TOKENS)
     canon = (
         filt.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_h"))
@@ -267,3 +289,52 @@ def warc_roundtrip_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "warc_curation_by_day",
+    oracle=f"""
+    WITH ext AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               TIMESTAMP '{_WARC_EPOCH}'
+                 + to_hours(CAST(doc_id % {_WARC_HOURS} AS BIGINT)) AS wts
+        FROM documents
+    ),
+    filt AS (SELECT *, CAST(wts AS DATE) AS day FROM ext
+             WHERE toks >= {_MIN_TOKENS}),
+    kept AS (SELECT source, day, MIN(toks) AS toks
+             FROM filt GROUP BY source, day, md5(text))
+    SELECT day, source,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(toks) AS BIGINT) AS tokens_kept
+    FROM kept
+    GROUP BY day, source
+    ORDER BY day, source
+    """,
+    description="incremental WARC curation rollup, batch form: read the "
+    "exported WARC segments, extract docs + crawl time (warc_date), "
+    "quality-filter, exact-dedup within (source, crawl day) on md5(text), "
+    "and roll kept docs/tokens up per (day, source) via 1-day tumbling "
+    "windows on the crawl time.  The transformation chain is "
+    "streaming.curation.{extract_warc_docs, curate_warc_docs, "
+    "daily_source_counts} — the IDENTICAL plan runs as a readStream with "
+    "dropDuplicatesWithinWatermark and append-mode window emission "
+    "(stream==batch equality asserted in tests/test_streaming.py).  The "
+    "day-scoped dedup key makes the rollup arrival-order-invariant, which "
+    "is what makes the streaming twin's first-arrival semantics exact.  "
+    "Scale shape: partition-per-segment read, md5-key dedup shuffle, "
+    "windowed-aggregate state of one row per (day, source)",
+    tags=("warc", "dedup", "streaming", "curation"),
+)
+def warc_curation_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation import (
+        curate_warc_docs,
+        daily_source_counts,
+        extract_warc_docs,
+    )
+
+    out = export_corpus_as_warc(spark, sf_dir)
+    seg = spark.read.format("warc").load(out)
+    kept = curate_warc_docs(extract_warc_docs(seg))
+    return daily_source_counts(kept).orderBy("day", "source")
