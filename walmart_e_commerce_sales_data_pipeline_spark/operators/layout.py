@@ -239,6 +239,7 @@ def hilbert_write(
     col_y: str,
     n_files: int = 16,
     bits: int = _BITS,
+    writer_options: dict | None = None,
 ) -> None:
     """``zorder_write`` with the Hilbert curve instead of Morton: the
     Hilbert traversal has no long diagonal jumps, so file envelopes are
@@ -255,6 +256,7 @@ def hilbert_write(
         .sortWithinPartitions("_hd")
         .drop("_hd")
         .write.mode("overwrite")
+        .options(**(writer_options or {}))
         .parquet(path)
     )
 
