@@ -57,11 +57,14 @@ def test_runtime_metrics_capture_shuffle(spark):
     mark = execution_count(spark)
     q.REGISTRY["regional_revenue"].fn(spark, SF001).collect()
     m = metrics_since(spark, mark)
-    assert set(m) == {"shuffle_bytes", "spill_bytes"}
+    assert set(m) == {"shuffle_bytes", "spill_bytes", "peak_memory_bytes"}
     # a 3-table join + groupBy must shuffle at least the aggregation
     assert m["shuffle_bytes"] > 0
     # nothing at sf0.001 should spill on a 128 GiB heap
     assert m["spill_bytes"] == 0
+    # the hash aggregates report a per-task peak (the funnel tell the
+    # bench sidecar records per query)
+    assert m["peak_memory_bytes"] > 0
 
 
 def test_market_share_all_dims_broadcast(spark):

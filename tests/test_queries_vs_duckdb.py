@@ -150,86 +150,88 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-9 rotation policy: the checked window is the 50 queries with the
-    # oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r9: never:1 / r6:31 / r7:50 / r8:50 — the
-    # window is the new never-externally-green query, all 31 r6-green
-    # queries, and the 18 stalest r7-green ones.
+    # Round-10 rotation policy: the checked window is the 50 queries with
+    # the oldest external evidence (computed by tools/rotate_window.py).
+    # Staleness histogram entering r10: never:1 / r7:32 / r8:50 / r9:50 —
+    # the window is the new never-externally-green query, all 32 r7-green
+    # queries, and the 17 stalest r8-green ones.
     window = set(names[:50])
-    # The never-externally-green round-9 addition leads unconditionally.
-    assert _PRIORITY[0] == "warc_roundtrip_curation"
-    # The 31 queries whose newest external evidence is r6 follow, in prior
-    # registry order (the exact set the r8 verdict names as rotation debt).
-    assert _PRIORITY[1:32] == [
-        "top10_expensive_items",
-        "set_operations",
-        "distinct_counts",
-        "rollup_customer_geo",
-        "cube_order_status",
-        "string_functions",
-        "date_functions",
-        "agg_suite",
-        "case_when_tiers",
-        "union_all_monthly",
-        "decontaminate_corpus",
-        "vocab_top_ngrams",
-        "quality_percentile_filter",
-        "cdc_chunk_stats",
-        "token_budget_fill",
-        "dedup_canonical_keep",
-        "event_transition_matrix",
-        "dup_graph_triangles",
-        "bm25_doc_retrieval",
-        "source_unigram_divergence",
-        "disjunctive_predicate_revenue",
-        "events_rolling_engagement",
-        "events_hourly_anomaly",
-        "grouped_zscore_histogram",
-        "events_funnel",
-        "events_cohort_retention",
-        "mixture_sampling_plan",
-        "from_json_map",
-        "asof_join_latest_order",
-        "range_join_close_events",
-        "events_session_window",
+    # The never-externally-green round-10 addition leads unconditionally.
+    assert _PRIORITY[0] == "warc_curation_by_day"
+    # The 32 queries whose newest external evidence is r7 follow, in prior
+    # registry order.
+    assert _PRIORITY[1:33] == [
+        "vocab_oov_rate",
+        "prefix_dup_groups",
+        "profile_documents",
+        "stratified_sample_stats",
+        "train_val_test_split",
+        "embedding_dim_profile",
+        "forecast_revenue",
+        "shipping_priority_top10",
+        "large_quantity_orders",
+        "above_average_orders",
+        "pivot_status_by_year",
+        "price_percentiles",
+        "regex_math_functions",
+        "ship_delay_buckets",
+        "map_array_functions",
+        "join_right_outer",
+        "join_cross",
+        "null_ordering",
+        "window_frames_suite",
+        "grouping_sets_explicit",
+        "correlated_subquery_orders",
+        "min_price_per_type",
+        "exists_not_exists_combo",
+        "lateral_explode_embeddings",
+        "tfidf_top_terms",
+        "top_supplier_revenue",
+        "dormant_customer_balance",
+        "local_supplier_volume",
+        "customer_order_histogram",
+        "set_operations_all",
+        "orders_rfm_segments",
+        "quantize_embeddings",
     ]
-    # Nothing green in round 8 re-occupies a window slot — the window is
+    # Nothing green in round 9 re-occupies a window slot — the window is
     # reserved for the stalest evidence.
-    r8_green_sample = {
+    r9_green_sample = {
+        "warc_roundtrip_curation", "top10_expensive_items",
+        "set_operations", "distinct_counts", "rollup_customer_geo",
+        "agg_suite", "string_functions", "corpus_clean_pipeline",
+        "dedup_minhash_lsh", "asof_join_latest_order",
+        "decontaminate_corpus", "cdc_chunk_stats",
+    }
+    assert not (r9_green_sample & window)
+    # Likewise the 33 freshest r8-green queries stay out; only the 17
+    # stalest r8-green ones fill the window tail.
+    r8_fresh_sample = {
         "dedup_cluster_density", "winsorized_price_stats",
         "kmv_sketch_union", "kmv_distinct_sketch", "similarity_lsh",
-        "similarity_topk_ivf", "multimodal_features", "monthly_avg_value",
-        "scd2_user_state_history", "bigram_pmi", "join_customer_orders",
-        "window_topk_orders", "ngram_distribution_profile",
+        "similarity_topk_ivf", "multimodal_features",
+        "scd2_user_state_history", "bigram_pmi", "window_topk_orders",
+        "ngram_distribution_profile",
     }
-    assert not (r8_green_sample & window)
-    # Likewise the 32 freshest r7-green queries stay out; only the 18
-    # stalest r7-green ones fill the window tail.
-    r7_fresh_sample = {
-        "vocab_oov_rate", "prefix_dup_groups", "dormant_customer_balance",
-        "quantize_embeddings", "tfidf_top_terms", "top_supplier_revenue",
-        "local_supplier_volume",
-    }
-    assert not (r7_fresh_sample & window)
-    assert _PRIORITY[32:] == [
-        "pricing_summary",
-        "regional_revenue",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "text_stats",
-        "text_quality_buckets",
-        "text_lang_id",
-        "doc_fingerprint",
-        "text_bpe_tokens",
-        "text_repetition",
-        "pack_context_segments",
-        "pack_greedy_bins",
-        "dedup_clusters",
-        "dedup_embedding",
-        "corpus_clean_pipeline",
-        "common_shingle_fraction",
+    assert not (r8_fresh_sample & window)
+    assert _PRIORITY[33:] == [
+        "monthly_avg_value",
+        "events_hourly_window",
+        "events_sessionization",
+        "events_sliding_window",
+        "events_json_extract",
+        "user_event_paths",
+        "time_series_gap_fill",
+        "key_skew_profile",
+        "latest_record_compaction",
+        "events_dow_hour_heatmap",
+        "scalar_means",
+        "impute_group_avg",
+        "join_customer_orders",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "join_full_outer",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

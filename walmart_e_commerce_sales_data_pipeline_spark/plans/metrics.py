@@ -30,6 +30,15 @@ _BYTE_METRICS = {
     "spill size": "spill_bytes",
 }
 
+# metric display name → key for metrics aggregated by MAX of the per-task
+# maximum (the last value in the "total (min, med, max)" UI format).  Peak
+# memory is the funnel tell wall-clock hides at sf0.1: an operator that
+# concentrates the dataset into one task shows up as a per-task peak far
+# above its siblings long before it OOMs at scale.
+_PEAK_METRICS = {
+    "peak memory": "peak_memory_bytes",
+}
+
 
 def _parse_bytes(formatted: str) -> int:
     """Leading total of a UI-formatted size string, in bytes."""
@@ -37,6 +46,17 @@ def _parse_bytes(formatted: str) -> int:
     if not m:
         return 0
     return int(float(m.group(1).replace(",", "")) * _UNIT[m.group(2)])
+
+
+def _parse_max_bytes(formatted: str) -> int:
+    """Last size in a UI-formatted "total (min, med, max)" string — the
+    per-task maximum — in bytes; falls back to the only value when the
+    metric has no distribution."""
+    ms = _SIZE_RE.findall(formatted)
+    if not ms:
+        return 0
+    num, unit = ms[-1]
+    return int(float(num.replace(",", "")) * _UNIT[unit])
 
 
 def execution_count(spark: SparkSession) -> int:
@@ -47,14 +67,18 @@ def execution_count(spark: SparkSession) -> int:
 def metrics_since(spark: SparkSession, watermark: int) -> dict[str, int]:
     """Aggregate byte-valued SQL metrics over executions after `watermark`.
 
-    Returns ``{"shuffle_bytes": n, "spill_bytes": n}`` summed across every
+    Returns ``{"shuffle_bytes": n, "spill_bytes": n,
+    "peak_memory_bytes": n}``: the byte metrics summed across every
     execution the store recorded past the watermark (a single query() call
     may trigger several — eager counts, persists), each deduped by
-    accumulator id.
+    accumulator id; peak memory is the MAX per-task peak across all
+    operators instead — the single-task-funnel signal.
     """
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
-    totals = dict.fromkeys(_BYTE_METRICS.values(), 0)
+    totals = dict.fromkeys(
+        [*_BYTE_METRICS.values(), *_PEAK_METRICS.values()], 0
+    )
     for i in range(watermark, execs.size()):
         ex = execs.apply(i)
         values = store.executionMetrics(ex.executionId())
@@ -63,11 +87,18 @@ def metrics_since(spark: SparkSession, watermark: int) -> dict[str, int]:
         while it.hasNext():
             m = it.next()
             key = _BYTE_METRICS.get(m.name())
+            peak_key = _PEAK_METRICS.get(m.name())
             acc = m.accumulatorId()
-            if key is None or acc in seen:
+            if (key is None and peak_key is None) or acc in seen:
                 continue
             seen.add(acc)
             v = values.get(acc)
-            if v.isDefined():
+            if not v.isDefined():
+                continue
+            if key is not None:
                 totals[key] += _parse_bytes(v.get())
+            else:
+                totals[peak_key] = max(
+                    totals[peak_key], _parse_max_bytes(v.get())
+                )
     return totals

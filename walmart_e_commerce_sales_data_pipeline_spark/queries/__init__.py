@@ -33,71 +33,66 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-9 staleness histogram:
-# 1 never-green (the new ``warc_roundtrip_curation``), 31 queries last
-# green externally in r6 (the exact set the r8 verdict names as the
-# standing rotation debt), 50 in r7, 50 in r8.  The window is therefore
-# the 1 never-green + all 31 r6-green + the 18 stalest r7-green queries
-# in prior registry order; after this round no query's newest external
-# evidence will be older than r7.  Every tail query is re-proven by the
+# committed CORRECTNESS_r*.json files.  Round-10 staleness histogram:
+# 1 never-green (the new ``warc_curation_by_day``), 32 queries last green
+# externally in r7, 50 in r8, 50 in r9.  The window is therefore the
+# 1 never-green + all 32 r7-green + the 17 stalest r8-green queries in
+# prior registry order; after this round no query's newest external
+# evidence will be older than r8.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # round-9 addition — never externally checked, heads the window
-    "warc_roundtrip_curation",
-    # the 31 queries whose newest external evidence is r6 (the standing
-    # rotation debt the r8 verdict names), in prior registry order
-    "top10_expensive_items",
-    "set_operations",
-    "distinct_counts",
-    "rollup_customer_geo",
-    "cube_order_status",
-    "string_functions",
-    "date_functions",
-    "agg_suite",
-    "case_when_tiers",
-    "union_all_monthly",
-    "decontaminate_corpus",
-    "vocab_top_ngrams",
-    "quality_percentile_filter",
-    "cdc_chunk_stats",
-    "token_budget_fill",
-    "dedup_canonical_keep",
-    "event_transition_matrix",
-    "dup_graph_triangles",
-    "bm25_doc_retrieval",
-    "source_unigram_divergence",
-    "disjunctive_predicate_revenue",
-    "events_rolling_engagement",
-    "events_hourly_anomaly",
-    "grouped_zscore_histogram",
-    "events_funnel",
-    "events_cohort_retention",
-    "mixture_sampling_plan",
-    "from_json_map",
-    "asof_join_latest_order",
-    "range_join_close_events",
-    "events_session_window",
-    # the 18 stalest r7-green queries fill the remainder of the window
-    "pricing_summary",
-    "regional_revenue",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    "dedup_clusters",
-    "dedup_embedding",
-    "corpus_clean_pipeline",
-    "common_shingle_fraction",
+    "warc_curation_by_day",
+    "vocab_oov_rate",
+    "prefix_dup_groups",
+    "profile_documents",
+    "stratified_sample_stats",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "forecast_revenue",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    "above_average_orders",
+    "pivot_status_by_year",
+    "price_percentiles",
+    "regex_math_functions",
+    "ship_delay_buckets",
+    "map_array_functions",
+    "join_right_outer",
+    "join_cross",
+    "null_ordering",
+    "window_frames_suite",
+    "grouping_sets_explicit",
+    "correlated_subquery_orders",
+    "min_price_per_type",
+    "exists_not_exists_combo",
+    "lateral_explode_embeddings",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "dormant_customer_balance",
+    "local_supplier_volume",
+    "customer_order_histogram",
+    "set_operations_all",
+    "orders_rfm_segments",
+    "quantize_embeddings",
+    "monthly_avg_value",
+    "events_hourly_window",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "latest_record_compaction",
+    "events_dow_hour_heatmap",
+    "scalar_means",
+    "impute_group_avg",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
 ]
 
 
