@@ -70,6 +70,12 @@ HEAVY = [
     "kmv_sketch_union",
     "winsorized_price_stats",
     "ngram_distribution_profile",
+    # round 10: the WARC wire-format round trip — export (write-once,
+    # Python data source writer, parallelism = write partitioning), read
+    # back partition-per-segment, curate, roll up.  The export cost
+    # amortizes across the min-of-2 runs exactly as a crawl ingest would;
+    # the measured query must stay linear in corpus bytes
+    "warc_curation_by_day",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

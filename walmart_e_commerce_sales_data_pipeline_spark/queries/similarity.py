@@ -218,3 +218,78 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH pos AS (
+        SELECT label,
+               CAST(u.i AS INTEGER) AS pos,
+               CAST(u.v AS DOUBLE) AS v
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(0, len(embedding)),
+                          i -> {'i': i, 'v': embedding[i + 1]})) AS u
+            FROM embeddings
+        )
+    ),
+    cent AS (SELECT label, pos, AVG(v) AS c FROM pos GROUP BY label, pos),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.c * b.c) AS dot,
+               SUM(a.c * a.c) AS na,
+               SUM(b.c * b.c) AS nb
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / SQRT(na * nb), 6) AS centroid_cosine
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+    description="inter-class embedding drift map: per-label centroid "
+    "(dimension-wise mean via posexplode + one map-side-combined "
+    "aggregation keyed on the label×dim domain) and the pairwise cosine "
+    "between every two label centroids — the class-separability / "
+    "domain-drift diagnostic run before training a classifier head or "
+    "choosing contrastive negatives.  Scale shape: the only data-sized "
+    "stage is the (label, dim)-keyed partial aggregate over N×D exploded "
+    "rows (map-side combine collapses each partition to |labels|×D rows "
+    "before the shuffle); the centroid table itself is |labels|×D rows — "
+    "config-sized — so the pairwise self-join is a broadcast-scale "
+    "equi-join on dim, never quadratic in N.  Cosine is rounded to 6 dp "
+    "on both engines (double sums are order-dependent at the last ulp)",
+    tags=("similarity", "profiling"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("na"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    ).orderBy("label_a", "label_b")
