@@ -152,15 +152,16 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-10 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r10: never:1 / r7:32 / r8:50 / r9:50 —
-    # the window is the new never-externally-green query, all 32 r7-green
-    # queries, and the 17 stalest r8-green ones.
+    # Staleness histogram entering r10: never:2 / r7:32 / r8:50 / r9:50 —
+    # the window is the two never-externally-green queries, all 32
+    # r7-green queries, and the 16 stalest r8-green ones.
     window = set(names[:50])
-    # The never-externally-green round-10 addition leads unconditionally.
+    # The never-externally-green round-10 additions lead unconditionally.
     assert _PRIORITY[0] == "warc_curation_by_day"
+    assert _PRIORITY[1] == "label_centroid_similarity"
     # The 32 queries whose newest external evidence is r7 follow, in prior
     # registry order.
-    assert _PRIORITY[1:33] == [
+    assert _PRIORITY[2:34] == [
         "vocab_oov_rate",
         "prefix_dup_groups",
         "profile_documents",
@@ -204,7 +205,7 @@ def test_checked_window_composition():
         "decontaminate_corpus", "cdc_chunk_stats",
     }
     assert not (r9_green_sample & window)
-    # Likewise the 33 freshest r8-green queries stay out; only the 17
+    # Likewise the freshest r8-green queries stay out; only the 16
     # stalest r8-green ones fill the window tail.
     r8_fresh_sample = {
         "dedup_cluster_density", "winsorized_price_stats",
@@ -214,7 +215,7 @@ def test_checked_window_composition():
         "ngram_distribution_profile",
     }
     assert not (r8_fresh_sample & window)
-    assert _PRIORITY[33:] == [
+    assert _PRIORITY[34:] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -231,7 +232,6 @@ def test_checked_window_composition():
         "join_left_outer",
         "join_semi",
         "join_anti",
-        "join_full_outer",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
