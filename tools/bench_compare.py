@@ -6,10 +6,13 @@ Round 7/8 showed wall-clock deltas on this shared box are dominated by
 ambient load arriving in waves: 5-8 CONSECUTIVE bench positions inflate
 1.4-2x while shuffle metrics stay byte-identical.  `calibration_sec` (a
 fixed synthetic workload timed min-of-3 in the same process) captures
-the machine's speed for the run, so a query is only flagged as a real
-regression when its wall grows beyond the calibration ratio by more than
-the noise band AND its shuffle bytes moved, or when the wall ratio is
-extreme even with flat shuffle (plan-shape suspect).
+the machine's speed for the run — but the calibration job over-responds
+to ambient load relative to the fixed driver-side costs dominating
+sub-second queries, so a query is only flagged as a real regression when
+its wall grows beyond the noise band under BOTH the raw and the
+calibration-normalized view, AND its shuffle bytes moved (or the growth
+is extreme even with flat shuffle — plan-shape suspect).  Peak task
+memory growing >2x and >64 MB flags separately as a funnel suspect.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--band 0.25]
 """
@@ -43,7 +46,16 @@ def main() -> None:
     flagged, drifted = [], []
     for name in common:
         a, b = old["queries"][name], new["queries"][name]
-        norm_ratio = (b / max(a, 1e-9)) / speed
+        raw_ratio = b / max(a, 1e-9)
+        norm_ratio = raw_ratio / speed
+        # The calibration job is 32-thread CPU-bound, so it over-responds
+        # to ambient load relative to the fixed driver-side costs that
+        # dominate sub-second queries: when machine speed shifts, dividing
+        # by it inverts the signal (a 2x-faster calibration makes every
+        # merely-10%-faster query look like a 1.8x normalized regression).
+        # A real regression must survive under BOTH views — raw wall up
+        # AND calibration-normalized wall up.
+        ratio = min(raw_ratio, norm_ratio)
         sh_a = (mo.get(name) or {}).get("shuffle_bytes")
         sh_b = (mn.get(name) or {}).get("shuffle_bytes")
         sh_moved = (
@@ -51,23 +63,45 @@ def main() -> None:
             and sh_b is not None
             and abs(sh_b - sh_a) > 0.02 * max(sh_a, 1)
         )
-        if norm_ratio > 1 + band and (sh_moved or norm_ratio > 2.0):
-            flagged.append((norm_ratio, name, a, b, sh_a, sh_b))
-        elif norm_ratio > 1 + band:
-            drifted.append((norm_ratio, name, a, b))
-    print(f"\n{len(common)} common queries; band ±{band:.0%} after normalization")
+        if ratio > 1 + band and (sh_moved or ratio > 2.0):
+            flagged.append((ratio, name, a, b, sh_a, sh_b))
+        elif ratio > 1 + band:
+            drifted.append((ratio, name, a, b))
+    # Peak-task-memory growth is the funnel tell wall-clock hides at
+    # sf0.1: an operator that newly concentrates its input into one task
+    # multiplies its per-task peak long before wall time moves.  Flag
+    # growth beyond 2x AND 64 MB absolute — below that the hash-map page
+    # granularity (32 MB allocations) dominates and toggles freely.
+    mem_flagged = []
+    for name in common:
+        pa = (mo.get(name) or {}).get("peak_memory_bytes")
+        pb = (mn.get(name) or {}).get("peak_memory_bytes")
+        if (
+            pa is not None
+            and pb is not None
+            and pb > 2 * max(pa, 1)
+            and pb - pa > 64 * 1024 * 1024
+        ):
+            mem_flagged.append((pb / max(pa, 1), name, pa, pb))
+    print(f"\n{len(common)} common queries; band ±{band:.0%} under BOTH raw "
+          "and normalized views")
     if flagged:
-        print("\nREGRESSION SUSPECTS (normalized wall up AND shuffle moved, "
-              "or >2x with flat shuffle):")
+        print("\nREGRESSION SUSPECTS (raw AND normalized wall up, with "
+              "shuffle moved or >2x):")
         for r, name, a, b, sa, sb in sorted(flagged, reverse=True):
             print(f"  {name}: {a}s -> {b}s (norm {r:.2f}x), "
                   f"shuffle {sa} -> {sb}")
     if drifted:
-        print("\nambient drift (normalized wall up, shuffle flat — machine "
-              "noise until proven otherwise):")
+        print("\nambient drift (wall up under both views, shuffle flat — "
+              "machine noise until proven otherwise):")
         for r, name, a, b in sorted(drifted, reverse=True):
             print(f"  {name}: {a}s -> {b}s (norm {r:.2f}x)")
-    if not flagged and not drifted:
+    if mem_flagged:
+        print("\nPEAK-TASK-MEMORY SUSPECTS (per-task peak >2x and >64 MB up "
+              "— possible new single-task funnel):")
+        for r, name, pa, pb in sorted(mem_flagged, reverse=True):
+            print(f"  {name}: {pa} -> {pb} bytes ({r:.1f}x)")
+    if not flagged and not drifted and not mem_flagged:
         print("no queries beyond the noise band")
     print(f"\ncommon-query wall sum: {sum(old['queries'][n] for n in common):.2f}"
           f" -> {sum(new['queries'][n] for n in common):.2f} s"

@@ -125,6 +125,13 @@ COMMENT = {
     "state_as_of_label_time": "point-in-time join (late round 8): the interval join rides "
     "the user_id equi key as a hash join with [valid_from, valid_to) containment as a "
     "residual — never a nested loop; labels and history shuffle once on the same key",
+    "warc_curation_by_day": "round 10: partition-per-segment WARC scan (Python data "
+    "source) -> pure-projection extract -> md5-keyed dedup aggregate within (source, "
+    "day) -> (window, source)-keyed rollup; two keyed exchanges, both on hash keys, "
+    "never full texts twice; identical logical plan runs as the streaming twin",
+    "label_centroid_similarity": "round 10: posexplode to (label, dim) with map-side "
+    "combine into |labels|xD centroids; the pairwise centroid join is broadcast-scale "
+    "on the dim key (config-sized input), so nothing quadratic in row count plans",
 }
 
 
