@@ -235,3 +235,19 @@ def test_checked_window_composition():
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE entry must name a registered query — a
+    typo'd or renamed entry would crash bench.py only at round-end, on
+    the driver's machine, mid-measurement."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(__import__("pathlib").Path(__file__).parent.parent / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in q.REGISTRY]
+    assert not missing, f"bench HEADLINE names unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups
