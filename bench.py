@@ -111,6 +111,7 @@ HEADLINE = [
     "warc_roundtrip_curation",
     "warc_curation_by_day",
     "label_centroid_similarity",
+    "event_interarrival_profile",
 ]
 
 

@@ -152,16 +152,17 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-10 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r10: never:2 / r7:32 / r8:50 / r9:50 —
-    # the window is the two never-externally-green queries, all 32
-    # r7-green queries, and the 16 stalest r8-green ones.
+    # Staleness histogram entering r10: never:3 / r7:32 / r8:50 / r9:50 —
+    # the window is the three never-externally-green queries, all 32
+    # r7-green queries, and the 15 stalest r8-green ones.
     window = set(names[:50])
     # The never-externally-green round-10 additions lead unconditionally.
     assert _PRIORITY[0] == "warc_curation_by_day"
     assert _PRIORITY[1] == "label_centroid_similarity"
+    assert _PRIORITY[2] == "event_interarrival_profile"
     # The 32 queries whose newest external evidence is r7 follow, in prior
     # registry order.
-    assert _PRIORITY[2:34] == [
+    assert _PRIORITY[3:35] == [
         "vocab_oov_rate",
         "prefix_dup_groups",
         "profile_documents",
@@ -205,7 +206,7 @@ def test_checked_window_composition():
         "decontaminate_corpus", "cdc_chunk_stats",
     }
     assert not (r9_green_sample & window)
-    # Likewise the freshest r8-green queries stay out; only the 16
+    # Likewise the freshest r8-green queries stay out; only the 15
     # stalest r8-green ones fill the window tail.
     r8_fresh_sample = {
         "dedup_cluster_density", "winsorized_price_stats",
@@ -215,7 +216,7 @@ def test_checked_window_composition():
         "ngram_distribution_profile",
     }
     assert not (r8_fresh_sample & window)
-    assert _PRIORITY[34:] == [
+    assert _PRIORITY[35:] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -231,7 +232,6 @@ def test_checked_window_composition():
         "join_customer_orders",
         "join_left_outer",
         "join_semi",
-        "join_anti",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -132,6 +132,10 @@ COMMENT = {
     "label_centroid_similarity": "round 10: posexplode to (label, dim) with map-side "
     "combine into |labels|xD centroids; the pairwise centroid join is broadcast-scale "
     "on the dim key (config-sized input), so nothing quadratic in row count plans",
+    "event_interarrival_profile": "round 10: (event_type, day)-partitioned lag window "
+    "(no partition grows with stream lifetime) -> integer ns gaps -> exact-percentile "
+    "histogram ladder keyed on event_type + a count/max aggregate joined at the end; "
+    "the ladder's windows all carry the group key, so nothing funnels one task",
 }
 
 

@@ -34,10 +34,11 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-10 staleness histogram:
-# 2 never-green (the new ``warc_curation_by_day`` and
-# ``label_centroid_similarity``), 32 queries last green
+# 3 never-green (the new ``warc_curation_by_day``,
+# ``label_centroid_similarity`` and ``event_interarrival_profile``),
+# 32 queries last green
 # externally in r7, 50 in r8, 50 in r9.  The window is therefore the
-# 2 never-green + all 32 r7-green + the 16 stalest r8-green queries in
+# 3 never-green + all 32 r7-green + the 15 stalest r8-green queries in
 # prior registry order; after this round no query's newest external
 # evidence will be older than r8.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
@@ -46,6 +47,7 @@ from . import (  # noqa: F401
 _PRIORITY = [
     "warc_curation_by_day",
     "label_centroid_similarity",
+    "event_interarrival_profile",
     "vocab_oov_rate",
     "prefix_dup_groups",
     "profile_documents",
@@ -93,7 +95,6 @@ _PRIORITY = [
     "join_customer_orders",
     "join_left_outer",
     "join_semi",
-    "join_anti",
 ]
 
 

@@ -452,3 +452,72 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), cent_sum("value", "sum_value"))
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "event_interarrival_profile",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               ts_ns - LAG(ts_ns) OVER (
+                   PARTITION BY event_type, day
+                   ORDER BY ts_ns, event_id) AS gap
+        FROM x
+    ),
+    f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap, 0.5) / 1e9, 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap, 0.9) / 1e9, 4) AS p90_gap_s,
+           ROUND(MAX(gap) / 1e9, 4) AS max_gap_s
+    FROM f
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="per-type event inter-arrival profile: lag over a "
+    "(event_type, day)-partitioned window on the exact nanosecond "
+    "timestamp gives integer arrival gaps (day-scoped so no window "
+    "partition grows with stream lifetime), then EXACT interpolated "
+    "p50/p90 via the distributed histogram ladder "
+    "(operators.percentiles.exact_group_percentiles — bit-compatible "
+    "with quantile_cont, never a per-group sort buffer) joined with the "
+    "count/max aggregate.  The traffic-cadence diagnostic behind "
+    "rate-anomaly alerting and watermark-delay tuning.  Scale shape: "
+    "one keyed exchange for the lag window, histogram-ladder state = "
+    "distinct gap values per type (integer ns gaps collapse heavily), "
+    "gaps rounded to seconds only at the output edge",
+    tags=("event-time", "window", "percentile"),
+)
+def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts_ns", "event_id")
+    g = (
+        x.withColumn("gap", F.col("ts_ns") - F.lag("ts_ns").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    pct = exact_group_percentiles(g, ["event_type"], "gap", [0.5, 0.9])
+    stats = g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"), F.max("gap").alias("_mx")
+    )
+    return (
+        stats.join(pct, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("p_0") / F.lit(1e9), 4).alias("p50_gap_s"),
+            F.round(F.col("p_1") / F.lit(1e9), 4).alias("p90_gap_s"),
+            F.round(F.col("_mx") / F.lit(1e9), 4).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
