@@ -120,6 +120,85 @@ def main() -> None:
                 key=lambda r: r["sec"],
             )
             report[name]["rocksdb_state"] = rocks
+
+    # WARC curation throughput: the sf0.1 documents exported as N_SPLITS
+    # WARC segments, drained through the extract -> quality-filter ->
+    # watermarked dedup chain (streaming/curation.py).  The stateful heart
+    # of the incremental crawl-ingest pipeline; append mode emits every
+    # kept doc immediately, so out_rows is the curated-corpus size.
+    from pyspark.sql import functions as FF
+
+    from walmart_e_commerce_sales_data_pipeline_spark.sources.warc import (
+        WarcDataSource,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.curation import (
+        curate_warc_docs,
+        extract_warc_docs,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    warc_dir = tempfile.mkdtemp(prefix="stream_bench_warc_")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    (
+        docs.repartition(N_SPLITS)
+        .select(
+            FF.concat(FF.lit("<urn:doc:"), FF.col("doc_id"), FF.lit(">")).alias(
+                "record_id"
+            ),
+            FF.lit("response").alias("warc_type"),
+            FF.concat(
+                FF.lit("http://"), FF.col("source"), FF.lit(".corpus.local/"),
+                FF.col("lang"), FF.lit("/"), FF.col("doc_id"),
+            ).alias("target_uri"),
+            FF.date_format(
+                FF.to_timestamp(FF.lit("2026-01-01 00:00:00"))
+                + FF.make_interval(hours=(FF.col("doc_id") % 48).cast("int")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("warc_date"),
+            FF.lit("text/plain").alias("content_type"),
+            FF.encode("text", "UTF-8").alias("payload"),
+        )
+        .write.format("warc")
+        .mode("overwrite")
+        .save(warc_dir)
+    )
+
+    def drain_warc(conf: dict[str, str]) -> dict[str, float]:
+        for k in rocksdb_state_conf():
+            spark.conf.unset(k)
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        stream = spark.readStream.format("warc").load(warc_dir)
+        sink = f"bench_warc_{abs(hash(tuple(conf.items())))}"
+        t0 = time.perf_counter()
+        q = (
+            curate_warc_docs(extract_warc_docs(stream))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = spark.table(sink).count()
+        q.stop()
+        return {
+            "sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall),
+            "out_rows": out_rows,
+        }
+
+    report["warc_curation_dedup"] = {
+        "n_docs": n_docs,
+        "hdfs_state": min((drain_warc({}) for _ in range(2)),
+                          key=lambda r: r["sec"]),
+        "rocksdb_state": min(
+            (drain_warc(rocksdb_state_conf()) for _ in range(2)),
+            key=lambda r: r["sec"],
+        ),
+    }
     print(json.dumps(report, indent=1))
     spark.stop()
 
