@@ -105,9 +105,10 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "scd2_user_state_history",
     "state_as_of_label_time",
-    # round 9/10 additions (queries/corpus.py, similarity.py): the WARC
-    # wire-format round trip, its incremental per-day rollup twin, and
-    # the label-centroid drift map
+    # round 9/10 additions (queries/corpus.py, similarity.py, events.py):
+    # the WARC wire-format round trip, its incremental per-day rollup
+    # twin, the label-centroid drift map, and the event inter-arrival
+    # percentile profile
     "warc_roundtrip_curation",
     "warc_curation_by_day",
     "label_centroid_similarity",

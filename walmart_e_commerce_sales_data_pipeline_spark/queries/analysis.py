@@ -540,8 +540,10 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentiles import exact_group_percentiles
 
     li = table(spark, sf_dir, "lineitem")
+    # on_overflow="error": oracle-checked vs DuckDB's exact quantile_cont,
+    # so a silent approx fallback must fail loudly instead of diverging.
     fences = exact_group_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95], on_overflow="error"
     ).select(
         "l_returnflag", F.col("p_0").alias("lo"), F.col("p_1").alias("hi")
     )

@@ -138,14 +138,27 @@ def _documents_fingerprint(sf_dir: str) -> str:
     target = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     entries = []
     if os.path.isdir(target):
-        for name in sorted(os.listdir(target)):
-            p = os.path.join(target, name)
-            if os.path.isfile(p):
+        # Walk recursively: a partitioned/nested parquet directory keeps
+        # its data files under key=value subdirs, and a top-level-only
+        # listing would fingerprint none of them (serving stale segments
+        # after a content change).
+        for root, dirs, files in os.walk(target):
+            dirs.sort()
+            rel_root = os.path.relpath(root, target)
+            for name in sorted(files):
+                p = os.path.join(root, name)
                 st = os.stat(p)
-                entries.append((name, st.st_size, st.st_mtime_ns))
+                entries.append(
+                    (os.path.join(rel_root, name), st.st_size, st.st_mtime_ns)
+                )
     elif os.path.isfile(target):
         st = os.stat(target)
         entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    if not entries:
+        raise FileNotFoundError(
+            f"no data files found under {target}; refusing to fingerprint "
+            "an empty target (the cache key would be content-insensitive)"
+        )
     blob = repr((_EXPORT_VERSION, target, entries)).encode()
     return hashlib.md5(blob).hexdigest()[:12]
 

@@ -506,7 +506,12 @@ def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
-    pct = exact_group_percentiles(g, ["event_type"], "gap", [0.5, 0.9])
+    # on_overflow="error": this query is oracle-checked against DuckDB's
+    # exact quantile_cont, so a silent approx fallback above the histogram
+    # bound would diverge with no plan signal — fail loudly instead.
+    pct = exact_group_percentiles(
+        g, ["event_type"], "gap", [0.5, 0.9], on_overflow="error"
+    )
     stats = g.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"), F.max("gap").alias("_mx")
     )

@@ -238,8 +238,14 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentiles import exact_group_percentiles
 
     li = table(spark, sf_dir, "lineitem")
+    # on_overflow="error": oracle-checked vs DuckDB's exact quantile_cont,
+    # so a silent approx fallback must fail loudly instead of diverging.
     pct = exact_group_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        on_overflow="error",
     )
     return pct.select(
         "l_returnflag",

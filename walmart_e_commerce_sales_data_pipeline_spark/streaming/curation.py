@@ -58,7 +58,7 @@ def extract_warc_docs(seg: DataFrame) -> DataFrame:
     )
 
 
-def curate_warc_docs(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def curate_warc_docs(docs: DataFrame, watermark: str = "25 hours") -> DataFrame:
     """Quality-filter then exact-dedup within (source, crawl day).
 
     The dedup key is ``(source, day, md5(text))`` — scoping dedup to the
@@ -71,6 +71,14 @@ def curate_warc_docs(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     Streaming input: ``dropDuplicatesWithinWatermark`` keyed on the hash,
     state bounded by the watermark horizon.  Batch input: plain
     ``dropDuplicates`` on the same key.
+
+    The default watermark covers the full dedup-key scope: because the
+    key is day-scoped, two duplicates of one key can be up to ~24 h apart
+    in event time, so the horizon must be >= 1 day (plus lateness slack,
+    hence 25 h) for stream==batch equality to hold under multi-batch
+    arrival.  A shorter watermark trades state size for a weaker
+    contract: a duplicate arriving after its key's state was evicted
+    survives in the stream but not in batch.
     """
     filt = docs.filter(F.col("toks") >= MIN_TOKENS).withColumn(
         "_h", F.md5(F.encode("text", "UTF-8"))
