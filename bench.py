@@ -146,8 +146,29 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         return runs
 
+    # Single-thread calibration: the 32-way shuffle workload above measures
+    # aggregate throughput, but serial critical paths (final presentation
+    # sorts, driver-side Row materialization, single-partition result
+    # stages) track single-core speed instead — the two can drift
+    # independently across this shared box's host generations (r10→r11
+    # diagnosis: scd2_user_state_history walls moved ±40 % with identical
+    # plans/bytes/rows while the parallel calibration said "quiet").
+    # Recording both lets a reader attribute a wall delta to the right
+    # resource mechanically.
+    def _calibrate_single_thread() -> list[float]:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(5_000_000):
+                acc += i * i
+            runs.append(round(time.perf_counter() - t0, 3))
+        return runs
+
     cal_runs = _calibrate()
     calibration = min(cal_runs)
+    cal_st_runs = _calibrate_single_thread()
+    calibration_st = min(cal_st_runs)
 
     # min of 3 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
@@ -285,6 +306,7 @@ def main() -> None:
     # 1-min load 13.8 mid-run) — the start/end pair bounds the machine
     # state the walls were actually taken under.
     cal_end_runs = _calibrate()
+    cal_st_end_runs = _calibrate_single_thread()
 
     total = round(sum(timings.values()), 3)
     # Coverage marker: when a query errors it drops out of `total`, which
@@ -309,6 +331,10 @@ def main() -> None:
                 "calibration_runs": cal_runs,
                 "calibration_end_sec": min(cal_end_runs),
                 "calibration_end_runs": cal_end_runs,
+                "calibration_st_sec": calibration_st,
+                "calibration_st_runs": cal_st_runs,
+                "calibration_st_end_sec": min(cal_st_end_runs),
+                "calibration_st_end_runs": cal_st_end_runs,
                 "queries": timings,
                 "runs": all_runs,
                 "loadavg_1m": loadavgs,

@@ -98,3 +98,72 @@ def test_pairs_plan_evaluated_once(spark):
     assert calls.value == base.count(), (
         f"pair plan evaluated {calls.value} times for {base.count()} rows"
     )
+
+
+def _label_sets(spark, pairs, **kw):
+    return {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, **kw).collect()
+    }
+
+
+def test_star_equals_union_find_and_pointer_jumping(spark):
+    """The large-star/small-star path must produce the identical min-label
+    output as both existing paths on adversarial shapes (long chain for
+    diameter, cycle, star hub, random noise with self-loops)."""
+    import random
+
+    rng = random.Random(11)
+    edges = (
+        [(i, i + 1) for i in range(60)]  # 61-node path, diameter 60
+        + [(100, 100 + i) for i in range(1, 9)]  # star hub
+        + [(200, 201), (201, 202), (202, 200)]  # cycle
+        + [(300, 300)]  # pure self-loop: node must still be labeled
+        + [(rng.randrange(400, 440), rng.randrange(400, 440)) for _ in range(40)]
+    )
+    pairs = spark.createDataFrame(edges, "x: long, y: long")
+    uf = _label_sets(spark, pairs, algorithm="union_find")
+    pj = _label_sets(spark, pairs, algorithm="pointer_jumping")
+    star = _label_sets(spark, pairs, algorithm="star")
+    assert uf == pj == star and star
+    assert (300, 300) in star
+
+
+def test_star_converges_in_logarithmic_rounds(spark):
+    """A diameter-d path must converge in O(log d) large/small-star
+    rounds, and the per-round edge telemetry must show the edge set
+    contracting toward the star forest (the scale property the algorithm
+    exists for)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "x: long, y: long"
+    )
+    stats: dict = {}
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            chain, algorithm="star", stats=stats
+        ).collect()
+    }
+    assert len(labels) == 201 and all(v == 0 for v in labels.values())
+    assert stats["iterations"] <= 12, stats  # log2(200) ~ 8 + slack
+    # final round holds the star forest: one edge per non-root node
+    assert stats["rounds"][-1]["edges"] == 200
+
+
+def test_star_unconverged_raises(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "x: long, y: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2, algorithm="star")
+
+
+def test_star_empty_graph(spark):
+    empty = spark.createDataFrame([], "x: long, y: long")
+    assert connected_components(empty, algorithm="star").count() == 0
+
+
+def test_unknown_algorithm_rejected(spark):
+    pairs = spark.createDataFrame([(1, 2)], "x: long, y: long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="graphx")

@@ -40,6 +40,16 @@ def main() -> None:
     cal_new = new.get("calibration_sec") or 1.0
     speed = cal_new / cal_old  # >1 → the new machine state is slower
     print(f"calibration: {cal_old} -> {cal_new}  (machine ratio {speed:.2f})")
+    # Single-thread calibration (present since r11): serial critical paths
+    # (presentation sorts, driver Row materialization) track this, not the
+    # 32-way workload — print both so a wall delta can be attributed to
+    # the right resource.
+    st_old, st_new = old.get("calibration_st_sec"), new.get("calibration_st_sec")
+    if st_old and st_new:
+        print(
+            f"calibration (1-thread): {st_old} -> {st_new}  "
+            f"(ratio {st_new / st_old:.2f})"
+        )
 
     mo, mn = old.get("runtime_metrics", {}), new.get("runtime_metrics", {})
     common = sorted(set(old["queries"]) & set(new["queries"]))

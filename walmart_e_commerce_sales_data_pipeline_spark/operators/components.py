@@ -13,8 +13,26 @@ returning partial labels.  Each iteration is localCheckpointed so the
 lineage doesn't grow unboundedly (the classic iterative-algorithm trap on
 Spark).
 
-At scale this is the moderate variant; billion-edge graphs want the
-large-star/small-star algorithm or GraphFrames — same driver-loop shape.
+Three paths, bounded-dispatch by edge count (or forced via ``algorithm``):
+
+1. driver union-find (≤ ``small_edge_limit`` edges): exact, milliseconds,
+   an explicit limited materialization.
+2. pointer-jumping label propagation (the default distributed path):
+   per-iteration state is one (id, component) row per NODE — O(V) — which
+   is the right shape when the label table fits comfortably but the
+   O(log d) halving on long chains matters.
+3. large-star/small-star (≥ ``star_edge_limit`` edges, or
+   ``algorithm="star"``): the Kiveris et al. "Connected Components in
+   MapReduce and Beyond" alternation.  Per-iteration state is the EDGE
+   set itself, which the alternation provably shrinks toward a star
+   forest in O(log² n) rounds; no per-node label table is ever built
+   until the final extraction, every emitted edge points at a strictly
+   smaller id, and each round is plain groupBy-min + join — the
+   billion-edge variant, because the working set contracts instead of
+   carrying V rows through every iteration.
+
+All three produce the identical min-label (id, component) output
+(asserted pairwise in tests/test_components.py).
 """
 
 from __future__ import annotations
@@ -30,6 +48,13 @@ from pyspark.sql.types import StructField, StructType
 # only after a cheap count of the already-persisted edge set — never an
 # unconditional collect of something unbounded.
 SMALL_EDGE_LIMIT = 500_000
+
+# Above this many directed pairs the pointer-jumping loop (which carries a
+# full per-node label table through every iteration) yields to
+# large-star/small-star (whose per-iteration state is the contracting edge
+# set).  The crossover is deliberately high: below it the label table is
+# small enough that pointer jumping's simpler 4-shuffle iteration wins.
+STAR_EDGE_LIMIT = 50_000_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -68,22 +93,112 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(data, schema)
 
 
+def _star_components(
+    oriented: DataFrame,
+    max_iterations: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star alternation over an oriented edge set.
+
+    ``oriented``: distinct (x, y) pairs with x > y, no self-loops.
+    Returns the converged star-forest edges — every row is
+    (node, component-minimum) with node > minimum; component roots do not
+    appear on the left side.  Raises on non-convergence.
+
+    One round = large-star then small-star:
+
+    - large-star(u): with m = min(Γ(u) ∪ {u}), connect every STRICTLY
+      LARGER neighbor v > u to m.  Output edges all satisfy x > y
+      because m ≤ u < v.
+    - small-star(u): on the large-star output grouped by the larger
+      endpoint, with m = min of the (all-smaller) neighbors, connect u
+      and every other neighbor to m.
+
+    Convergence = two consecutive small-star outputs identical, detected
+    by (row count, bit_xor of xxhash64(x, y)) — an order-independent
+    exact signature that costs one scan, no join.  Each round
+    localCheckpoints so lineage stays O(1) across iterations.
+    """
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(x, y))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    cur = oriented.localCheckpoint()
+    prev_sig = _sig(cur)
+    for it in range(1, max_iterations + 1):
+        # Symmetrize for large-star: each node must see its full
+        # neighborhood.  union-of-two-selects is safe here (cur is a
+        # checkpoint, not an arbitrary caller plan).
+        sym = cur.union(
+            cur.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        m = (
+            sym.groupBy("x")
+            .agg(F.min("y").alias("_mn"))
+            .select("x", F.least("x", "_mn").alias("m"))
+        )
+        ls = (
+            sym.join(m, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .distinct()
+        )
+        mn2 = ls.groupBy("x").agg(F.min("y").alias("m"))
+        joined = ls.join(mn2, "x")
+        ss = (
+            joined.select("x", F.col("m").alias("comp"))
+            .union(
+                joined.filter(F.col("y") != F.col("m")).select(
+                    F.col("y").alias("x"), F.col("m").alias("comp")
+                )
+            )
+            .distinct()
+            .select("x", F.col("comp").alias("y"))
+            .localCheckpoint()
+        )
+        sig = _sig(ss)
+        cur = ss
+        if stats is not None:
+            stats.setdefault("rounds", []).append(
+                {"iteration": it, "edges": sig[0]}
+            )
+        if sig == prev_sig:
+            if stats is not None:
+                stats["iterations"] = it
+            return cur
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components (star) did not converge in "
+        f"{max_iterations} iterations"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 25,
     small_edge_limit: int = SMALL_EDGE_LIMIT,
+    star_edge_limit: int = STAR_EDGE_LIMIT,
+    algorithm: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node reachable through ``pairs`` (columns x, y) with the
     minimum node id of its component.  Returns (id, component).
 
-    Edge sets at or below ``small_edge_limit`` (after symmetrization +
-    dedup) resolve driver-side via union-find; larger graphs run the
-    distributed pointer-jumping loop.  Pass ``small_edge_limit=0`` to
-    force the distributed path.
+    ``algorithm``: ``"auto"`` (default) dispatches by edge count —
+    union-find at or below ``small_edge_limit``, pointer jumping up to
+    ``star_edge_limit``, large-star/small-star above.  ``"union_find"``,
+    ``"pointer_jumping"`` or ``"star"`` force a path.  ``stats``, when a
+    dict, receives per-round iteration/edge telemetry from the star path.
 
     Raises ``RuntimeError`` if the labeling has not converged after
     ``max_iterations`` (2^25-diameter components would be required).
     """
+    if algorithm not in ("auto", "union_find", "pointer_jumping", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Dispatch on the DIRECTED pair count: generators emit each undirected
     # edge once (x < y), so the symmetrized edge set is exactly 2× the
     # distinct pair count and `2 · n_pairs ≤ limit` is a conservative bound
@@ -94,11 +209,48 @@ def connected_components(
     # all (union-find is direction- and duplicate-insensitive).
     raw = pairs.select("x", "y").persist()
     n_pairs = raw.count()
-    if 2 * n_pairs <= small_edge_limit:
+    if algorithm == "union_find" or (
+        algorithm == "auto" and 2 * n_pairs <= small_edge_limit
+    ):
         try:
             return _driver_union_find(raw)
         finally:
             raw.unpersist()
+    if algorithm == "star" or (
+        algorithm == "auto" and 2 * n_pairs > star_edge_limit
+    ):
+        # Orient each pair (bigger, smaller), drop self-loops, dedup.
+        oriented = (
+            raw.filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("x"), F.least("x", "y").alias("y")
+            )
+            .distinct()
+        )
+        # Node set from the persisted raw pairs (NOT the caller's plan —
+        # that must be evaluated exactly once), checkpointed so it
+        # survives the unpersist below.  Needed because nodes touched
+        # only by self-loops never enter the oriented edge set.
+        nodes = (
+            raw.select(F.col("x").alias("id"))
+            .union(raw.select(F.col("y").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        try:
+            # _star_components checkpoints `oriented` on entry, so the
+            # cache is no longer needed once it returns.
+            stars = _star_components(oriented, max_iterations, stats=stats)
+        finally:
+            raw.unpersist()
+        # Star forest → labels: every non-root appears exactly once on the
+        # left; roots label themselves.
+        labels = stars.select(
+            F.col("x").alias("id"), F.col("y").alias("_comp")
+        )
+        return nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("_comp", F.col("id")).alias("component")
+        )
     # Distributed path: symmetrize out of the cache (explode keeps both
     # directions in one pass, no second evaluation of the pair plan) and
     # dedup — the loop's join sizes are bounded by the distinct edge set.
