@@ -80,10 +80,21 @@ HEAVY = [
 
 # Optional: soak only the named queries (positional args), e.g.
 #   python tools/sf1_soak.py kmv_sketch_union winsorized_price_stats
-if len(sys.argv) > 1:
-    unknown = [n for n in sys.argv[1:] if n not in HEAVY]
+# Special modes:
+#   --star-cc     profile the connected-components paths (pointer jumping
+#                 vs large-star/small-star) on the sf1 dedup pair graph
+#                 and on a synthetic long-chain graph
+#   --ivf-recall  measure IVF ANN recall@10 + corpus-fraction scanned at
+#                 sf1 for nprobe in {1, 2, 4} vs the brute-force baseline
+MODE = None
+args = sys.argv[1:]
+if args and args[0] in ("--star-cc", "--ivf-recall"):
+    MODE = args[0]
+    args = args[1:]
+if args:
+    unknown = [n for n in args if n not in HEAVY]
     assert not unknown, f"not in the soak set: {unknown}"
-    HEAVY = sys.argv[1:]
+    HEAVY = args
 
 
 def generate(spark) -> None:
@@ -218,6 +229,135 @@ def run(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+def star_cc_profile(spark) -> dict:
+    """Iteration/shuffle profile of the two distributed connected-components
+    paths at sf1: (a) the real dedup pair graph (MinHash-LSH pairs over the
+    sf1 corpus — shallow components, the production shape), and (b) a
+    synthetic graph of long chains (diameter 10_000 — the adversarial
+    shape the O(log² n) alternation exists for)."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        metrics_since,
+    )
+
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+    dedup_pairs = minhash_dedup_pairs(docs, threshold=0.5).select("x", "y")
+    # 100 chains x 10_000 nodes: diameter 9_999 per component.
+    chains = (
+        spark.range(1_000_000)
+        .filter((F.col("id") % 10_000) != 9_999)
+        .select(F.col("id").alias("x"), (F.col("id") + 1).alias("y"))
+    )
+
+    report: dict = {}
+    for label, pairs in (("dedup_pairs_sf1", dedup_pairs), ("chains_1M", chains)):
+        report[label] = {}
+        for algo in ("pointer_jumping", "star"):
+            spark.catalog.clearCache()
+            stats: dict = {}
+            mark = execution_count(spark)
+            t0 = time.perf_counter()
+            labels = connected_components(
+                pairs, max_iterations=40, algorithm=algo, stats=stats
+            )
+            n_nodes = labels.count()
+            n_comp = labels.select("component").distinct().count()
+            wall = round(time.perf_counter() - t0, 3)
+            report[label][algo] = {
+                "sec": wall,
+                "nodes": n_nodes,
+                "components": n_comp,
+                **metrics_since(spark, mark),
+                **({"iterations": stats.get("iterations"),
+                    "edge_curve": [r["edges"] for r in stats.get("rounds", [])]}
+                   if algo == "star" else {}),
+            }
+        a = report[label]["pointer_jumping"]
+        b = report[label]["star"]
+        assert (a["nodes"], a["components"]) == (b["nodes"], b["components"]), (
+            label, a, b,
+        )
+    return report
+
+
+def ivf_recall_profile(spark) -> dict:
+    """recall@10 and corpus-fraction-scanned for the IVF ANN path at sf1,
+    nprobe in {1, 2, 4}, vs the brute-force exact top-10 over the same
+    queries — the measured-recall evidence for the 100 TB ANN story at
+    the largest local scale."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        _with_cells,
+        ivf_topk,
+        topk_neighbors,
+        train_ivf_centroids,
+    )
+
+    K = 10
+    N_QUERIES = 100
+    N_CELLS = 16
+    emb = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") % 500 == 0).limit(N_QUERIES)
+    n_queries = queries.count()
+
+    t0 = time.perf_counter()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(
+            emb, queries, k=K, corpus_rows=n_corpus
+        ).collect()
+    }
+    exact_sec = round(time.perf_counter() - t0, 3)
+
+    cents = train_ivf_centroids(emb, n_cells=N_CELLS, sample=4096)
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    report: dict = {
+        "corpus_rows": n_corpus,
+        "n_queries": n_queries,
+        "n_cells": N_CELLS,
+        "k": K,
+        "exact_sec": exact_sec,
+    }
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, cents, k=K, nprobe=nprobe
+            ).collect()
+        }
+        sec = round(time.perf_counter() - t0, 3)
+        probed = (
+            _with_cells(queries, cents, "vec_id", "embedding", "i", "v", nprobe)
+            .select("i", "cell")
+            .collect()
+        )
+        candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
+        scanned = candidates / (len({p["i"] for p in probed}) * n_corpus)
+        report[f"nprobe_{nprobe}"] = {
+            "sec": sec,
+            "recall_at_10": round(len(approx & exact) / max(len(exact), 1), 4),
+            "scanned_frac": round(scanned, 4),
+        }
+    return report
+
+
 def main() -> None:
     from walmart_e_commerce_sales_data_pipeline_spark.session import get_spark
 
@@ -230,6 +370,14 @@ def main() -> None:
         "SF1_REGEN"
     ):
         generate(spark)
+    if MODE == "--star-cc":
+        print(json.dumps(star_cc_profile(spark), indent=1))
+        spark.stop()
+        return
+    if MODE == "--ivf-recall":
+        print(json.dumps(ivf_recall_profile(spark), indent=1))
+        spark.stop()
+        return
     r01 = run(spark, SF01)
     r1 = run(spark, SF1_DIR)
     report = {}
