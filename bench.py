@@ -113,6 +113,12 @@ HEADLINE = [
     "warc_curation_by_day",
     "label_centroid_similarity",
     "event_interarrival_profile",
+    # round 11 additions (queries/clusters.py, lakehouse.py): the
+    # star-path duplicate-cluster size distribution and the MERGE-upsert
+    # round trip (scratch copy is write-once, so min-of-3 measures
+    # merge+read, not base seeding)
+    "dup_cluster_size_dist_star",
+    "merge_upsert_orders",
 ]
 
 

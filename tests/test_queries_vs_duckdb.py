@@ -150,88 +150,87 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-10 rotation policy: the checked window is the 50 queries with
+    # Round-11 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r10: never:3 / r7:32 / r8:50 / r9:50 —
-    # the window is the three never-externally-green queries, all 32
-    # r7-green queries, and the 15 stalest r8-green ones.
+    # Staleness histogram entering r11: never:2 / r8:35 / r9:50 / r10:50 —
+    # the window is the two never-externally-green round-11 additions, all
+    # 35 r8-green queries, and the 13 stalest r9-green ones.
     window = set(names[:50])
-    # The never-externally-green round-10 additions lead unconditionally.
-    assert _PRIORITY[0] == "warc_curation_by_day"
-    assert _PRIORITY[1] == "label_centroid_similarity"
-    assert _PRIORITY[2] == "event_interarrival_profile"
-    # The 32 queries whose newest external evidence is r7 follow, in prior
+    # The never-externally-green round-11 additions lead unconditionally.
+    assert _PRIORITY[0] == "dup_cluster_size_dist_star"
+    assert _PRIORITY[1] == "merge_upsert_orders"
+    # The 35 queries whose newest external evidence is r8 follow, in prior
     # registry order.
-    assert _PRIORITY[3:35] == [
-        "vocab_oov_rate",
-        "prefix_dup_groups",
-        "profile_documents",
-        "stratified_sample_stats",
-        "train_val_test_split",
-        "embedding_dim_profile",
-        "forecast_revenue",
-        "shipping_priority_top10",
-        "large_quantity_orders",
-        "above_average_orders",
-        "pivot_status_by_year",
-        "price_percentiles",
-        "regex_math_functions",
-        "ship_delay_buckets",
-        "map_array_functions",
-        "join_right_outer",
-        "join_cross",
-        "null_ordering",
-        "window_frames_suite",
-        "grouping_sets_explicit",
-        "correlated_subquery_orders",
-        "min_price_per_type",
-        "exists_not_exists_combo",
-        "lateral_explode_embeddings",
-        "tfidf_top_terms",
-        "top_supplier_revenue",
-        "dormant_customer_balance",
-        "local_supplier_volume",
-        "customer_order_histogram",
-        "set_operations_all",
-        "orders_rfm_segments",
-        "quantize_embeddings",
-    ]
-    # Nothing green in round 9 re-occupies a window slot — the window is
-    # reserved for the stalest evidence.
-    r9_green_sample = {
-        "warc_roundtrip_curation", "top10_expensive_items",
-        "set_operations", "distinct_counts", "rollup_customer_geo",
-        "agg_suite", "string_functions", "corpus_clean_pipeline",
-        "dedup_minhash_lsh", "asof_join_latest_order",
-        "decontaminate_corpus", "cdc_chunk_stats",
-    }
-    assert not (r9_green_sample & window)
-    # Likewise the freshest r8-green queries stay out; only the 15
-    # stalest r8-green ones fill the window tail.
-    r8_fresh_sample = {
-        "dedup_cluster_density", "winsorized_price_stats",
-        "kmv_sketch_union", "kmv_distinct_sketch", "similarity_lsh",
-        "similarity_topk_ivf", "multimodal_features",
-        "scd2_user_state_history", "bigram_pmi", "window_topk_orders",
+    assert _PRIORITY[2:37] == [
+        "join_anti",
+        "join_full_outer",
+        "window_topk_orders",
+        "window_running_total",
+        "kmv_sketch_union",
+        "sliding_chunk_windows",
+        "bigram_pmi",
+        "dup_graph_degree_hist",
+        "winsorized_price_stats",
         "ngram_distribution_profile",
+        "cross_source_dup_matrix",
+        "scd2_user_state_history",
+        "state_as_of_label_time",
+        "dedup_cluster_density",
+        "text_token_entropy",
+        "doc_unigram_logprob",
+        "kmv_distinct_sketch",
+        "promo_revenue_share",
+        "trailing_spend_range_frame",
+        "market_share_by_year",
+        "bilateral_trade_volume",
+        "product_profit_by_nation_year",
+        "returned_item_customers",
+        "priority_shipping_split",
+        "brand_supplier_counts",
+        "order_priority_checking",
+        "important_supplier_share",
+        "small_quantity_order_revenue",
+        "excess_shipping_suppliers",
+        "similarity_pairs",
+        "similarity_topk",
+        "similarity_pairs_blocked",
+        "similarity_lsh",
+        "similarity_topk_ivf",
+        "multimodal_features",
+    ]
+    # Nothing green in round 10 re-occupies a window slot — the window is
+    # reserved for the stalest evidence.
+    r10_green_sample = {
+        "warc_curation_by_day", "label_centroid_similarity",
+        "event_interarrival_profile", "vocab_oov_rate",
+        "prefix_dup_groups", "profile_documents", "monthly_avg_value",
+        "events_hourly_window", "join_customer_orders", "join_semi",
+        "quantize_embeddings", "orders_rfm_segments",
     }
-    assert not (r8_fresh_sample & window)
-    assert _PRIORITY[35:] == [
-        "monthly_avg_value",
-        "events_hourly_window",
-        "events_sessionization",
-        "events_sliding_window",
-        "events_json_extract",
-        "user_event_paths",
-        "time_series_gap_fill",
-        "key_skew_profile",
-        "latest_record_compaction",
-        "events_dow_hour_heatmap",
-        "scalar_means",
-        "impute_group_avg",
-        "join_customer_orders",
-        "join_left_outer",
-        "join_semi",
+    assert not (r10_green_sample & window)
+    # Likewise the freshest r9-green queries stay out; only the 13
+    # stalest r9-green ones fill the window tail.
+    r9_fresh_sample = {
+        "dedup_ngram_jaccard", "decontaminate_corpus",
+        "corpus_clean_pipeline", "dedup_minhash_lsh",
+        "asof_join_latest_order", "cdc_chunk_stats",
+        "warc_roundtrip_curation",
+    }
+    assert not (r9_fresh_sample & window)
+    assert _PRIORITY[37:] == [
+        "pricing_summary",
+        "regional_revenue",
+        "top10_expensive_items",
+        "set_operations",
+        "distinct_counts",
+        "rollup_customer_geo",
+        "cube_order_status",
+        "string_functions",
+        "date_functions",
+        "agg_suite",
+        "case_when_tiers",
+        "union_all_monthly",
+        "dedup_exact",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -136,6 +136,17 @@ COMMENT = {
     "(no partition grows with stream lifetime) -> integer ns gaps -> exact-percentile "
     "histogram ladder keyed on event_type + a count/max aggregate joined at the end; "
     "the ladder's windows all carry the group key, so nothing funnels one task",
+    "dup_cluster_size_dist_star": "round 11: exact Jaccard pairs -> "
+    "large-star/small-star connected components (forced; per-round state is the "
+    "contracting edge set, 2 rounds on shallow dup graphs) -> per-size cluster "
+    "counts; the labeling converges BEFORE this plan is built, so the recorded "
+    "plan reads the checkpointed star forest — the loop's per-round plans are "
+    "groupBy-min + key join + distinct, all on the edge key",
+    "merge_upsert_orders": "round 11: MERGE round trip — changeset keys "
+    "broadcast-anti-join the scratch base, union, write-audit-swap, read back, "
+    "per-status aggregate; the recorded plan is the post-merge read (scan -> "
+    "partial+final hash aggregate), the rewrite is the one-time table-rewrite "
+    "floor any format pays without row-level deletes",
 }
 
 

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     grouped_pandas,
+    lakehouse,
     product_analytics,
     profiling,
     relational2,
@@ -33,68 +34,67 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-10 staleness histogram:
-# 3 never-green (the new ``warc_curation_by_day``,
-# ``label_centroid_similarity`` and ``event_interarrival_profile``),
-# 32 queries last green
-# externally in r7, 50 in r8, 50 in r9.  The window is therefore the
-# 3 never-green + all 32 r7-green + the 15 stalest r8-green queries in
-# prior registry order; after this round no query's newest external
-# evidence will be older than r8.  Every tail query is re-proven by the
+# committed CORRECTNESS_r*.json files.  Round-11 staleness histogram:
+# 2 never-green (the new ``dup_cluster_size_dist_star`` and
+# ``merge_upsert_orders``), 35 queries last green externally in r8,
+# 50 in r9, 50 in r10.  The window is therefore the 2 never-green + all
+# 35 r8-green + the 13 stalest r9-green queries in prior registry
+# order; after this round no query's newest external evidence will be
+# older than r9.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "warc_curation_by_day",
-    "label_centroid_similarity",
-    "event_interarrival_profile",
-    "vocab_oov_rate",
-    "prefix_dup_groups",
-    "profile_documents",
-    "stratified_sample_stats",
-    "train_val_test_split",
-    "embedding_dim_profile",
-    "forecast_revenue",
-    "shipping_priority_top10",
-    "large_quantity_orders",
-    "above_average_orders",
-    "pivot_status_by_year",
-    "price_percentiles",
-    "regex_math_functions",
-    "ship_delay_buckets",
-    "map_array_functions",
-    "join_right_outer",
-    "join_cross",
-    "null_ordering",
-    "window_frames_suite",
-    "grouping_sets_explicit",
-    "correlated_subquery_orders",
-    "min_price_per_type",
-    "exists_not_exists_combo",
-    "lateral_explode_embeddings",
-    "tfidf_top_terms",
-    "top_supplier_revenue",
-    "dormant_customer_balance",
-    "local_supplier_volume",
-    "customer_order_histogram",
-    "set_operations_all",
-    "orders_rfm_segments",
-    "quantize_embeddings",
-    "monthly_avg_value",
-    "events_hourly_window",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_json_extract",
-    "user_event_paths",
-    "time_series_gap_fill",
-    "key_skew_profile",
-    "latest_record_compaction",
-    "events_dow_hour_heatmap",
-    "scalar_means",
-    "impute_group_avg",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_semi",
+    "dup_cluster_size_dist_star",
+    "merge_upsert_orders",
+    "join_anti",
+    "join_full_outer",
+    "window_topk_orders",
+    "window_running_total",
+    "kmv_sketch_union",
+    "sliding_chunk_windows",
+    "bigram_pmi",
+    "dup_graph_degree_hist",
+    "winsorized_price_stats",
+    "ngram_distribution_profile",
+    "cross_source_dup_matrix",
+    "scd2_user_state_history",
+    "state_as_of_label_time",
+    "dedup_cluster_density",
+    "text_token_entropy",
+    "doc_unigram_logprob",
+    "kmv_distinct_sketch",
+    "promo_revenue_share",
+    "trailing_spend_range_frame",
+    "market_share_by_year",
+    "bilateral_trade_volume",
+    "product_profit_by_nation_year",
+    "returned_item_customers",
+    "priority_shipping_split",
+    "brand_supplier_counts",
+    "order_priority_checking",
+    "important_supplier_share",
+    "small_quantity_order_revenue",
+    "excess_shipping_suppliers",
+    "similarity_pairs",
+    "similarity_topk",
+    "similarity_pairs_blocked",
+    "similarity_lsh",
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "pricing_summary",
+    "regional_revenue",
+    "top10_expensive_items",
+    "set_operations",
+    "distinct_counts",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "string_functions",
+    "date_functions",
+    "agg_suite",
+    "case_when_tiers",
+    "union_all_monthly",
+    "dedup_exact",
 ]
 
 

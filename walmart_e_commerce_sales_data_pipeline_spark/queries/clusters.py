@@ -66,6 +66,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_cluster_size_dist_star",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+    sizes_c AS (SELECT component, COUNT(*) AS cluster_size
+                FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes_c GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    description="duplicate-cluster size distribution via the "
+    "large-star/small-star connected-components path "
+    "(operators.components, algorithm='star' forced — the billion-edge "
+    "variant whose per-iteration state is the contracting edge set, not "
+    "a per-node label table): exact Jaccard pairs (J ≥ 0.5) → star "
+    "alternation → per-size cluster/doc counts, the shape-of-duplication "
+    "summary a corpus curator reads before choosing a canonical-keep "
+    "policy.  The oracle's recursive CTE computes the identical "
+    "min-reachable-id labeling, so a green row is external evidence for "
+    "the star path specifically (dedup_clusters covers the auto dispatch; "
+    "all three paths are additionally label-equality-tested in "
+    "tests/test_components.py)",
+    tags=("dedup", "iterative", "graph", "star"),
+)
+def dup_cluster_size_dist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs, algorithm="star")
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "dedup_canonical_keep",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},

@@ -17,7 +17,7 @@ from ..operators.dedup import jaccard_pairs, normalize_text, shingle_sets
 from ..streaming.curation import MIN_TOKENS
 from .dedup import _SHINGLE_CTE, JACCARD_THRESHOLD
 from .registry import register
-from .tables import table
+from .tables import scratch_dir, table, table_fingerprint
 
 
 @register(
@@ -127,62 +127,18 @@ _EXPORT_VERSION = 2
 
 
 def _documents_fingerprint(sf_dir: str) -> str:
-    """Cheap, zero-Spark-job fingerprint of the documents table: the sorted
-    list of (name, size, mtime_ns) of its data file(s).  A rewritten or
-    regenerated corpus changes size or mtime, so the fingerprint — and with
-    it the export directory — changes, and stale WARC segments can never be
-    served against a new table."""
-    import hashlib
-    import os
-
-    target = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    entries = []
-    if os.path.isdir(target):
-        # Walk recursively: a partitioned/nested parquet directory keeps
-        # its data files under key=value subdirs, and a top-level-only
-        # listing would fingerprint none of them (serving stale segments
-        # after a content change).
-        for root, dirs, files in os.walk(target):
-            dirs.sort()
-            rel_root = os.path.relpath(root, target)
-            for name in sorted(files):
-                p = os.path.join(root, name)
-                st = os.stat(p)
-                entries.append(
-                    (os.path.join(rel_root, name), st.st_size, st.st_mtime_ns)
-                )
-    elif os.path.isfile(target):
-        st = os.stat(target)
-        entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
-    if not entries:
-        raise FileNotFoundError(
-            f"no data files found under {target}; refusing to fingerprint "
-            "an empty target (the cache key would be content-insensitive)"
-        )
-    blob = repr((_EXPORT_VERSION, target, entries)).encode()
-    return hashlib.md5(blob).hexdigest()[:12]
+    """Content fingerprint of the documents table (delegates to the
+    generic tables.table_fingerprint — recursive walk, empty-list guard),
+    keyed with _EXPORT_VERSION so cached segments from an older exporter
+    format are never reused."""
+    return table_fingerprint(sf_dir, "documents", _EXPORT_VERSION)
 
 
 def _warc_export_dir(sf_dir: str) -> str:
-    """Per-corpus export directory, content keyed (file names + sizes +
-    mtimes of the documents parquet) and user scoped (uid in the path,
-    0700 base dir), with a marker file making the export write-once:
-    repeated query builds (bench min-of-3, plan sweeps) reuse the
-    segments, while a changed corpus or a foreign user's pre-created dir
-    can never be silently trusted."""
-    import os
-    import tempfile
-
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    base = os.path.join(tempfile.gettempdir(), f"warc_curation_u{uid}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    if hasattr(os, "getuid") and os.stat(base).st_uid != uid:
-        raise RuntimeError(
-            f"WARC export base dir {base} is owned by another user; "
-            "refusing to reuse it"
-        )
-    os.chmod(base, 0o700)
-    return os.path.join(base, _documents_fingerprint(sf_dir))
+    """Per-corpus export directory: content keyed + user scoped (see
+    tables.scratch_dir), with a marker file making the export
+    write-once."""
+    return scratch_dir("warc_curation", _documents_fingerprint(sf_dir))
 
 
 _ROUNDTRIP_REGISTER = dict(

@@ -62,3 +62,60 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     )
+
+
+def table_fingerprint(sf_dir: str, name: str, version: int = 0) -> str:
+    """Cheap, zero-Spark-job content fingerprint of a testdata table: the
+    sorted recursive list of (relative path, size, mtime_ns) of its data
+    files, hashed with ``version`` (bump the caller's version constant
+    whenever its derived-artifact format changes).  A rewritten or
+    regenerated table changes size or mtime, so any scratch artifact
+    keyed by this fingerprint is invalidated with it.  Raises if no data
+    files are found — an empty entry list would make the key
+    content-insensitive."""
+    import hashlib
+    import os
+
+    target = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    entries = []
+    if os.path.isdir(target):
+        for root, dirs, files in os.walk(target):
+            dirs.sort()
+            rel_root = os.path.relpath(root, target)
+            for fname in sorted(files):
+                st = os.stat(os.path.join(root, fname))
+                entries.append(
+                    (os.path.join(rel_root, fname), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.isfile(target):
+        st = os.stat(target)
+        entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    if not entries:
+        raise FileNotFoundError(
+            f"no data files found under {target}; refusing to fingerprint "
+            "an empty target (the cache key would be content-insensitive)"
+        )
+    blob = repr((version, target, entries)).encode()
+    return hashlib.md5(blob).hexdigest()[:12]
+
+
+def scratch_dir(kind: str, fingerprint: str) -> str:
+    """Per-(kind, corpus) scratch directory for write-once derived
+    artifacts: content keyed via ``fingerprint`` and user scoped (uid in
+    the path, 0700 base dir, ownership check), so repeated query builds
+    (bench min-of-3, plan sweeps) reuse the artifact while a changed
+    corpus or a foreign user's pre-created dir can never be silently
+    trusted."""
+    import os
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"{kind}_u{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(base).st_uid != uid:
+        raise RuntimeError(
+            f"scratch base dir {base} is owned by another user; refusing "
+            "to reuse it"
+        )
+    os.chmod(base, 0o700)
+    return os.path.join(base, fingerprint)
