@@ -157,6 +157,69 @@ def test_ivf_recall_and_pruning_on_clustered_vectors(spark):
     df.unpersist()
 
 
+def test_ivf_multi_assignment_recovers_boundary_recall(spark):
+    """corpus_assign=2 is the mitigation for the sf1-measured boundary
+    failure mode (SCALE.md §13: a true neighbor sitting just across the
+    probed cells).  Construct that mode deliberately — pairs of points
+    straddling the midline between two blob centers — and assert
+    multi-assignment strictly improves recall at the same nprobe, while
+    the nprobe == n_cells correctness gate still equals brute force and
+    never emits duplicate (query, neighbor) rows."""
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        topk_neighbors,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    n_blobs, dim, per_blob = 8, 24, 60
+    centers = rng.normal(size=(n_blobs, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = np.repeat(np.arange(n_blobs), per_blob)
+    x = centers[blob] + 0.12 * rng.normal(size=(n_blobs * per_blob, dim))
+    # boundary straddlers: for each adjacent blob pair, plant a tight
+    # query+neighbor pair ON the midline, nudged to opposite sides so the
+    # coarse quantizer separates them into different cells
+    extra = []
+    for b in range(n_blobs):
+        mid = (centers[b] + centers[(b + 1) % n_blobs]) / 2.0
+        eps = 0.02 * (centers[b] - centers[(b + 1) % n_blobs])
+        extra.append(mid + eps)   # query side
+        extra.append(mid - eps)   # its nearest neighbor, across the line
+    pts = np.vstack([x, np.array(extra)])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    n_base = n_blobs * per_blob
+    queries = df.filter(f"vec_id >= {n_base} AND vec_id % 2 = 0")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(df, queries, k=3).collect()
+    }
+    cents = train_ivf_centroids(df, n_cells=n_blobs, sample=len(pts))
+
+    def run(nprobe, corpus_assign):
+        rows = ivf_topk(
+            df, queries, cents, k=3, nprobe=nprobe, corpus_assign=corpus_assign
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate (query, neighbor) rows"
+        return set(pairs)
+
+    r1 = len(run(1, 1) & exact) / len(exact)
+    r2 = len(run(1, 2) & exact) / len(exact)
+    assert r2 > r1, f"multi-assignment did not lift recall: {r1} -> {r2}"
+    assert r2 >= 0.9, f"corpus_assign=2 recall {r2}"
+    # correctness gate unchanged: all cells probed == brute force, with
+    # multi-assignment active
+    assert run(n_blobs, 2) == exact
+    df.unpersist()
+
+
 def test_lsh_join_back_verifier_matches_gemm(emb):
     # broadcast_limit=0 forces the fully distributed join-back verifier;
     # it must produce exactly the pairs the broadcast-GEMM path produces.

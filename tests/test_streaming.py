@@ -278,3 +278,105 @@ def test_streaming_warc_curation_matches_batch(spark, tmp_path):
         if r["source"] != "zsentinel"
     }
     assert got == batch
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """A duplicate of a (source, day, md5) key arriving in a LATER
+    micro-batch — up to ~23 h apart in event time, as a day-scoped key
+    allows — must still be dropped, because curate_warc_docs' default
+    watermark (25 h) covers the full dedup-key scope.  The second half of
+    the test documents WHY that default matters: with a 1 h horizon the
+    original's state is evicted before the duplicate arrives and the
+    duplicate leaks into the rollup (stream != batch)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.sources.warc import (
+        WarcDataSource,
+        write_warc,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.curation import (
+        curate_warc_docs,
+        daily_source_counts,
+        extract_warc_docs,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+
+    def rec(doc_id: int, hour: int, text: str, source: str = "alpha") -> dict:
+        return {
+            "record_id": f"<urn:doc:{doc_id}>",
+            "warc_type": "response",
+            "target_uri": f"http://{source}.corpus.local/en/{doc_id}",
+            "warc_date": f"2026-01-01T{hour:02d}:00:00Z",
+            "content_type": "text/plain",
+            "payload": text.encode(),
+        }
+
+    text_a = "alpha document with plenty of tokens to keep"
+    text_b = "beta document with plenty of tokens to keep"
+
+    def run(drop, watermark: str) -> dict:
+        stream = spark.readStream.format("warc").load(str(drop))
+        counts = daily_source_counts(
+            curate_warc_docs(extract_warc_docs(stream), watermark=watermark)
+        )
+        name = f"mb_dedup_{watermark.replace(' ', '_')}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            # wave 1: original A at 01:00 plus a late-in-day B at 23:00
+            # (B advances the max event time, which is what evicts A's
+            # state under a short horizon)
+            write_warc(
+                str(drop / "w1.warc"), [rec(1, 1, text_a), rec(2, 23, text_b)]
+            )
+            q.processAllAvailable()
+            # wave 2 (separate micro-batch): duplicate of A, 22 h after
+            # the original, still inside day 1
+            write_warc(str(drop / "w2.warc"), [rec(3, 23, text_a)])
+            q.processAllAvailable()
+            # waves 3+4: far-future sentinels advance the watermark past
+            # day 1's end so the append-mode window emits
+            write_warc(
+                str(drop / "w3.warc"),
+                [rec(999901, 1, "sentinel doc with enough tokens here", "zs")],
+            )
+            # rewrite the date forward via a fresh record dict
+            write_warc(
+                str(drop / "w4.warc"),
+                [
+                    {
+                        **rec(
+                            999902, 1,
+                            "sentinel doc with enough tokens here", "zs",
+                        ),
+                        "warc_date": "2026-03-05T00:00:00Z",
+                    }
+                ],
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (str(r["day"]), r["source"]): (r["docs_kept"], r["tokens_kept"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["source"] == "alpha"
+        }
+
+    d1 = tmp_path / "default_wm"
+    d1.mkdir()
+    got = run(d1, "25 hours")
+    # batch semantics over the same five records: the wave-2 duplicate of
+    # text_a is dropped — 2 docs kept on day 1 for source alpha
+    toks = len(text_a.split())
+    assert got == {("2026-01-01", "alpha"): (2, 2 * toks)}
+
+    d2 = tmp_path / "short_wm"
+    d2.mkdir()
+    leaked = run(d2, "1 hour")
+    # documented failure mode of a sub-day horizon: A's state was evicted
+    # (watermark reached 22:00 after wave 1), so the duplicate survives
+    # and the stream over-counts vs batch
+    assert leaked == {("2026-01-01", "alpha"): (3, 3 * toks)}

@@ -554,26 +554,47 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
-    Corpus rows are assigned to their nearest coarse centroid and each
-    query probes its ``nprobe`` nearest cells (both via one BLAS GEMM per
-    Arrow batch, see ``_with_cells``); the cell-key join prunes the
-    candidate space to ~nprobe/n_cells of the corpus before the exact
-    cosine re-rank.  At ``nprobe == len(centroids)`` the result is exactly
-    the brute-force top-k (every cell probed) — the correctness gate —
-    while the test suite measures recall at nprobe < n_cells on clustered
-    data.  Shuffle key is the cell id: at 100 TB each cell is a bounded
-    corpus shard and queries fan out only to probed shards.
+    Corpus rows are assigned to their ``corpus_assign`` nearest coarse
+    centroids and each query probes its ``nprobe`` nearest cells (both
+    via one BLAS GEMM per Arrow batch, see ``_with_cells``); the cell-key
+    join prunes the candidate space to ~nprobe/n_cells of the corpus
+    before the exact cosine re-rank.  At ``nprobe == len(centroids)`` the
+    result is exactly the brute-force top-k (every cell probed) — the
+    correctness gate — while the test suite measures recall at
+    nprobe < n_cells on clustered data.  Shuffle key is the cell id: at
+    100 TB each cell is a bounded corpus shard and queries fan out only
+    to probed shards.
+
+    ``corpus_assign > 1`` is multi-assignment: the standard mitigation
+    for cell-boundary recall loss (a true neighbor sitting just across
+    the query's probed cells — measured as THE failure mode at sf1,
+    SCALE.md §13).  Each corpus row is indexed under its top-N cells, so
+    a boundary vector is findable from both sides, at an N× index-size
+    cost and no extra query fan-out.  Candidates then need a per-pair
+    dedup (max over the duplicate pair rows) before ranking, keyed on the
+    same (query, neighbor) pair the window ranks on.
     """
-    corpus = _with_cells(embeddings, centroids, id_col, vec_col, "neighbor_id", "cv", 1)
+    corpus = _with_cells(
+        embeddings, centroids, id_col, vec_col, "neighbor_id", "cv", corpus_assign
+    )
     probes = _with_cells(queries, centroids, id_col, vec_col, "query_id", "qv", nprobe)
     scored = (
         probes.join(corpus, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
+    if corpus_assign > 1:
+        # A (query, neighbor) pair can surface once per shared probed
+        # cell; collapse to one row (sim is identical across duplicates —
+        # max is just the cheapest combine) so row_number ranks distinct
+        # neighbors, not join multiplicity.
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("sim").alias("sim")
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
