@@ -113,12 +113,15 @@ HEADLINE = [
     "warc_curation_by_day",
     "label_centroid_similarity",
     "event_interarrival_profile",
-    # round 11 additions (queries/clusters.py, lakehouse.py): the
-    # star-path duplicate-cluster size distribution and the MERGE-upsert
-    # round trip (scratch copy is write-once, so min-of-3 measures
-    # merge+read, not base seeding)
+    # round 11 additions (queries/clusters.py, lakehouse.py, analysis.py,
+    # events.py): the star-path duplicate-cluster size distribution, the
+    # MERGE-upsert round trip (scratch copy is write-once, so min-of-3
+    # measures merge+read, not base seeding), the two-pass MAD outlier
+    # profile, and the sweep-line session-concurrency profile
     "dup_cluster_size_dist_star",
     "merge_upsert_orders",
+    "mad_outlier_rate",
+    "concurrent_sessions_profile",
 ]
 
 

@@ -147,6 +147,14 @@ COMMENT = {
     "per-status aggregate; the recorded plan is the post-merge read (scan -> "
     "partial+final hash aggregate), the rewrite is the one-time table-rewrite "
     "floor any format pays without row-level deletes",
+    "mad_outlier_rate": "round 11: two DEPENDENT exact-percentile ladder passes "
+    "(median, then median of absolute deviations), each fed back via a "
+    "|groups|-row broadcast — the winsorization shape nested one level deeper; "
+    "every ladder window carries the group key",
+    "concurrent_sessions_profile": "round 11: sweep-line interval concurrency — "
+    "per-user sessionization windows, then +-1 boundary deltas with a "
+    "day-partitioned running sum; replaces the quadratic range self-join with "
+    "one sort + prefix sum, and no window is unpartitioned",
 }
 
 

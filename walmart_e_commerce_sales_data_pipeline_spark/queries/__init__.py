@@ -35,10 +35,11 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-11 staleness histogram:
-# 2 never-green (the new ``dup_cluster_size_dist_star`` and
-# ``merge_upsert_orders``), 35 queries last green externally in r8,
-# 50 in r9, 50 in r10.  The window is therefore the 2 never-green + all
-# 35 r8-green + the 13 stalest r9-green queries in prior registry
+# 4 never-green (the new ``dup_cluster_size_dist_star``,
+# ``merge_upsert_orders``, ``mad_outlier_rate`` and
+# ``concurrent_sessions_profile``), 35 queries last green externally in
+# r8, 50 in r9, 50 in r10.  The window is therefore the 4 never-green +
+# all 35 r8-green + the 11 stalest r9-green queries in prior registry
 # order; after this round no query's newest external evidence will be
 # older than r9.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
@@ -47,6 +48,8 @@ from . import (  # noqa: F401
 _PRIORITY = [
     "dup_cluster_size_dist_star",
     "merge_upsert_orders",
+    "concurrent_sessions_profile",
+    "mad_outlier_rate",
     "join_anti",
     "join_full_outer",
     "window_topk_orders",
@@ -93,8 +96,6 @@ _PRIORITY = [
     "date_functions",
     "agg_suite",
     "case_when_tiers",
-    "union_all_monthly",
-    "dedup_exact",
 ]
 
 

@@ -952,3 +952,73 @@ def state_as_of_label_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_id")
     )
+
+
+@register(
+    "mad_outlier_rate",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, m.med,
+               ABS(l.l_extendedprice - m.med) AS ad
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS outlier_rate
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag ORDER BY d.l_returnflag
+    """,
+    description="median-absolute-deviation outlier profile (the robust "
+    "twin of the z-score histogram: median and MAD shrug off the very "
+    "outliers that inflate mean/stddev): per group, exact median -> "
+    "exact median of absolute deviations -> fraction beyond 3 MAD.  Two "
+    "DEPENDENT exact-percentile passes through the distributed histogram "
+    "ladder (operators.percentiles, on_overflow='error' since both are "
+    "oracle-checked), each fed back by a broadcast of the |groups|-row "
+    "fence table — the same two-pass broadcast shape as winsorization, "
+    "nested one level deeper.  Strict > on the 3·MAD fence: ties excluded "
+    "identically in both engines, no epsilon",
+    tags=("agg", "percentile", "robust"),
+)
+def mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5], on_overflow="error"
+    ).select("l_returnflag", F.col("p_0").alias("med"))
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = exact_group_percentiles(
+        dev.select("l_returnflag", "ad"), ["l_returnflag"], "ad", [0.5],
+        on_overflow="error",
+    ).select("l_returnflag", F.col("p_0").alias("mad"))
+    out = F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.round(F.sum(out) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

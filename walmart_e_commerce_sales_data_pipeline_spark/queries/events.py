@@ -526,3 +526,110 @@ def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "concurrent_sessions_profile",
+    oracle=f"""
+    WITH x AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+    flagged AS (
+        SELECT user_id, ts_ns,
+               CASE WHEN LAG(ts_ns) OVER w IS NULL
+                         OR ts_ns - LAG(ts_ns) OVER w > {SESSION_GAP_NS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)
+    ),
+    sessions AS (
+        SELECT user_id, ts_ns,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sess_id,
+               MIN(ts_ns) AS s_ns, MAX(ts_ns) AS e_ns
+        FROM sessions GROUP BY user_id, sess_id
+    ),
+    tagged AS (
+        SELECT CAST(make_timestamp(s_ns // 1000) AS DATE) AS day, s_ns, e_ns
+        FROM per_session
+    ),
+    deltas AS (
+        SELECT day, s_ns AS t, 1 AS delta FROM tagged
+        UNION ALL
+        SELECT day, e_ns AS t, -1 AS delta FROM tagged
+    ),
+    swept AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS c
+        FROM deltas
+    ),
+    peaks AS (SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrent
+              FROM swept GROUP BY day),
+    counts AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions
+               FROM tagged GROUP BY day)
+    SELECT c.day, c.n_sessions, p.peak_concurrent
+    FROM counts c JOIN peaks p ON c.day = p.day
+    ORDER BY c.day
+    """,
+    description="peak concurrent sessions per day via the sweep-line "
+    "pattern: 30-min-gap sessionization (the events_sessionization "
+    "chain) -> [start, end] interval per session -> ±1 boundary deltas "
+    "-> day-partitioned running sum -> per-day max.  The sweep line "
+    "turns interval-overlap counting (naively a range self-join, "
+    "quadratic in concurrent intervals) into one sort + prefix sum — "
+    "the capacity-planning / peak-load query every event warehouse "
+    "runs.  Sessions are attributed to their start day and the counter "
+    "is day-scoped, so every window in the plan is keyed (user_id for "
+    "sessionization, day for the sweep) — nothing funnels one task and "
+    "partitions never grow with stream lifetime.  Tie discipline: at "
+    "equal timestamps ends (-1) sort before starts (+1) via ORDER BY "
+    "(t, delta), so touching intervals don't count as overlapping and "
+    "zero-length (single-event) sessions contribute nothing; identical "
+    "in both engines, and intermediate prefix sums over equal keys are "
+    "permutation-invariant, so the per-day max is deterministic",
+    tags=("event-time", "session", "window", "sweep-line"),
+)
+def concurrent_sessions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS),
+            1,
+        ).otherwise(0),
+    )
+    per_session = (
+        flagged.withColumn("sess_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts_ns").alias("s_ns"), F.max("ts_ns").alias("e_ns"))
+    )
+    tagged = per_session.select(
+        F.to_date(F.timestamp_micros(F.expr("s_ns div 1000"))).alias("day"),
+        "s_ns",
+        "e_ns",
+    )
+    deltas = tagged.select(
+        "day", F.col("s_ns").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        tagged.select(
+            "day", F.col("e_ns").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peaks = (
+        deltas.withColumn("c", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(F.max("c").cast("long").alias("peak_concurrent"))
+    )
+    counts = tagged.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return counts.join(peaks, "day").orderBy("day")
