@@ -237,3 +237,45 @@ def test_point_in_time_join_matches_each_label_exactly_once(spark):
         assert h["valid_from"] <= r["label_tsn"]
         assert h["valid_to"] is None or r["label_tsn"] < h["valid_to"]
         assert h["state"] == r["state_at_label"]
+
+
+def test_mad_is_robust_where_mean_is_not(spark):
+    """The property the MAD query exists for: injecting a handful of
+    extreme outliers barely moves median/MAD (bounded by the quantile
+    shift of a small contamination) while it blows up mean/stddev — and
+    every injected point lands beyond the 3·MAD fence."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.percentiles import (
+        exact_group_percentiles,
+    )
+
+    base = spark.range(1, 1001).select(
+        F.lit("g").alias("grp"), (F.col("id") % 100 + 1.0).alias("v")
+    )
+    spiked = base.unionByName(
+        spark.range(10).select(
+            F.lit("g").alias("grp"), F.lit(1.0e6).alias("v")
+        )
+    )
+
+    def stats(df):
+        med = exact_group_percentiles(df, ["grp"], "v", [0.5]).first()["p_0"]
+        dev = df.select(
+            "grp", F.abs(F.col("v") - F.lit(med)).alias("ad"), "v"
+        )
+        mad = exact_group_percentiles(dev, ["grp"], "ad", [0.5]).first()["p_0"]
+        row = df.agg(
+            F.avg("v").alias("mean"), F.stddev("v").alias("sd")
+        ).first()
+        return med, mad, row["mean"], row["sd"]
+
+    med0, mad0, mean0, sd0 = stats(base)
+    med1, mad1, mean1, sd1 = stats(spiked)
+    # 1% contamination: robust stats shift by at most a couple of rank
+    # positions; the moments explode by orders of magnitude
+    assert abs(med1 - med0) <= 2.0 and abs(mad1 - mad0) <= 2.0
+    assert mean1 > 100 * mean0 and sd1 > 100 * sd0
+    # every injected outlier is beyond the 3-MAD fence of the spiked frame
+    n_beyond = spiked.filter(
+        F.abs(F.col("v") - F.lit(med1)) > 3 * mad1
+    ).count()
+    assert n_beyond >= 10
