@@ -76,6 +76,13 @@ HEAVY = [
     # amortizes across the min-of-2 runs exactly as a crawl ingest would;
     # the measured query must stay linear in corpus bytes
     "warc_curation_by_day",
+    # round 11: the star-forced cluster distribution (edge-set-state CC),
+    # the MERGE round trip (scratch rewrite is the measured floor), the
+    # two-ladder MAD profile, and the sweep-line concurrency profile
+    "dup_cluster_size_dist_star",
+    "merge_upsert_orders",
+    "mad_outlier_rate",
+    "concurrent_sessions_profile",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
