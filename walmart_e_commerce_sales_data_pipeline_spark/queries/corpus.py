@@ -195,36 +195,50 @@ def export_corpus_as_warc(spark: SparkSession, sf_dir: str) -> str:
     out = _warc_export_dir(sf_dir)
     marker = os.path.join(out, "_EXPORTED")
     if not os.path.exists(marker):
-        docs = table(spark, sf_dir, "documents")
-        crawl_ts = F.to_timestamp(F.lit(_WARC_EPOCH)) + F.make_interval(
-            hours=(F.col("doc_id") % _WARC_HOURS).cast("int")
-        )
-        (
-            docs.select(
-                F.concat(
-                    F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")
-                ).alias("record_id"),
-                F.lit("response").alias("warc_type"),
-                F.concat(
-                    F.lit("http://"),
-                    F.col("source"),
-                    F.lit(".corpus.local/"),
-                    F.col("lang"),
-                    F.lit("/"),
-                    F.col("doc_id"),
-                ).alias("target_uri"),
-                F.date_format(crawl_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-                    "warc_date"
-                ),
-                F.lit("text/plain").alias("content_type"),
-                F.encode("text", "UTF-8").alias("payload"),
-            )
-            .write.format("warc")
-            .mode("overwrite")
-            .save(out)
-        )
-        open(marker, "w").close()
+        import fcntl
+
+        os.makedirs(out, mode=0o700, exist_ok=True)
+        # Exclusive build lock (same discipline as merge_upsert_orders):
+        # two processes sharing the export dir must not interleave the
+        # segment write; the loser re-checks the marker and reuses the
+        # winner's segments.
+        with open(os.path.join(out, "_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(marker):
+                _export_warc_segments(spark, sf_dir, out)
+                open(marker, "w").close()
     return out
+
+
+def _export_warc_segments(spark: SparkSession, sf_dir: str, out: str) -> None:
+    docs = table(spark, sf_dir, "documents")
+    crawl_ts = F.to_timestamp(F.lit(_WARC_EPOCH)) + F.make_interval(
+        hours=(F.col("doc_id") % _WARC_HOURS).cast("int")
+    )
+    (
+        docs.select(
+            F.concat(
+                F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")
+            ).alias("record_id"),
+            F.lit("response").alias("warc_type"),
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".corpus.local/"),
+                F.col("lang"),
+                F.lit("/"),
+                F.col("doc_id"),
+            ).alias("target_uri"),
+            F.date_format(crawl_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "warc_date"
+            ),
+            F.lit("text/plain").alias("content_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .write.format("warc")
+        .mode("overwrite")
+        .save(out)
+    )
 
 
 @register("warc_roundtrip_curation", **_ROUNDTRIP_REGISTER)

@@ -125,11 +125,21 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(root, "orders")
     marker = os.path.join(root, "_MERGED")
     if not os.path.exists(marker):
+        import fcntl
+
         os.makedirs(root, mode=0o700, exist_ok=True)
-        base.write.mode("overwrite").parquet(target)
-        merge_upsert(spark, target, _changeset(base, span), "o_orderkey")
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+        # Exclusive lock for the build: two processes sharing this scratch
+        # (bench + mirror test, or a crashed run's sibling) must not
+        # interleave the base write with the merge's directory swap; the
+        # loser of the race re-checks the marker and reads the winner's
+        # result.
+        with open(os.path.join(root, "_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(marker):
+                base.write.mode("overwrite").parquet(target)
+                merge_upsert(spark, target, _changeset(base, span), "o_orderkey")
+                with open(marker, "w") as fh:
+                    fh.write("ok\n")
 
     merged = spark.read.parquet(target)
     return (
