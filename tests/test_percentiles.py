@@ -144,3 +144,38 @@ def test_dispatch_boundary_probe_and_overflow(spark):
     a = {r["l_returnflag"]: tuple(r[1:]) for r in forced.collect()}
     b = {r["l_returnflag"]: tuple(r[1:]) for r in exact.collect()}
     assert a == b
+
+
+def test_caller_supplied_bound_skips_probe(spark):
+    """histogram_rows_bound short-circuits the sizing probe: with a hint
+    the dispatch trusts the caller (verified by feeding a frame the HLL
+    probe would size ABOVE a tiny threshold, yet a small hint keeps the
+    exact ladder), the error path names the caller probe, and the ladder
+    output is identical with and without the hint."""
+    import pytest
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    base = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", PS
+    ).collect()
+    hinted = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", PS,
+        histogram_rows_bound=li.count(),
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, hinted))
+
+    # a small hint keeps the exact ladder even under a tiny threshold the
+    # real probe would overflow — proof the probe never ran
+    small = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", PS,
+        max_histogram_rows=10, histogram_rows_bound=5,
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, small))
+
+    # and an over-threshold hint raises with the caller attribution
+    with pytest.raises(ValueError, match="caller probe"):
+        exact_group_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", PS,
+            max_histogram_rows=10, on_overflow="error",
+            histogram_rows_bound=11,
+        )

@@ -78,6 +78,7 @@ def exact_group_percentiles(
     max_histogram_rows: int = MAX_HISTOGRAM_ROWS,
     on_overflow: str = "approx",
     approx_accuracy: int = 10_000,
+    histogram_rows_bound: int | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -90,11 +91,24 @@ def exact_group_percentiles(
     schema, bounded per-group sketch state — the production path for
     continuous-valued columns); ``"error"`` raises; ``"exact"`` forces the
     ladder anyway (caller asserts the single-task histogram window fits).
+
+    ``histogram_rows_bound``: caller-supplied upper bound that skips the
+    probe entirely.  The probe is zero-job for plain parquet frames but
+    costs one aggregation pass over a COMPUTED frame (the HLL fallback) —
+    a caller running dependent passes (e.g. MAD: median, then median of
+    per-group |x − median|, whose distinct count per group can never
+    exceed the source column's) should reuse its first bound.  The hint
+    must be a genuine upper bound on sum-over-groups of per-group
+    distinct values; a lying hint only risks a larger-than-expected
+    single-task histogram window, never a wrong answer.
     """
     if on_overflow not in ("approx", "error", "exact"):
         raise ValueError(f"unknown on_overflow mode: {on_overflow!r}")
     if on_overflow != "exact":
-        method, bound = _histogram_rows_bound(df, value_col)
+        if histogram_rows_bound is not None:
+            method, bound = "caller", histogram_rows_bound
+        else:
+            method, bound = _histogram_rows_bound(df, value_col)
         if bound > max_histogram_rows:
             if on_overflow == "error":
                 raise ValueError(

@@ -993,20 +993,29 @@ def state_as_of_label_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile", "robust"),
 )
 def mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.percentiles import exact_group_percentiles
+    from ..operators.percentiles import (
+        _histogram_rows_bound,
+        exact_group_percentiles,
+    )
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # Probe the bound ONCE on the parquet frame (zero-job footer path) and
+    # reuse it for the deviation pass: per group, distinct |x − median|
+    # can never exceed distinct x, and probing the computed join frame
+    # would otherwise pay a full HLL aggregation pass.
+    _, bound = _histogram_rows_bound(li, "l_extendedprice")
     med = exact_group_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5], on_overflow="error"
+        li, ["l_returnflag"], "l_extendedprice", [0.5],
+        on_overflow="error", histogram_rows_bound=bound,
     ).select("l_returnflag", F.col("p_0").alias("med"))
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
     )
     mad = exact_group_percentiles(
         dev.select("l_returnflag", "ad"), ["l_returnflag"], "ad", [0.5],
-        on_overflow="error",
+        on_overflow="error", histogram_rows_bound=bound,
     ).select("l_returnflag", F.col("p_0").alias("mad"))
     out = F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
     return (
