@@ -1001,10 +1001,14 @@ def mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # Probe the bound ONCE on the parquet frame (zero-job footer path) and
-    # reuse it for the deviation pass: per group, distinct |x − median|
-    # can never exceed distinct x, and probing the computed join frame
-    # would otherwise pay a full HLL aggregation pass.
+    # Probe the bound ONCE on the parquet frame and reuse it for the
+    # deviation pass (valid: per group, distinct |x − median| can never
+    # exceed distinct x).  Measured correction: the footer bound already
+    # propagates through the broadcast join, so BOTH probes were zero-job
+    # here and this hint saves nothing on this frame — it is kept as the
+    # documented pattern for dependent passes over frames where the
+    # footer probe fails (exploded or in-memory inputs pay a real HLL
+    # aggregation per probe).
     _, bound = _histogram_rows_bound(li, "l_extendedprice")
     med = exact_group_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5],
