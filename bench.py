@@ -122,6 +122,8 @@ HEADLINE = [
     "merge_upsert_orders",
     "mad_outlier_rate",
     "concurrent_sessions_profile",
+    # round 11 (queries/text.py): the PII-redaction scrub stage
+    "pii_redaction_stats",
 ]
 
 

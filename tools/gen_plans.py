@@ -155,6 +155,9 @@ COMMENT = {
     "per-user sessionization windows, then +-1 boundary deltas with a "
     "day-partitioned running sum; replaces the quadratic range self-join with "
     "one sort + prefix sum, and no window is unpartitioned",
+    "pii_redaction_stats": "round 11: the PII scrub — chained regexp_replace "
+    "(email -> phone -> ip) entirely inside whole-stage codegen, zero Python, "
+    "one shuffle (the per-source aggregate); counts ride the same projection",
 }
 
 

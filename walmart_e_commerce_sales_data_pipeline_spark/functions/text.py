@@ -130,3 +130,29 @@ def bpe_token_count(col: Column | str) -> Column:
     here."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub stage every LLM-corpus pipeline runs before
+# training.  Patterns are deliberately restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically — no backreferences, no
+# lookaround — so the DuckDB oracle can mirror the redaction exactly.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{4}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder, applying the
+    patterns in PII_PATTERNS order (email first: an address would
+    otherwise leave its digit runs exposed to no later pattern, and the
+    IP pattern must not fire inside an already-redacted phone).  Pure
+    chained ``regexp_replace`` — whole-stage codegen, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, token)
+    return c

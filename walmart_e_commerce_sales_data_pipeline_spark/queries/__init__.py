@@ -35,13 +35,13 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-11 staleness histogram:
-# 4 never-green (the new ``dup_cluster_size_dist_star``,
-# ``merge_upsert_orders``, ``mad_outlier_rate`` and
-# ``concurrent_sessions_profile``), 35 queries last green externally in
-# r8, 50 in r9, 50 in r10.  The window is therefore the 4 never-green +
-# all 35 r8-green + the 11 stalest r9-green queries in prior registry
-# order; after this round no query's newest external evidence will be
-# older than r9.  Every tail query is re-proven by the
+# 5 never-green (the new ``dup_cluster_size_dist_star``,
+# ``merge_upsert_orders``, ``mad_outlier_rate``,
+# ``concurrent_sessions_profile`` and ``pii_redaction_stats``),
+# 35 queries last green externally in r8, 50 in r9, 50 in r10.  The
+# window is therefore the 5 never-green + all 35 r8-green + the 10
+# stalest r9-green queries in prior registry order; after this round no
+# query's newest external evidence will be older than r9.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
@@ -50,6 +50,7 @@ _PRIORITY = [
     "merge_upsert_orders",
     "concurrent_sessions_profile",
     "mad_outlier_rate",
+    "pii_redaction_stats",
     "join_anti",
     "join_full_outer",
     "window_topk_orders",
@@ -95,7 +96,6 @@ _PRIORITY = [
     "string_functions",
     "date_functions",
     "agg_suite",
-    "case_when_tiers",
 ]
 
 

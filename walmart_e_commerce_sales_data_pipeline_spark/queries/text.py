@@ -666,3 +666,106 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from ..functions.text import PII_PATTERNS, redact_pii  # noqa: E402
+
+_EMAIL_RE, _EMAIL_TOK = PII_PATTERNS["email"]
+_PHONE_RE, _PHONE_TOK = PII_PATTERNS["phone"]
+_IP_RE, _IP_TOK = PII_PATTERNS["ipv4"]
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT source,
+               text || ' contact user' || doc_id || '@example.com phone 555-'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+                    || '-4321 ip 10.0.' || (doc_id % 256) || '.7' AS t
+        FROM documents
+    ),
+    counted AS (
+        SELECT source, t,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone
+        FROM enriched
+    ),
+    redacted AS (
+        SELECT source, n_email, n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{_EMAIL_RE}', '{_EMAIL_TOK}', 'g'),
+                       '{_PHONE_RE}', '{_PHONE_TOK}', 'g'),
+                   '{_IP_RE}', '{_IP_TOK}', 'g') AS rt,
+               len(t) AS raw_len
+        FROM counted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(len(rt) - len(replace(rt, '<IP>', ''))) / len('<IP>')
+                AS BIGINT) AS ips,
+           CAST(SUM(raw_len - len(rt)) AS BIGINT) AS chars_removed
+    FROM redacted GROUP BY source ORDER BY source
+    """,
+    description="PII redaction scrub (functions.text.redact_pii — the "
+    "pre-training privacy stage): emails/phones/IPv4 replaced by typed "
+    "placeholders via chained regexp_replace in email→phone→ip order "
+    "(an unredacted address would leave digit runs behind; the IP "
+    "pattern must not fire inside a redacted phone).  The synthetic "
+    "corpus carries no natural PII, so a deterministic contact line "
+    "derived from doc_id is appended first — constructed identically in "
+    "the oracle — making every count nonzero and the transform "
+    "equality real, not vacuous.  Patterns are restricted to the "
+    "Java/RE2-common regex subset so both engines redact "
+    "byte-identically; IP hits are counted from the redacted text "
+    "(placeholder occurrences) because Spark's regexp_count and RE2 "
+    "handle the overlapping phone/IP digit runs identically only "
+    "after the earlier passes.  Pure whole-stage-codegen expressions, "
+    "zero Python, one shuffle (the final per-source aggregate)",
+    tags=("text", "privacy", "curation"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+        F.lit("-4321 ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    enriched = docs.select("source", t.alias("t"))
+    counted = enriched.select(
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).alias("n_phone"),
+    )
+    red = counted.select(
+        "source",
+        "n_email",
+        "n_phone",
+        redact_pii("t").alias("rt"),
+        F.length("t").alias("raw_len"),
+    )
+    ip_hits = (
+        F.length("rt") - F.length(F.replace(F.col("rt"), F.lit("<IP>")))
+    ) / F.lit(len("<IP>"))
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum(ip_hits).cast("long").alias("ips"),
+            F.sum(F.col("raw_len") - F.length("rt")).cast("long").alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("source")
+    )
