@@ -74,3 +74,35 @@ def test_bpe_token_count_known_strings(spark):
     got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
     # "it" "'s" " 42" " tokens" "," " right" "?"  /  "hello" " world"  /  ""
     assert got == [7, 2, 0]
+
+
+def test_redact_pii_order_and_coverage(spark):
+    """Redaction order matters: the email pass must run before the
+    phone/IP passes (an address's digit runs must vanish with the
+    address), and a redacted phone must not re-trigger the IP pattern.
+    Crafted strings pin each case plus the no-PII identity."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
+        redact_pii,
+    )
+
+    cases = [
+        # (input, expected)
+        ("mail me at a.b-c_9@sub.example.org today",
+         "mail me at <EMAIL> today"),
+        ("call 555-0199-4321 now", "call <PHONE> now"),
+        ("host 192.168.1.254 down", "host <IP> down"),
+        # an address containing dotted digit runs redacts as ONE email —
+        # no <IP> shrapnel left behind
+        ("contact 10.0.0.7@example.com please",
+         "contact <EMAIL> please"),
+        # phone and IP side by side: each pass hits its own target
+        ("p 555-0100-4321 ip 10.0.3.7", "p <PHONE> ip <IP>"),
+        # no PII: byte-identical passthrough
+        ("plain text 1234 with no identifiers",
+         "plain text 1234 with no identifiers"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t: string")
+    got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert got == [e for _, e in cases]
