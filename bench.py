@@ -124,6 +124,9 @@ HEADLINE = [
     "concurrent_sessions_profile",
     # round 11 (queries/text.py): the PII-redaction scrub stage
     "pii_redaction_stats",
+    # round 11 (queries/curation.py): the HLL register-array twin of the
+    # KMV sketch, over the identical portable-hash shingle stream
+    "hll_distinct_sketch",
 ]
 
 

@@ -153,3 +153,105 @@ def test_kmv_sketch_estimator_branch_and_plan(spark):
     assert errs[len(errs) // 2] < 0.2, errs  # median within ~1.5 stderr
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_hll_sketch_raw_branch_and_error(spark):
+    """At sf0.01 every source's shingle cardinality (~1.1-1.5k) exceeds
+    the 2.5m = 640 small-range threshold, so the registered query must
+    take the raw harmonic-mean branch and stay inside sane HLL bounds
+    (stderr = 1.04/sqrt(256) ~ 6.5% at m=256)."""
+    rows = q.REGISTRY["hll_distinct_sketch"].fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 640, r
+        # raw branch: estimate must NOT equal the linear-counting formula
+        if r["empty_registers"] > 0:
+            lc = round(256.0 * math.log(256.0 / r["empty_registers"]), 4)
+            assert r["hll_estimate"] != lc, r
+        assert 0 <= r["rel_err"] < 0.3, r
+    errs = sorted(r["rel_err"] for r in rows)
+    assert errs[len(errs) // 2] < 0.15, errs  # median within ~2 stderr
+
+
+def test_hll_small_range_branch(spark, tmp_path):
+    """A tiny corpus (distinct shingles << 640) must drop to the
+    linear-counting correction: estimate == m * ln(m / V) exactly."""
+    import os
+
+    words = [f"w{i}" for i in range(12)]
+    text = " ".join(words)  # 10 distinct 3-gram shingles
+    df = spark.createDataFrame(
+        [("d1", "tiny", text), ("d2", "tiny", text)],
+        "doc_id string, source string, text string",
+    )
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = q.REGISTRY["hll_distinct_sketch"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_exact"] == 10
+    v = r["empty_registers"]
+    assert 246 <= v < 256  # at most 10 registers occupied
+    assert r["hll_estimate"] == round(256.0 * math.log(256.0 / v), 4), r
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The (source, bucket) -> max(rho) registers computed on two disjoint
+    document halves, merged by MAX, equal the whole-corpus registers —
+    the mergeability contract that lets shards ship 256-byte sketches
+    instead of distinct sets."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _HLL_MAX_RHO,
+        _HLL_REST_MOD,
+        _kmv_hash_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    def registers(d):
+        sh = (
+            d.select("source", tokenize("text").alias("_t"))
+            .select(
+                "source",
+                F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"),
+            )
+            .distinct()
+        )
+        br = sh.select(
+            "source", F.expr(_kmv_hash_sql("STRING")).alias("hv")
+        ).select(
+            "source",
+            F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+            (F.col("hv") % _HLL_REST_MOD).alias("rest"),
+        )
+        rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+            F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
+        )
+        return (
+            br.withColumn("rho", rho)
+            .groupBy("source", "bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    assert half_a.count() > 0 and half_b.count() > 0
+    merged = (
+        registers(half_a)
+        .unionByName(registers(half_b))
+        .groupBy("source", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = {
+        (r["source"], r["bucket"]): r["m_j"]
+        for r in registers(docs).collect()
+    }
+    got = {(r["source"], r["bucket"]): r["m_j"] for r in merged.collect()}
+    assert got == whole

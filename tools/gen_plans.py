@@ -90,6 +90,10 @@ COMMENT = {
     "kmv_distinct_sketch": "the rank-≤-k filter plans as WindowGroupLimit — "
     "per-partition k-row group limits before the single per-source window sort; the "
     "48-bit md5 fold is pure codegen string/arithmetic expressions",
+    "hll_distinct_sketch": "the register array is two map-side-combinable hash "
+    "aggregates — (source, bucket) max(rho) then a ≤256-rows-per-group fold — over "
+    "the same codegen md5 fold as KMV; the exact-count branch reuses the distinct "
+    "shingle exchange",
     "bilateral_trade_volume": "Q7: both nation roles broadcast; the disjunctive "
     "nation-pair predicate is a post-join residual over the two broadcast dims while "
     "orders/customer/supplier join key-local",

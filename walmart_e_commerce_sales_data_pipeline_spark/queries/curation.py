@@ -768,3 +768,153 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# HyperLogLog geometry over the same 48-bit portable hash: the top
+# _HLL_B bits pick one of 2^_HLL_B registers, the remaining 40 bits feed
+# the leading-zero rank, so rho ranges 1..41 (41 = all rest bits zero).
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B  # 256 registers
+_HLL_REST_MOD = 1 << (48 - _HLL_B)  # 2^40
+_HLL_MAX_RHO = (48 - _HLL_B) + 1  # 41
+# alpha_256 * m^2, spelled identically in both engines (double literals
+# parse to the same IEEE value; every subexpression is a double op).
+_HLL_ALPHA_SQL = (
+    "(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE)"
+    " / CAST(256 AS DOUBLE)))"
+)
+
+
+@register(
+    "hll_distinct_sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    h AS (SELECT source, {_kmv_hash_sql("VARCHAR")} AS hv FROM sh),
+    br AS (
+        SELECT source, hv // {_HLL_REST_MOD} AS bucket,
+               hv % {_HLL_REST_MOD} AS rest
+        FROM h
+    ),
+    reg AS (
+        SELECT source, bucket,
+               MAX(CASE WHEN rest = 0 THEN {_HLL_MAX_RHO}
+                        ELSE {_HLL_MAX_RHO} - length(bin(rest)) END) AS m_j
+        FROM br GROUP BY source, bucket
+    ),
+    g AS (
+        SELECT source, COUNT(*) AS cnt,
+               SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m_j))
+                   AS s_present
+        FROM reg GROUP BY source
+    ),
+    raw AS (
+        SELECT source,
+               CAST({_HLL_M} - cnt AS BIGINT) AS empty_registers,
+               {_HLL_ALPHA_SQL} * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                   / (s_present + ({_HLL_M} - cnt)) AS e_raw
+        FROM g
+    ),
+    fin AS (
+        SELECT source, empty_registers,
+               CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND empty_registers > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / empty_registers)
+                    ELSE e_raw END AS est
+        FROM raw
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM sh GROUP BY source
+    )
+    SELECT ex.source, ex.n_exact, fin.empty_registers,
+           ROUND(fin.est, 4) AS hll_estimate,
+           ROUND(ABS(fin.est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN fin ON fin.source = ex.source
+    ORDER BY ex.source
+    """,
+    description="HyperLogLog distinct-3-gram sketch per source over the "
+    "SAME portable 48-bit md5 hash and shingle stream as "
+    "kmv_distinct_sketch — the fixed-width register-array counterpart to "
+    "KMV's k-set: 256 registers, rho = leading-zero rank of the low 40 "
+    "bits (via length(bin(x)), identical unpadded semantics in both "
+    "engines), registers mergeable by MAX.  The harmonic sum uses "
+    "1/(1<<rho) rather than pow() so every term is an exact dyadic "
+    "double and the sum (<= 50 significand bits) is order-independent — "
+    "which is what lets a randomized estimator share a bit-exact DuckDB "
+    "oracle, branch decisions included (raw vs linear-counting small- "
+    "range correction; the 48-bit space makes the large-range branch "
+    "unreachable).  Exact count carried alongside so the oracle pins the "
+    "estimator arithmetic AND its error.  Scale shape: two map-side- "
+    "combinable shuffles — (source, bucket) max then a 256-rows-per- "
+    "group fold; per-group state is 256 bytes-ish forever, the reason "
+    "HLL (not exact distinct) is what a 100 TB pipeline ships between "
+    "shards",
+    tags=("sketch", "text", "distinct", "portable"),
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    # One distinct shingle stream feeds the sketch and the exact branch;
+    # Catalyst reuses the distinct-aggregation exchange (same shape as
+    # kmv_distinct_sketch, plan-asserted there).
+    sh = (
+        _spread_narrow(docs)
+        .select("source", tokenize("text").alias("_t"))
+        .select(
+            "source", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    h = sh.select("source", F.expr(_kmv_hash_sql("STRING")).alias("hv"))
+    br = h.select(
+        "source",
+        F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+        (F.col("hv") % _HLL_REST_MOD).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
+    )
+    reg = (
+        br.withColumn("rho", rho)
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    g = reg.groupBy("source").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), m_j)")
+        ).alias("s_present"),
+    )
+    v = (F.lit(_HLL_M) - F.col("cnt")).cast("long")
+    s = F.col("s_present") + (F.lit(_HLL_M) - F.col("cnt"))
+    e_raw = F.expr(_HLL_ALPHA_SQL) * F.lit(float(_HLL_M * _HLL_M)) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    prof = g.select(
+        "source", v.alias("empty_registers"), est.alias("est")
+    )
+    ex = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        ex.join(prof, "source")
+        .select(
+            "source",
+            "n_exact",
+            "empty_registers",
+            F.round(F.col("est"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
