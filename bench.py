@@ -127,6 +127,9 @@ HEADLINE = [
     # round 11 (queries/curation.py): the HLL register-array twin of the
     # KMV sketch, over the identical portable-hash shingle stream
     "hll_distinct_sketch",
+    # round 11 (queries/profiling.py): deterministic weight-proportional
+    # sampling (Efraimidis-Spirakis A-ES over the portable hash)
+    "weighted_sample_aes",
 ]
 
 

@@ -152,9 +152,9 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-11 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r11: never:6 / r8:35 / r9:50 / r10:50 —
-    # the window is the six never-externally-green round-11 additions,
-    # all 35 r8-green queries, and the 9 stalest r9-green ones.
+    # Staleness histogram entering r11: never:7 / r8:35 / r9:50 / r10:50 —
+    # the window is the seven never-externally-green round-11 additions,
+    # all 35 r8-green queries, and the 8 stalest r9-green ones.
     window = set(names[:50])
     # The never-externally-green round-11 additions lead unconditionally.
     assert _PRIORITY[0] == "dup_cluster_size_dist_star"
@@ -163,9 +163,10 @@ def test_checked_window_composition():
     assert _PRIORITY[3] == "mad_outlier_rate"
     assert _PRIORITY[4] == "pii_redaction_stats"
     assert _PRIORITY[5] == "hll_distinct_sketch"
+    assert _PRIORITY[6] == "weighted_sample_aes"
     # The 35 queries whose newest external evidence is r8 follow, in prior
     # registry order.
-    assert _PRIORITY[6:41] == [
+    assert _PRIORITY[7:42] == [
         "join_anti",
         "join_full_outer",
         "window_topk_orders",
@@ -212,9 +213,10 @@ def test_checked_window_composition():
         "quantize_embeddings", "orders_rfm_segments",
     }
     assert not (r10_green_sample & window)
-    # Likewise the freshest r9-green queries stay out; only the 9
-    # stalest r9-green ones fill the window tail (agg_suite, the 10th
-    # stalest, was displaced by the never-green hll_distinct_sketch).
+    # Likewise the freshest r9-green queries stay out; only the 8
+    # stalest r9-green ones fill the window tail (agg_suite and
+    # date_functions, the 9th and 10th stalest, were displaced by the
+    # never-green hll_distinct_sketch and weighted_sample_aes).
     r9_fresh_sample = {
         "dedup_ngram_jaccard", "decontaminate_corpus",
         "corpus_clean_pipeline", "dedup_minhash_lsh",
@@ -223,7 +225,7 @@ def test_checked_window_composition():
         "case_when_tiers",
     }
     assert not (r9_fresh_sample & window)
-    assert _PRIORITY[41:] == [
+    assert _PRIORITY[42:] == [
         "pricing_summary",
         "regional_revenue",
         "top10_expensive_items",
@@ -232,7 +234,6 @@ def test_checked_window_composition():
         "rollup_customer_geo",
         "cube_order_status",
         "string_functions",
-        "date_functions",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -94,6 +94,9 @@ COMMENT = {
     "aggregates — (source, bucket) max(rho) then a ≤256-rows-per-group fold — over "
     "the same codegen md5 fold as KMV; the exact-count branch reuses the distinct "
     "shingle exchange",
+    "weighted_sample_aes": "the A-ES key ln(u)/w is a pure map-side codegen "
+    "expression (no RNG, no exchange to build it); the per-source top-3 plans as "
+    "WindowGroupLimit per-partition group limits before the single window sort",
     "bilateral_trade_volume": "Q7: both nation roles broadcast; the disjunctive "
     "nation-pair predicate is a post-join residual over the two broadcast dims while "
     "orders/customer/supplier join key-local",

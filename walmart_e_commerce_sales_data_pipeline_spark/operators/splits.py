@@ -94,3 +94,45 @@ def portable_hex_value_sql(
         for i in range(n_chars)
     )
     return f"({terms})"
+
+
+_AES_SCALE = float(1 << 48)
+
+
+def aes_key_column(
+    key_expr: str, weight: Column, salt: str | int | None = None
+) -> Column:
+    """Efraimidis–Spirakis (A-ES) weighted-sampling key: ln(u) / w with
+    u = (h + 1) / 2^48 from the portable 48-bit md5 hash of ``key_expr``
+    (optionally salted — pass an int literal or a column/SQL expression
+    name to draw an independent sample per salt).
+
+    Taking the top-k rows by this key (descending) is a weight-
+    proportional sample WITHOUT replacement: maximizing ln(u)/w is
+    maximizing u^(1/w), the A-ES exponential-race construction, so
+    P(rank 1 = i) = w_i / Σw exactly, and each subsequent rank is drawn
+    proportionally from the remainder.  This is the standard way a
+    training-data pipeline samples documents proportional to quality or
+    length scores.
+
+    Deterministic and engine-portable: a pure function of
+    (key, salt, weight) built from the same md5 fold as the split and
+    sketch operators, so a DuckDB oracle evaluating the identical SQL
+    reproduces the sample bit-for-bit — no RNG, no partitioning
+    dependence, and a document's sample membership is stable under
+    re-runs and cluster resizes (same property as ``hash_split``).
+
+    ``weight`` must be strictly positive; ln(u) ≤ 0, so larger weights
+    pull the key toward 0 (better rank).  At 100 TB this is a pure
+    map-side expression; per-group top-k over it plans as
+    WindowGroupLimit (per-partition k-row group limits), never a full
+    per-group sort.
+    """
+    expr = (
+        key_expr
+        if salt is None
+        else f"concat(CAST({key_expr} AS STRING), '#', CAST({salt} AS STRING))"
+    )
+    hv = F.expr(portable_hex_value_sql(expr, 12, "STRING"))
+    u = (hv + F.lit(1)).cast("double") / F.lit(_AES_SCALE)
+    return F.log(u) / weight

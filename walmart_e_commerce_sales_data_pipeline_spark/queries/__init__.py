@@ -35,12 +35,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-11 staleness histogram:
-# 6 never-green (the new ``dup_cluster_size_dist_star``,
+# 7 never-green (the new ``dup_cluster_size_dist_star``,
 # ``merge_upsert_orders``, ``mad_outlier_rate``,
-# ``concurrent_sessions_profile``, ``pii_redaction_stats`` and
-# ``hll_distinct_sketch``),
+# ``concurrent_sessions_profile``, ``pii_redaction_stats``,
+# ``hll_distinct_sketch`` and ``weighted_sample_aes``),
 # 35 queries last green externally in r8, 50 in r9, 50 in r10.  The
-# window is therefore the 6 never-green + all 35 r8-green + the 9
+# window is therefore the 7 never-green + all 35 r8-green + the 8
 # stalest r9-green queries in prior registry order; after this round no
 # query's newest external evidence will be older than r9.  Every tail query is re-proven by the
 # local DuckDB mirror (tests/test_queries_vs_duckdb.py,
@@ -53,6 +53,7 @@ _PRIORITY = [
     "mad_outlier_rate",
     "pii_redaction_stats",
     "hll_distinct_sketch",
+    "weighted_sample_aes",
     "join_anti",
     "join_full_outer",
     "window_topk_orders",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "rollup_customer_geo",
     "cube_order_status",
     "string_functions",
-    "date_functions",
 ]
 
 

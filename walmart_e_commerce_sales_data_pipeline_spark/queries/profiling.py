@@ -260,3 +260,76 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def _aes_hash_sql() -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    return portable_hex_value_sql("doc_id", 12, "VARCHAR")
+
+
+@register(
+    "weighted_sample_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln(CAST(({_aes_hash_sql()}) + 1 AS DOUBLE)
+                  / 281474976710656.0) / n_chars AS aes_key
+        FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id, n_chars, aes_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY aes_key DESC, doc_id
+               ) AS rk
+        FROM keyed
+    )
+    SELECT source, CAST(rk AS INT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(aes_key * CAST(1000000 AS DOUBLE), 6) AS aes_key_ppm
+    FROM r WHERE rk <= 3
+    ORDER BY source, rk
+    """,
+    description="weight-proportional document sample without replacement "
+    "(Efraimidis-Spirakis A-ES, operators.splits.aes_key_column): top-3 "
+    "docs per source by ln(u)/w with u from the portable 48-bit md5 hash "
+    "of doc_id and w = n_chars — P(rank 1 = i) = w_i/SUM(w) exactly, the "
+    "length/quality-proportional sampling a mixture plan executes.  "
+    "Deterministic (no RNG): the same doc wins on every engine, run, and "
+    "partitioning, which is what makes a sampling operator oracle-"
+    "checkable bit-for-bit AND what a reproducible data pipeline wants.  "
+    "Scale shape: the key is a pure map-side codegen expression; the "
+    "per-source top-3 plans as WindowGroupLimit (per-partition group "
+    "limits, plan-asserted in tests/test_splits.py), never a full "
+    "per-group sort; selection-probability ∝ weight verified "
+    "statistically over 300 salted resamples in the same test file",
+    tags=("sampling", "curation", "portable", "window"),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.splits import aes_key_column
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    keyed = docs.withColumn(
+        "aes_key", aes_key_column("doc_id", F.col("n_chars"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("aes_key").desc(), "doc_id"
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            "rk",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(F.col("aes_key") * F.lit(1000000.0), 6).alias(
+                "aes_key_ppm"
+            ),
+        )
+        .orderBy("source", "rk")
+    )
