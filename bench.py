@@ -25,6 +25,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REFERENCE_DIR = "/root/reference"
 
+# Calibration trust gate (VERDICT r11 item 2): the official BENCH artifact
+# must never be a loaded run.  A start calibration above this threshold
+# (~0.33 s on a quiet box; BENCH_r11's 0.555 s was an ambient-load wave)
+# triggers bounded auto-retry — wait, re-calibrate, and only start the
+# timed HEADLINE sweep once the machine is quiet.  If the box never goes
+# quiet within the retry budget the sweep still runs (an artifact marked
+# untrusted beats no artifact), but "calibration_trusted": false is
+# stamped into BOTH the stdout line and the sidecar so no reader can
+# mistake the walls for a quiet measurement.
+CAL_GATE_SEC = float(os.environ.get("SPARK_GRAFT_CAL_GATE", "0.33"))
+CAL_GATE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CAL_ATTEMPTS", "8"))
+CAL_GATE_SLEEP_SEC = float(os.environ.get("SPARK_GRAFT_CAL_SLEEP", "45"))
+
+
+def wait_for_quiet_machine(
+    calibrate,
+    gate: float = CAL_GATE_SEC,
+    attempts: int = CAL_GATE_ATTEMPTS,
+    sleep_sec: float = CAL_GATE_SLEEP_SEC,
+    sleep=time.sleep,
+):
+    """Re-run ``calibrate`` (returns a list of wall seconds) until its best
+    run clears ``gate``, sleeping ``sleep_sec`` between attempts, at most
+    ``attempts`` times.  Returns ``(runs, trusted, history)`` where
+    ``runs`` is the last calibration, ``trusted`` says whether the gate
+    was met, and ``history`` holds every attempt for the sidecar.
+    Pure function of its inputs (injectable sleep) so the refusal path is
+    unit-testable without a loaded machine."""
+    history: list[list[float]] = []
+    for i in range(max(1, attempts)):
+        runs = calibrate()
+        history.append(runs)
+        if min(runs) <= gate:
+            return runs, True, history
+        if i < attempts - 1:
+            sleep(sleep_sec)
+    return history[-1], False, history
+
 # Headline set: one representative per operator family (scan+agg, star join,
 # every-join-type, windows, sessionization, LSH dedup, vector LSH, text).
 HEADLINE = [
@@ -182,7 +220,7 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         return runs
 
-    cal_runs = _calibrate()
+    cal_runs, cal_trusted, cal_history = wait_for_quiet_machine(_calibrate)
     calibration = min(cal_runs)
     cal_st_runs = _calibrate_single_thread()
     calibration_st = min(cal_st_runs)
@@ -345,6 +383,10 @@ def main() -> None:
                 "unit": "sec",
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
+                "calibration_trusted": cal_trusted,
+                "calibration_gate_sec": CAL_GATE_SEC,
+                "calibration_gate_attempts": len(cal_history),
+                "calibration_gate_history": cal_history,
                 "calibration_runs": cal_runs,
                 "calibration_end_sec": min(cal_end_runs),
                 "calibration_end_runs": cal_end_runs,
@@ -373,6 +415,7 @@ def main() -> None:
             "unit": "sec",
             "n_measured": n_measured,
             "calibration_sec": calibration,
+            "calibration_trusted": cal_trusted,
             "queries": timings,
             **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,
@@ -390,6 +433,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
+                "calibration_trusted": cal_trusted,
                 "queries": slim,
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,
@@ -408,6 +452,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
+                "calibration_trusted": cal_trusted,
                 "queries": {n: round(t, 2) for n, t in slowest.items()},
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,

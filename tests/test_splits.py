@@ -97,6 +97,27 @@ def test_aes_rank1_probability_proportional_to_weight(spark):
     assert max(r["count"] / 300 for r in wins_u) < 0.25  # mean 0.1
 
 
+def test_aes_salt_rejects_non_identifier_strings(spark):
+    """The salt lands inside a SQL expression string, so free-form text
+    must raise instead of parsing as an expression ('round-1' would be
+    arithmetic) — ADVICE r11 injection hardening."""
+    import pytest
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.splits import (
+        aes_key_column,
+    )
+
+    with pytest.raises(ValueError, match="bare column identifier"):
+        aes_key_column("k", F.col("w"), salt="round-1")
+    with pytest.raises(ValueError, match="bare column identifier"):
+        aes_key_column("k", F.col("w"), salt="x'); drop")
+    with pytest.raises(TypeError, match="int or column name"):
+        aes_key_column("k", F.col("w"), salt=1.5)
+    # the two legitimate forms still build
+    aes_key_column("k", F.col("w"), salt=7)
+    aes_key_column("k", F.col("w"), salt="salt")
+
+
 def test_aes_sample_is_deterministic_and_group_limited(spark):
     """The registered query is a pure function of the data (same rows on
     a repartitioned input) and its per-source top-3 plans as

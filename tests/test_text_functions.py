@@ -92,6 +92,15 @@ def test_redact_pii_order_and_coverage(spark):
         ("mail me at a.b-c_9@sub.example.org today",
          "mail me at <EMAIL> today"),
         ("call 555-0199-4321 now", "call <PHONE> now"),
+        # standard NANP layouts (ADVICE r11: 3-4-4 alone leaked these)
+        ("call 555-123-4567 now", "call <PHONE> now"),
+        ("call (555) 123-4567 now", "call <PHONE> now"),
+        ("call (555)123-4567 now", "call <PHONE> now"),
+        ("call 555.123.4567 now", "call <PHONE> now"),
+        ("call 555 123 4567 now", "call <PHONE> now"),
+        # phone-before-ip ordering: adjacent dotted digits must not let
+        # the IP pass break a dotted phone apart
+        ("v2.5.555.123.4567 build", "v2.5.<PHONE> build"),
         ("host 192.168.1.254 down", "host <IP> down"),
         # an address containing dotted digit runs redacts as ONE email —
         # no <IP> shrapnel left behind

@@ -141,17 +141,33 @@ def bpe_token_count(col: Column | str) -> Column:
 
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "phone": (r"\b\d{3}-\d{4}-\d{4}\b", "<PHONE>"),
+    # Three alternatives, tried leftmost-first identically by Java and
+    # RE2: (1) parenthesized NANP "(555) 123-4567" (paren included in the
+    # match so no "(<PHONE>" shrapnel), (2) separator-delimited NANP
+    # 555-123-4567 / 555.123.4567 / 555 123 4567, (3) the 3-4-4 layout
+    # the synthetic corpus contact line uses.
+    "phone": (
+        r"\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}-\d{4}-\d{4}\b",
+        "<PHONE>",
+    ),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 }
 
 
 def redact_pii(col: Column | str) -> Column:
     """Replace every PII match with its typed placeholder, applying the
-    patterns in PII_PATTERNS order (email first: an address would
-    otherwise leave its digit runs exposed to no later pattern, and the
-    IP pattern must not fire inside an already-redacted phone).  Pure
-    chained ``regexp_replace`` — whole-stage codegen, no Python."""
+    patterns in PII_PATTERNS order.  Two orderings carry semantics:
+    email must run first (an address's digit runs must vanish with the
+    address, not leak to the phone/IP passes), and phone must run before
+    ipv4 (the IPv4 pattern needs four dotted octets, so a bare dotted
+    phone is safe, but adjacent dotted digits — "v2.5.555.123.4567" —
+    would let an IP-first pass consume "2.5.555.123" and break the
+    phone apart).  The hyphen-only phone forms are fully independent of
+    the IP pass — dots are required by the IPv4 pattern — so only those
+    two edges are order-sensitive.  Pure chained ``regexp_replace`` —
+    whole-stage codegen, no Python."""
     c = F.col(col) if isinstance(col, str) else col
     for pattern, token in PII_PATTERNS.values():
         c = F.regexp_replace(c, pattern, token)

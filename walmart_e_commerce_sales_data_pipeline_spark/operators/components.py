@@ -114,10 +114,15 @@ def _star_components(
       endpoint, with m = min of the (all-smaller) neighbors, connect u
       and every other neighbor to m.
 
-    Convergence = two consecutive small-star outputs identical, detected
-    by (row count, bit_xor of xxhash64(x, y)) — an order-independent
-    exact signature that costs one scan, no join.  Each round
-    localCheckpoints so lineage stays O(1) across iterations.
+    Convergence = two consecutive small-star outputs identical.  A
+    (row count, bit_xor of xxhash64(x, y)) signature — order-independent,
+    one scan, no join — is the cheap per-round filter; when it reports a
+    fixed point the equality is CONFIRMED exactly with an ``exceptAll``
+    anti-check on the two checkpointed frames (equal counts + empty
+    difference ⇒ equal sets, since rows are distinct).  The exact check
+    runs once, at convergence, so a 2^-64 signature collision can cost
+    one wasted join but can never return wrong component labels
+    (ADVICE r11: silent-corruption hardening).
     """
 
     def _sig(df: DataFrame):
@@ -161,12 +166,13 @@ def _star_components(
             .localCheckpoint()
         )
         sig = _sig(ss)
+        prev = cur
         cur = ss
         if stats is not None:
             stats.setdefault("rounds", []).append(
                 {"iteration": it, "edges": sig[0]}
             )
-        if sig == prev_sig:
+        if sig == prev_sig and ss.exceptAll(prev).limit(1).count() == 0:
             if stats is not None:
                 stats["iterations"] = it
             return cur

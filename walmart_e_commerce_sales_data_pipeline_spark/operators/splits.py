@@ -12,6 +12,8 @@ corpus.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,8 +106,9 @@ def aes_key_column(
 ) -> Column:
     """Efraimidis–Spirakis (A-ES) weighted-sampling key: ln(u) / w with
     u = (h + 1) / 2^48 from the portable 48-bit md5 hash of ``key_expr``
-    (optionally salted — pass an int literal or a column/SQL expression
-    name to draw an independent sample per salt).
+    (optionally salted — pass an int literal or a bare column identifier
+    to draw an independent sample per salt; anything else raises, see
+    below).
 
     Taking the top-k rows by this key (descending) is a weight-
     proportional sample WITHOUT replacement: maximizing ln(u)/w is
@@ -128,11 +131,24 @@ def aes_key_column(
     WindowGroupLimit (per-partition k-row group limits), never a full
     per-group sort.
     """
-    expr = (
-        key_expr
-        if salt is None
-        else f"concat(CAST({key_expr} AS STRING), '#', CAST({salt} AS STRING))"
-    )
+    if salt is None:
+        expr = key_expr
+    else:
+        # The salt lands inside a SQL expression string, so it must be an
+        # int literal or a bare column identifier — never free-form text
+        # (a salt like "round-1" would parse as arithmetic and silently
+        # change the hash input; ADVICE r11 injection hardening).  Use an
+        # int, or materialize the salt as a column first.
+        if isinstance(salt, bool) or not isinstance(salt, (int, str)):
+            raise TypeError(f"salt must be int or column name, got {salt!r}")
+        if isinstance(salt, str) and not re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", salt
+        ):
+            raise ValueError(
+                f"string salt must be a bare column identifier, got "
+                f"{salt!r}; pass an int for a literal salt"
+            )
+        expr = f"concat(CAST({key_expr} AS STRING), '#', CAST({salt} AS STRING))"
     hv = F.expr(portable_hex_value_sql(expr, 12, "STRING"))
     u = (hv + F.lit(1)).cast("double") / F.lit(_AES_SCALE)
     return F.log(u) / weight

@@ -713,8 +713,11 @@ _IP_RE, _IP_TOK = PII_PATTERNS["ipv4"]
     description="PII redaction scrub (functions.text.redact_pii — the "
     "pre-training privacy stage): emails/phones/IPv4 replaced by typed "
     "placeholders via chained regexp_replace in email→phone→ip order "
-    "(an unredacted address would leave digit runs behind; the IP "
-    "pattern must not fire inside a redacted phone).  The synthetic "
+    "(an unredacted address would leave digit runs behind; an IP-first "
+    "pass could consume part of a dot-separated phone adjacent to other "
+    "dotted digits).  The phone pattern covers NANP layouts — "
+    "(555) 123-4567, 555-123-4567, 555.123.4567 — plus the corpus's "
+    "3-4-4 contact-line form.  The synthetic "
     "corpus carries no natural PII, so a deterministic contact line "
     "derived from doc_id is appended first — constructed identically in "
     "the oracle — making every count nonzero and the transform "
