@@ -150,90 +150,89 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-11 rotation policy: the checked window is the 50 queries with
+    # Round-13 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r11: never:7 / r8:35 / r9:50 / r10:50 —
-    # the window is the seven never-externally-green round-11 additions,
-    # all 35 r8-green queries, and the 8 stalest r9-green ones.
-    window = set(names[:50])
-    # The never-externally-green round-11 additions lead unconditionally.
-    assert _PRIORITY[0] == "dup_cluster_size_dist_star"
-    assert _PRIORITY[1] == "merge_upsert_orders"
-    assert _PRIORITY[2] == "concurrent_sessions_profile"
-    assert _PRIORITY[3] == "mad_outlier_rate"
-    assert _PRIORITY[4] == "pii_redaction_stats"
-    assert _PRIORITY[5] == "hll_distinct_sketch"
-    assert _PRIORITY[6] == "weighted_sample_aes"
-    # The 35 queries whose newest external evidence is r8 follow, in prior
+    # Staleness histogram entering r13: r9:42 / r10:50 / r12:50 (the r12
+    # window duplicated r11's, so nothing is r11-green).  The window is
+    # all 42 r9-green queries plus the 8 stalest r10-green ones, in prior
     # registry order.
-    assert _PRIORITY[7:42] == [
-        "join_anti",
-        "join_full_outer",
-        "window_topk_orders",
-        "window_running_total",
-        "kmv_sketch_union",
-        "sliding_chunk_windows",
-        "bigram_pmi",
-        "dup_graph_degree_hist",
-        "winsorized_price_stats",
-        "ngram_distribution_profile",
-        "cross_source_dup_matrix",
-        "scd2_user_state_history",
-        "state_as_of_label_time",
-        "dedup_cluster_density",
-        "text_token_entropy",
-        "doc_unigram_logprob",
-        "kmv_distinct_sketch",
-        "promo_revenue_share",
-        "trailing_spend_range_frame",
-        "market_share_by_year",
-        "bilateral_trade_volume",
-        "product_profit_by_nation_year",
-        "returned_item_customers",
-        "priority_shipping_split",
-        "brand_supplier_counts",
-        "order_priority_checking",
-        "important_supplier_share",
-        "small_quantity_order_revenue",
-        "excess_shipping_suppliers",
-        "similarity_pairs",
-        "similarity_topk",
-        "similarity_pairs_blocked",
-        "similarity_lsh",
-        "similarity_topk_ivf",
-        "multimodal_features",
+    window = set(names[:50])
+    # The 42 queries whose newest external evidence is r9 lead, in prior
+    # registry order.
+    assert _PRIORITY[:42] == [
+        "date_functions",
+        "agg_suite",
+        "case_when_tiers",
+        "union_all_monthly",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "decontaminate_corpus",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_stats",
+        "text_quality_buckets",
+        "text_lang_id",
+        "doc_fingerprint",
+        "text_bpe_tokens",
+        "text_repetition",
+        "pack_context_segments",
+        "pack_greedy_bins",
+        "vocab_top_ngrams",
+        "quality_percentile_filter",
+        "cdc_chunk_stats",
+        "token_budget_fill",
+        "dedup_clusters",
+        "dedup_canonical_keep",
+        "event_transition_matrix",
+        "dedup_embedding",
+        "dup_graph_triangles",
+        "corpus_clean_pipeline",
+        "warc_roundtrip_curation",
+        "bm25_doc_retrieval",
+        "source_unigram_divergence",
+        "disjunctive_predicate_revenue",
+        "events_rolling_engagement",
+        "events_hourly_anomaly",
+        "common_shingle_fraction",
+        "grouped_zscore_histogram",
+        "events_funnel",
+        "events_cohort_retention",
+        "mixture_sampling_plan",
+        "from_json_map",
+        "asof_join_latest_order",
+        "range_join_close_events",
+        "events_session_window",
     ]
-    # Nothing green in round 10 re-occupies a window slot — the window is
+    # Nothing green in round 12 re-occupies a window slot — the window is
     # reserved for the stalest evidence.
-    r10_green_sample = {
+    r12_green_sample = {
+        "dup_cluster_size_dist_star", "merge_upsert_orders",
+        "concurrent_sessions_profile", "mad_outlier_rate",
+        "pii_redaction_stats", "hll_distinct_sketch",
+        "weighted_sample_aes", "join_anti", "join_full_outer",
+        "kmv_sketch_union", "scd2_user_state_history",
+        "pricing_summary", "regional_revenue", "string_functions",
+    }
+    assert not (r12_green_sample & window)
+    # Likewise the freshest r10-green queries stay out; only the 8
+    # stalest r10-green ones fill the window tail.
+    r10_fresh_sample = {
         "warc_curation_by_day", "label_centroid_similarity",
         "event_interarrival_profile", "vocab_oov_rate",
-        "prefix_dup_groups", "profile_documents", "monthly_avg_value",
-        "events_hourly_window", "join_customer_orders", "join_semi",
+        "prefix_dup_groups", "profile_documents",
+        "join_customer_orders", "join_semi",
         "quantize_embeddings", "orders_rfm_segments",
     }
-    assert not (r10_green_sample & window)
-    # Likewise the freshest r9-green queries stay out; only the 8
-    # stalest r9-green ones fill the window tail (agg_suite and
-    # date_functions, the 9th and 10th stalest, were displaced by the
-    # never-green hll_distinct_sketch and weighted_sample_aes).
-    r9_fresh_sample = {
-        "dedup_ngram_jaccard", "decontaminate_corpus",
-        "corpus_clean_pipeline", "dedup_minhash_lsh",
-        "asof_join_latest_order", "cdc_chunk_stats",
-        "warc_roundtrip_curation", "union_all_monthly", "dedup_exact",
-        "case_when_tiers",
-    }
-    assert not (r9_fresh_sample & window)
+    assert not (r10_fresh_sample & window)
     assert _PRIORITY[42:] == [
-        "pricing_summary",
-        "regional_revenue",
-        "top10_expensive_items",
-        "set_operations",
-        "distinct_counts",
-        "rollup_customer_geo",
-        "cube_order_status",
-        "string_functions",
+        "monthly_avg_value",
+        "events_hourly_window",
+        "events_sessionization",
+        "events_sliding_window",
+        "events_json_extract",
+        "user_event_paths",
+        "time_series_gap_fill",
+        "key_skew_profile",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -34,69 +34,66 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-11 staleness histogram:
-# 7 never-green (the new ``dup_cluster_size_dist_star``,
-# ``merge_upsert_orders``, ``mad_outlier_rate``,
-# ``concurrent_sessions_profile``, ``pii_redaction_stats``,
-# ``hll_distinct_sketch`` and ``weighted_sample_aes``),
-# 35 queries last green externally in r8, 50 in r9, 50 in r10.  The
-# window is therefore the 7 never-green + all 35 r8-green + the 8
-# stalest r9-green queries in prior registry order; after this round no
-# query's newest external evidence will be older than r9.  Every tail query is re-proven by the
-# local DuckDB mirror (tests/test_queries_vs_duckdb.py,
+# committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
+# (entering the round): 42 queries last green externally in r9, 50 in
+# r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
+# The window is therefore all 42 r9-green queries + the 8 stalest
+# r10-green ones in prior registry order; after this round no query's
+# newest external evidence will be older than r10.  Every tail query is
+# re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "dup_cluster_size_dist_star",
-    "merge_upsert_orders",
-    "concurrent_sessions_profile",
-    "mad_outlier_rate",
-    "pii_redaction_stats",
-    "hll_distinct_sketch",
-    "weighted_sample_aes",
-    "join_anti",
-    "join_full_outer",
-    "window_topk_orders",
-    "window_running_total",
-    "kmv_sketch_union",
-    "sliding_chunk_windows",
-    "bigram_pmi",
-    "dup_graph_degree_hist",
-    "winsorized_price_stats",
-    "ngram_distribution_profile",
-    "cross_source_dup_matrix",
-    "scd2_user_state_history",
-    "state_as_of_label_time",
-    "dedup_cluster_density",
-    "text_token_entropy",
-    "doc_unigram_logprob",
-    "kmv_distinct_sketch",
-    "promo_revenue_share",
-    "trailing_spend_range_frame",
-    "market_share_by_year",
-    "bilateral_trade_volume",
-    "product_profit_by_nation_year",
-    "returned_item_customers",
-    "priority_shipping_split",
-    "brand_supplier_counts",
-    "order_priority_checking",
-    "important_supplier_share",
-    "small_quantity_order_revenue",
-    "excess_shipping_suppliers",
-    "similarity_pairs",
-    "similarity_topk",
-    "similarity_pairs_blocked",
-    "similarity_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "pricing_summary",
-    "regional_revenue",
-    "top10_expensive_items",
-    "set_operations",
-    "distinct_counts",
-    "rollup_customer_geo",
-    "cube_order_status",
-    "string_functions",
+    "date_functions",
+    "agg_suite",
+    "case_when_tiers",
+    "union_all_monthly",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "decontaminate_corpus",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality_buckets",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "text_repetition",
+    "pack_context_segments",
+    "pack_greedy_bins",
+    "vocab_top_ngrams",
+    "quality_percentile_filter",
+    "cdc_chunk_stats",
+    "token_budget_fill",
+    "dedup_clusters",
+    "dedup_canonical_keep",
+    "event_transition_matrix",
+    "dedup_embedding",
+    "dup_graph_triangles",
+    "corpus_clean_pipeline",
+    "warc_roundtrip_curation",
+    "bm25_doc_retrieval",
+    "source_unigram_divergence",
+    "disjunctive_predicate_revenue",
+    "events_rolling_engagement",
+    "events_hourly_anomaly",
+    "common_shingle_fraction",
+    "grouped_zscore_histogram",
+    "events_funnel",
+    "events_cohort_retention",
+    "mixture_sampling_plan",
+    "from_json_map",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "events_session_window",
+    "monthly_avg_value",
+    "events_hourly_window",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
 ]
 
 
