@@ -48,10 +48,13 @@ def test_coverage_totals_match_registry():
 def test_roadmap_total_matches_registry():
     n, n_oracle = _registry_counts()
     # The newest "(N total, N exact oracles" parenthetical must match;
-    # older round summaries naturally quote historical totals.
+    # older round summaries naturally quote historical totals.  ROADMAP's
+    # newest round summary is the TOPMOST section, so anchor to the first
+    # match — max() would break on correct docs if a query were ever
+    # removed and the newest total legitimately shrank (ADVICE r12).
     totals = re.findall(r"\((\d+) total, (\d+) exact oracles", _read("ROADMAP.md"))
     assert totals, "ROADMAP.md no longer states a (N total, N exact oracles) line"
-    latest = max(int(t) for t, _ in totals)
+    latest = int(totals[0][0])
     assert latest == n, f"ROADMAP newest total {latest} != registry {n}"
 
 
