@@ -78,3 +78,47 @@ def test_default_gate_matches_documented_threshold():
     """SCALE.md / the memory workflow trust calibration ≲ 0.33 s; the
     executable default must agree with the documented discipline."""
     assert abs(CAL_GATE_SEC - 0.33) < 1e-9
+
+def test_single_thread_gate_blocks_serially_loaded_box():
+    """r12 item 7: an attempt where the 32-way calibration passes but the
+    single-thread loop is slow (serial-path load the parallel signal
+    can't see) must NOT count as quiet."""
+    waves = iter(
+        [
+            ([0.30, 0.31, 0.32], [0.85, 0.90, 0.88]),  # parallel quiet, serial loaded
+            ([0.29, 0.30, 0.31], [0.28, 0.30, 0.29]),  # both quiet
+        ]
+    )
+    sleeps = []
+    (par, st), trusted, history = wait_for_quiet_machine(
+        lambda: next(waves),
+        gate=0.33,
+        attempts=8,
+        sleep_sec=45,
+        sleep=sleeps.append,
+        st_gate=0.40,
+    )
+    assert trusted is True
+    assert min(par) == 0.29 and min(st) == 0.28
+    assert len(history) == 2 and sleeps == [45]
+
+
+def test_tuple_mode_exhaustion_returns_last_pair_untrusted():
+    out, trusted, history = wait_for_quiet_machine(
+        lambda: ([0.30, 0.31, 0.32], [0.85, 0.90, 0.88]),
+        gate=0.33,
+        attempts=3,
+        sleep_sec=1,
+        sleep=lambda s: None,
+        st_gate=0.40,
+    )
+    assert trusted is False
+    assert isinstance(out, tuple) and len(history) == 3
+
+
+def test_default_st_gate_matches_documented_threshold():
+    """Quiet-box single-thread calibration is ~0.27-0.31 s; the executable
+    default must agree with the documented 0.40 headroom."""
+    from bench import CAL_ST_GATE_SEC
+
+    assert abs(CAL_ST_GATE_SEC - 0.40) < 1e-9
