@@ -380,3 +380,104 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     # (watermark reached 22:00 after wave 1), so the duplicate survives
     # and the stream over-counts vs batch
     assert leaked == {("2026-01-01", "alpha"): (3, 3 * toks)}
+
+
+def test_keyed_upsert_sink_crash_recovery_exactly_once(spark, tmp_path):
+    """Kill the CDC upsert sink mid-batch — AFTER the table swap but
+    BEFORE the checkpoint commit, the worst window for duplication —
+    then restart from the same checkpoint and assert the net state is
+    exactly-once: the replayed batch re-merges idempotently, so the
+    table equals batch latest-per-key with one row per key and no
+    staging debris.
+
+    Structured Streaming's contract here is at-least-once delivery to
+    ``foreachBatch`` (offsets WAL'd before processing, commit written
+    after); exactly-once NET state is the sink's job, and it holds
+    because merge_batch reduces (current ∪ batch) to newest-per-key —
+    re-applying the same batch is a fixed point."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators import maintenance
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.incremental import (
+        keyed_upsert_sink,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts long, state string"
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        return keyed_upsert_sink(stream, table, "user_id", "ts").option(
+            "checkpointLocation", ckpt
+        ).start()
+
+    # Wave 1 lands cleanly.
+    wave("w1", [(1, 100, "a"), (2, 100, "a")])
+    q = start()
+    q.awaitTermination()
+
+    # Wave 2: crash AFTER merge_upsert fully applied (swap done, commit
+    # not yet written).  keyed_upsert_sink resolves merge_upsert from the
+    # maintenance module at construction time, so patch before start().
+    wave("w2", [(1, 200, "b"), (3, 150, "a"), (2, 50, "stale")])
+    real_merge = maintenance.merge_upsert
+    applied = []
+
+    def crash_after_apply(spark_, target_path, updates, key):
+        real_merge(spark_, target_path, updates, key)
+        applied.append(target_path)
+        raise RuntimeError("injected crash after swap, before commit")
+
+    maintenance.merge_upsert = crash_after_apply
+    try:
+        q = start()
+        with pytest.raises(Exception) as exc_info:
+            q.awaitTermination()
+        assert "injected crash" in str(exc_info.value)
+        assert applied, "crash was injected before the merge applied"
+    finally:
+        maintenance.merge_upsert = real_merge
+
+    # The crashed run DID apply the merge — the table already holds wave-2
+    # state, and the checkpoint holds no commit for that batch.
+    crashed = {
+        r["user_id"]: (r["ts"], r["state"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert crashed[1] == (200, "b") and 3 in crashed
+
+    # Restart from the same checkpoint: the uncommitted batch replays,
+    # re-merging the same rows.  Exactly-once net state = batch
+    # latest-per-key, one row per key, no duplication from the replay.
+    q = start()
+    q.awaitTermination()
+
+    final = spark.read.parquet(table)
+    rows = final.collect()
+    got = {r["user_id"]: (r["ts"], r["state"]) for r in rows}
+    assert got == {1: (200, "b"), 2: (100, "a"), 3: (150, "a")}
+    assert len(rows) == len(got), "replay duplicated rows for a key"
+    # No staging/.old debris: merge_upsert completed on both the crashed
+    # and the replayed application.
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name.startswith(".state.")]
+    assert leftovers == []
+
+    # A post-recovery wave keeps advancing normally (checkpoint healthy).
+    wave("w3", [(2, 300, "c")])
+    q = start()
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["ts"], r["state"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got[2] == (300, "c")
