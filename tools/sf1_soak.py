@@ -326,14 +326,6 @@ def ivf_recall_profile(spark) -> dict:
     }
     exact_sec = round(time.perf_counter() - t0, 3)
 
-    cents = train_ivf_centroids(emb, n_cells=N_CELLS, sample=4096)
-    cell_sizes = {
-        r["cell"]: r["n"]
-        for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
     report: dict = {
         "corpus_rows": n_corpus,
         "n_queries": n_queries,
@@ -341,30 +333,64 @@ def ivf_recall_profile(spark) -> dict:
         "k": K,
         "exact_sec": exact_sec,
     }
-    for nprobe, assign in ((1, 1), (2, 1), (4, 1), (8, 1), (1, 2), (2, 2)):
-        t0 = time.perf_counter()
-        approx = {
-            (r["query_id"], r["neighbor_id"])
-            for r in ivf_topk(
-                emb, queries, cents, k=K, nprobe=nprobe, corpus_assign=assign
-            ).collect()
-        }
-        sec = round(time.perf_counter() - t0, 3)
-        probed = (
-            _with_cells(queries, cents, "vec_id", "embedding", "i", "v", nprobe)
-            .select("i", "cell")
+
+    def sweep(cents, configs, prefix=""):
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in _with_cells(emb, cents, "vec_id", "embedding", "i", "v", 1)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
             .collect()
-        )
-        candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
-        scanned = candidates / (len({p["i"] for p in probed}) * n_corpus)
-        key = f"nprobe_{nprobe}" + (f"_assign{assign}" if assign > 1 else "")
-        report[key] = {
-            "sec": sec,
-            # scanned_frac replays the take=1 assignment; multi-assignment
-            # scans ~assign× that (duplicate pair rows collapse pre-rank)
-            "recall_at_10": round(len(approx & exact) / max(len(exact), 1), 4),
-            "scanned_frac": round(min(1.0, scanned * assign), 4),
         }
+        for nprobe, assign in configs:
+            t0 = time.perf_counter()
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    emb, queries, cents, k=K, nprobe=nprobe, corpus_assign=assign
+                ).collect()
+            }
+            sec = round(time.perf_counter() - t0, 3)
+            probed = (
+                _with_cells(queries, cents, "vec_id", "embedding", "i", "v", nprobe)
+                .select("i", "cell")
+                .collect()
+            )
+            candidates = sum(cell_sizes.get(p["cell"], 0) for p in probed)
+            scanned = candidates / (len({p["i"] for p in probed}) * n_corpus)
+            key = f"{prefix}nprobe_{nprobe}" + (
+                f"_assign{assign}" if assign > 1 else ""
+            )
+            report[key] = {
+                "sec": sec,
+                # scanned_frac replays the take=1 assignment;
+                # multi-assignment scans ~assign× that (duplicate pair
+                # rows collapse pre-rank)
+                "recall_at_10": round(len(approx & exact) / max(len(exact), 1), 4),
+                "scanned_frac": round(min(1.0, scanned * assign), 4),
+            }
+
+    # 16 coarse cells — greedy-kmeans++ seeding (round-13 default).
+    cents = train_ivf_centroids(emb, n_cells=N_CELLS, sample=4096)
+    sweep(cents, ((1, 1), (2, 1), (4, 1), (8, 1), (1, 2), (2, 2)))
+    # 64 finer cells + second training epoch on a 4x sample: smaller
+    # cells shrink the per-probe scan so the same scanned fraction buys
+    # more (and better-ranked) cells — the r11 misses sat in cells the
+    # query ranked 4th-12th, reachable at ~12-14 % scanned only when a
+    # probe is ~1.5 % of the corpus rather than ~6 %.
+    cents64 = train_ivf_centroids(
+        emb, n_cells=64, sample=4096, refine_sample=16384
+    )
+    sweep(cents64, ((4, 1), (8, 1), (9, 1), (12, 1)), prefix="cells64_")
+    # 128 cells: the numpy rank-replay diagnostic (round 13) shows the
+    # r11 "teleported twin" misses land in cells the query ranks ≤ 6 of
+    # 128 for 0.975 recall and ≤ 19 for 1.0 — i.e. finer cells shrink
+    # both the per-probe scan AND the rank of the miss cells, so the
+    # 0.95 @ ≤15 % bar is reachable here where 16 cells could not.
+    cents128 = train_ivf_centroids(
+        emb, n_cells=128, sample=4096, refine_sample=16384
+    )
+    sweep(cents128, ((3, 1), (6, 1), (12, 1), (19, 1)), prefix="cells128_")
     return report
 
 

@@ -464,26 +464,88 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    seeding: str = "kmeans++",
+    refine_sample: int = 0,
 ) -> list[list[float]]:
     """Spherical k-means coarse centroids for an IVF index, trained
     driver-side on a deterministic sample (first ``sample`` ids) — the
     standard IVF posture: training sees a sample, *assignment* runs
     distributed over the full corpus.  Returns L2-normalized centroids as
-    plain lists, ready to embed as plan literals."""
+    plain lists, ready to embed as plan literals.
+
+    ``seeding='kmeans++'`` (default since round 13) picks the initial
+    centers by the classic D²-weighted farthest-point sampling (Arthur &
+    Vassilvitskii 2007) instead of uniform choice: for cosine geometry
+    D² = (1 − max-sim to the chosen set), so seeds spread across the
+    sphere instead of clumping inside one dense region — the uniform
+    seeding failure mode that leaves two centers splitting one cluster
+    while two true clusters share a cell (the boundary-loss driver the
+    sf1 recall soak measures).  ``seeding='random'`` keeps the old
+    behavior for comparison.
+
+    ``refine_sample > sample`` adds a second training epoch: after Lloyd
+    iterations converge on the small sample, re-assign and re-average on
+    a larger deterministic sample (``refine_sample`` rows) for
+    ``iters // 2`` rounds.  Centroid estimates tighten with ~√n while the
+    expensive epoch stays driver-sized; the full corpus still only ever
+    sees the distributed assignment."""
     import numpy as np
 
-    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    def _lloyd(x: np.ndarray, cents: np.ndarray, rounds: int) -> np.ndarray:
+        for _ in range(rounds):
+            assign = np.argmax(x @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
+        return cents
+
+    big = max(sample, refine_sample)
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(big).collect()
+    x_big = np.array([r[1] for r in rows], dtype=np.float64)
+    x_big /= np.maximum(np.linalg.norm(x_big, axis=1, keepdims=True), 1e-12)
+    x = x_big[:sample]
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
-    for _ in range(iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    k = min(n_cells, len(x))
+    if seeding == "kmeans++":
+        # Greedy k-means++ (the ++ paper's local-trials variant, same as
+        # sklearn): each round sample 2+⌊ln k⌋ candidates ∝ D², keep the
+        # one that most reduces the total potential — plain D² sampling
+        # still clumps ~1-2 seeds inside a dominant cluster at these
+        # sizes; the greedy trial pick removes that failure mode without
+        # losing the outlier robustness a pure farthest-point rule lacks.
+        n_trials = 2 + int(np.log(max(k, 2)))
+        first = int(rng.integers(len(x)))
+        chosen = [first]
+        # d2[i] = 1 - best similarity to any chosen seed (cosine D²)
+        d2 = np.maximum(1.0 - x @ x[first], 0.0)
+        for _ in range(k - 1):
+            tot = d2.sum()
+            if tot <= 1e-12:
+                # degenerate (all points duplicate a seed): fall back to
+                # uniform over the not-yet-chosen
+                pool = np.setdiff1d(np.arange(len(x)), chosen)
+                nxt = int(rng.choice(pool))
+                d2_next = np.minimum(d2, np.maximum(1.0 - x @ x[nxt], 0.0))
+            else:
+                cands = rng.choice(len(x), size=n_trials, p=d2 / tot)
+                best_pot, nxt, d2_next = None, None, None
+                for cand in cands:
+                    trial = np.minimum(
+                        d2, np.maximum(1.0 - x @ x[int(cand)], 0.0)
+                    )
+                    pot = trial.sum()
+                    if best_pot is None or pot < best_pot:
+                        best_pot, nxt, d2_next = pot, int(cand), trial
+            chosen.append(nxt)
+            d2 = d2_next
+        cents = x[chosen].copy()
+    else:
+        cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    cents = _lloyd(x, cents, iters)
+    if refine_sample > sample and len(x_big) > len(x):
+        cents = _lloyd(x_big, cents, max(1, iters // 2))
     return cents.tolist()
 
 
