@@ -106,6 +106,7 @@ HEADLINE = [
     "events_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "substring_dup_coverage",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",

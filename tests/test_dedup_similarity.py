@@ -465,3 +465,97 @@ def test_kmeanspp_seeding_beats_random_on_clumped_clusters(spark):
     for c in refined:
         assert abs(float(np.linalg.norm(np.array(c))) - 1.0) < 1e-6
     df.unpersist()
+
+
+def test_winnowing_detects_shared_substring_at_any_alignment(spark):
+    """The winnowing guarantee (SIGMOD'03 Thm 1): any verbatim cross-doc
+    match of length >= k + w - 1 shares at least one fingerprint — at ANY
+    byte offset in either document, which is exactly where strided-window
+    hashing breaks (two occurrences land on incompatible grids).  Plant
+    one 80-char passage into host documents at offsets chosen to cover
+    distinct residues mod small strides, with disjoint filler alphabets
+    so no other cross-doc gram can collide."""
+    import random
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        substring_dup_coverage,
+        winnow_fingerprints,
+    )
+
+    K, W = 32, 16
+    rng = random.Random(11)
+    planted = "".join(rng.choice("abcdefgh") for _ in range(80))
+
+    def host(alphabet, offset, total=300):
+        filler = "".join(rng.choice(alphabet) for _ in range(total))
+        return filler[:offset] + planted + filler[offset:]
+
+    rows = [
+        (0, host("ijklmnop", 13)),   # offset 13
+        (1, host("qrstuvwx", 38)),   # different residue mod 8 and 16
+        (2, host("yzYZ0123", 57)),   # a third alignment
+        (3, "".join(rng.choice("45678ABC") for _ in range(300))),  # no match
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "doc_id long, text string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in substring_dup_coverage(docs, k=K, w=W).collect()
+    }
+    assert set(got) == {0, 1, 2}, f"planted docs flagged: {sorted(got)}"
+    # Every flagged doc's covered region is at least one gram long and no
+    # longer than the planted passage (the filler alphabets are disjoint,
+    # so nothing else can match cross-doc).
+    for d in (0, 1, 2):
+        assert K <= got[d]["covered_chars"] <= len(planted)
+    # And the shared fingerprints sit INSIDE the planted span.
+    fp = winnow_fingerprints(docs, k=K, w=W)
+    from pyspark.sql import functions as F
+
+    shared_hv = {
+        r["hv"]
+        for r in fp.groupBy("hv")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .collect()
+    }
+    offsets = {0: 13, 1: 38, 2: 57}
+    for r in fp.collect():
+        if r["hv"] in shared_hv:
+            start = offsets[r["doc_id"]] + 1  # 1-based
+            assert start <= r["pos"] <= start + len(planted) - K, (
+                f"shared fingerprint outside planted span: doc {r['doc_id']} "
+                f"pos {r['pos']}"
+            )
+
+
+def test_winnowing_density_and_no_false_sharing(spark):
+    """Fingerprint density tracks the 2/(w+1) expectation (loose bound)
+    and documents over disjoint alphabets share nothing."""
+    import random
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        substring_dup_coverage,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(5)
+    a = "".join(rng.choice("abcdefgh") for _ in range(2000))
+    b = "".join(rng.choice("ijklmnop") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [(0, a, len(a)), (1, b, len(b))], "doc_id long, text string, n_chars long"
+    )
+    assert substring_dup_coverage(docs).count() == 0
+    fp = winnow_fingerprints(docs)
+    per_doc = {r["doc_id"]: r["n_fp"] for r in fp.select("doc_id", "n_fp").distinct().collect()}
+    n_grams = 2000 - 32 + 1
+    for n_fp in per_doc.values():
+        # expectation ~2/(17) ≈ 0.118 of grams; allow a wide band
+        assert n_grams * 0.05 <= n_fp <= n_grams * 0.25
+    # winnowing never selects more fingerprints than windows, and the
+    # short-document floor drops docs below k+w-1 chars entirely
+    short = spark.createDataFrame(
+        [(9, "x" * 46, 46)], "doc_id long, text string, n_chars long"
+    )
+    assert winnow_fingerprints(short).count() == 0

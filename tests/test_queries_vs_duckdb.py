@@ -152,14 +152,17 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-13 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r13: r9:42 / r10:50 / r12:50 (the r12
-    # window duplicated r11's, so nothing is r11-green).  The window is
-    # all 42 r9-green queries plus the 8 stalest r10-green ones, in prior
+    # Staleness histogram entering r13: never:1 / r9:42 / r10:50 / r12:50
+    # (the r12 window duplicated r11's, so nothing is r11-green).  The
+    # window is the never-externally-green round-13 addition, all 42
+    # r9-green queries, and the 7 stalest r10-green ones, in prior
     # registry order.
     window = set(names[:50])
-    # The 42 queries whose newest external evidence is r9 lead, in prior
-    # registry order.
-    assert _PRIORITY[:42] == [
+    # The round-13 addition (never externally green) leads unconditionally.
+    assert _PRIORITY[0] == "substring_dup_coverage"
+    # The 42 queries whose newest external evidence is r9 follow, in
+    # prior registry order.
+    assert _PRIORITY[1:43] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -222,9 +225,10 @@ def test_checked_window_composition():
         "prefix_dup_groups", "profile_documents",
         "join_customer_orders", "join_semi",
         "quantize_embeddings", "orders_rfm_segments",
+        "key_skew_profile",
     }
     assert not (r10_fresh_sample & window)
-    assert _PRIORITY[42:] == [
+    assert _PRIORITY[43:] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -232,7 +236,6 @@ def test_checked_window_composition():
         "events_json_extract",
         "user_event_paths",
         "time_series_gap_fill",
-        "key_skew_profile",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

@@ -23,7 +23,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize, word_shingles
@@ -823,3 +823,174 @@ def simhash_pairs(
     finally:
         pieces.unpersist()
     return out
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 32,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, hash every
+    ``k``-char gram, then from every window of ``w`` consecutive gram
+    hashes select the minimum (rightmost on ties); the distinct selected
+    (position, hash) set is the fingerprint.
+
+    Why winnowing and not strided windows: fingerprint SELECTION is
+    content-defined, so two documents sharing an exact substring pick the
+    same fingerprints inside it regardless of where the substring sits in
+    either document — strided sampling breaks exactly there (the two
+    occurrences land on incompatible grids).  Guarantee (Thm 1 of the
+    paper): any exact match of length >= k + w - 1 chars shares at least
+    one fingerprint; expected fingerprint density is 2/(w+1) of the gram
+    stream.  This is the exact-substring dedup signal MinHash/SimHash
+    miss (deduplicate-text-datasets' suffix-array pass finds the same
+    matches; winnowing trades the global suffix sort for a per-document
+    streaming computation that needs no cross-document coordination
+    until the final hash groupBy).
+
+    Spark shape — the whole selection is ONE map-side projection, no
+    shuffle and no Python:
+    - the gram hash array and the per-window min-fold run as nested
+      higher-order functions (``transform``/``slice``/``aggregate``)
+      inside a single JVM-side expression; the ``transform(array(..),
+      kgs -> ..)[0]`` wrapper is a let-binding that pins the gram array
+      to ONE evaluation even if CollapseProject inlines the projection
+      (without it the k-gram md5s could be re-evaluated per window —
+      O(n·w) hashes instead of O(n));
+    - the hash is the engine-portable 48-bit md5 fold
+      (``operators.splits.portable_hex_value_sql``), so a DuckDB oracle
+      reproduces every fingerprint bit-for-bit;
+    - only the winnowed ~2n/(w+1) fingerprints are ever exploded into
+      rows; at 100 TB the gram stream itself never materializes or
+      shuffles — the explode output (~12 % of corpus chars at w=16,
+      ~20 bytes/row) is what downstream groupBys shuffle.
+
+    Documents shorter than ``k + w - 1`` chars yield no window and are
+    dropped (standard winnowing behavior — they cannot contain a
+    guaranteed-length match).
+
+    Returns (id_col, *carry_cols, n_fp, pos, hv): one row per selected
+    fingerprint, ``n_fp`` = the document's fingerprint count.
+    """
+    from .splits import portable_hex_value_sql
+
+    min_len = k + w - 1
+    fold = portable_hex_value_sql(f"substring({text_col}, p, {k})", 12, "STRING")
+    empty = "CAST(array() AS array<struct<p:int,h:bigint>>)"
+    # Both levels guard the degenerate short-document case with typed
+    # empty arrays (not just the row filter below): Catalyst's
+    # InferFiltersFromGenerate derives a size(fps) > 0 predicate from the
+    # downstream explode and can evaluate it on rows the length filter
+    # would reject, and sequence(1, n) with n <= 0 yields a DESCENDING
+    # sequence whose positions crash slice() — the expression must be
+    # total on every input row.
+    kg_sql = (
+        f"IF(char_length({text_col}) < {k}, {empty}, "
+        f"transform(sequence(1, char_length({text_col}) - {k} + 1), "
+        f"p -> named_struct('p', p, 'h', {fold})))"
+    )
+    fps_sql = f"""
+    transform(array({kg_sql}), kgs ->
+      IF(size(kgs) < {w}, {empty},
+         array_distinct(transform(
+           sequence(1, size(kgs) - {w} + 1),
+           win -> aggregate(slice(kgs, win, {w}),
+                            named_struct('p', -1, 'h', 9223372036854775807),
+                            (acc, x) -> IF(x.h <= acc.h, x, acc))))))[0]
+    """
+    return (
+        docs.filter(F.length(text_col) >= min_len)
+        .select(id_col, *carry_cols, F.expr(fps_sql).alias("fps"))
+        .select(
+            id_col,
+            *carry_cols,
+            F.size("fps").cast("long").alias("n_fp"),
+            F.explode("fps").alias("f"),
+        )
+        .select(
+            id_col,
+            *carry_cols,
+            "n_fp",
+            F.col("f.p").alias("pos"),
+            F.col("f.h").alias("hv"),
+        )
+    )
+
+
+def substring_dup_coverage(
+    docs: DataFrame,
+    k: int = 32,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-substring duplication coverage per document: which documents
+    share verbatim >= (k+w-1)-char passages with ANOTHER document, and
+    how much of each document those shared passages cover.
+
+    Pipeline over ``winnow_fingerprints``:
+    1. fingerprint hashes held by >= 2 distinct documents mark shared
+       passages (hash groupBy — shuffle keyed on the 48-bit hash; group
+       size is bounded by document frequency, and no pairwise join ever
+       forms, so common boilerplate cannot go quadratic);
+    2. each document's shared fingerprints merge into maximal islands
+       (gaps-and-islands over a doc-partitioned window: break when the
+       next [pos, pos+k) interval clears the previous one);
+    3. per document: fingerprint count, shared count, covered chars
+       (sum of island spans) and coverage in basis points
+       (integer-division exact, so both engines agree bit-for-bit).
+
+    Scale: two shuffles (hash, then doc id); the doc-partitioned window
+    and the final per-doc aggregate share the second exchange.  This is
+    the curation signal behind \"remove or down-weight documents that
+    are mostly boilerplate copies\" — the deduplicate-text-datasets
+    finding that exact substring dedup materially improves LM training
+    sets where near-dup methods saturate.
+    """
+    fp = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col, carry_cols=(len_col,)
+    )
+    shared = (
+        fp.groupBy("hv")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("hv")
+    )
+    sfp = fp.join(shared, "hv")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        sfp.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl", F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    spans = isl.groupBy(id_col, len_col, "n_fp", "isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+        F.count("*").alias("nf"),
+    )
+    return (
+        spans.groupBy(id_col, len_col, "n_fp")
+        .agg(
+            F.sum(F.col("e") - F.col("s")).alias("covered_chars"),
+            F.sum("nf").alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_fp",
+            "n_shared",
+            "covered_chars",
+            F.expr(f"(10000 * covered_chars) DIV {len_col}").alias("coverage_bp"),
+        )
+    )
