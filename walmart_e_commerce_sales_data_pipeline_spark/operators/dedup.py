@@ -926,7 +926,8 @@ def winnow_fingerprints(
                             (acc, x) -> IF(x.h <= acc.h, x, acc))))))[0]
     """
     return (
-        docs.filter(F.length(text_col) >= min_len)
+        _spread_narrow(docs)
+        .filter(F.length(text_col) >= min_len)
         .select(id_col, *carry_cols, F.expr(fps_sql).alias("fps"))
         .select(
             id_col,
@@ -1030,7 +1031,10 @@ def _winnow_fingerprints_arrow(
             yield pd.DataFrame(out)
 
     cols = [id_col, *carry_cols, text_col]
-    return docs.select(*cols).mapInPandas(gen, schema=out_schema)
+    # Single-file inputs would serialize the whole kernel onto one task;
+    # the narrow-input spread (same probe every shingle pipeline uses)
+    # round-robins the docs across cores first.
+    return _spread_narrow(docs.select(*cols)).mapInPandas(gen, schema=out_schema)
 
 
 def substring_dup_coverage(
