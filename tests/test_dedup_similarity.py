@@ -598,3 +598,55 @@ def test_winnow_arrow_path_equals_plan_path(spark):
     ta = {tuple(r) for r in winnow_fingerprints(tie_docs, use_arrow=True).collect()}
     tb = {tuple(r) for r in winnow_fingerprints(tie_docs, use_arrow=False).collect()}
     assert ta == tb and len(ta) > 0
+
+
+def test_rerank_full_pool_recovers_exact_topk(spark):
+    """With the candidate pool as wide as the corpus, the two-stage
+    retrieve-then-rerank must reproduce exact brute-force top-k exactly:
+    the int8 coarse stage then only ORDERS the pool, and the exact-cosine
+    rerank decides — any divergence means the rerank stage is consulting
+    the quantized score where it must not."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        rerank_topk,
+        topk_neighbors,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in rerank_topk(emb, queries, k=3, candidates=n).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in topk_neighbors(emb, queries, k=3, corpus_rows=n).collect()
+    }
+    assert got == want and len(got) == 30
+
+
+def test_rerank_margin_and_pool_membership(spark):
+    """Margin check for the narrow-pool regime: every reranked hit must
+    come from the coarse pool (coarse_rank ≤ candidates), and per query
+    the rerank's top-1 exact cosine must be ≥ the exact cosine of the
+    coarse stage's own #1 pick — reranking can reorder the pool but never
+    hand back something worse than what the cheap retriever already had."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    rows = rerank_topk(emb, queries, k=3, candidates=8).collect()
+    assert rows and all(r["coarse_rank"] <= 8 for r in rows)
+    best_rerank = {r["query_id"]: r["sim"] for r in rows if r["rank"] == 1}
+    coarse_first = {
+        r["query_id"]: r["sim"] for r in rows if r["coarse_rank"] == 1
+    }
+    # the coarse #1 survives into a k=3 rerank often but not always; where
+    # it did, the margin property is exact and must hold.
+    checked = 0
+    for qid, sim in coarse_first.items():
+        assert best_rerank[qid] >= sim - 1e-12
+        checked += 1
+    assert checked > 0

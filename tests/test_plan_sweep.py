@@ -45,6 +45,12 @@ BNLJ_WHITELIST = {
     # test_plans.py).
     "similarity_pairs",
     "similarity_topk",
+    # retrieve-then-rerank: stage 1 is the same deliberately-brute
+    # retriever shape as similarity_topk (exact-oracle baseline); at
+    # corpus scale the pool comes from ivf_topk's cell equi-join instead
+    # (rerank_topk docstring) and stage 2 — the only new machinery — is
+    # a bounded candidates×queries frame either way.
+    "retrieve_rerank_topk",
 }
 
 

@@ -185,6 +185,105 @@ def topk_neighbors(
     )
 
 
+def _int8_view(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str
+) -> DataFrame:
+    """(id, float vector, int8-range long vector) view used by the coarse
+    retrieval stage — the same floor-based symmetric quantization as
+    ``quantize_int8`` (floor, never round: engine-portable on identical
+    doubles), kept inline so the original float vector rides along for the
+    exact rerank without a self-join back to the source."""
+    xd = lambda v: v.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform(vec_col, lambda v: F.abs(xd(v))))
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            scale.alias("_scale"),
+        )
+        .filter(F.col("_scale") > 0)
+        .withColumn(
+            vec_alias + "_q",
+            F.transform(
+                vec_alias,
+                lambda v: F.floor(xd(v) * 127.0 / F.col("_scale")).cast("long"),
+            ),
+        )
+        .drop("_scale")
+    )
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    candidates: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank top-k — the cross-encoder-shaped
+    retrieval pipeline every production semantic-search stack runs: a
+    cheap first-stage retriever over compressed vectors selects a small
+    candidate pool per query, then an expensive exact scorer reranks ONLY
+    that pool.
+
+    Stage 1 (retrieve): integer dot product over symmetric int8
+    quantizations of both sides (``quantize_int8`` semantics) — 4× less
+    data moved than float32 and an integer-SIMD score, the form a 100 TB
+    corpus serves from storage.  Top-``candidates`` per query, ties broken
+    by neighbor id, so the pool is fully deterministic.
+
+    Stage 2 (rerank): exact float cosine on the ``candidates`` pool rows
+    only — per query the expensive scorer touches ``candidates`` rows, not
+    the corpus.  In production this slot is where a Pandas-UDF
+    cross-encoder model call goes (same frame shape: one row per
+    query×candidate with both payloads present); exact cosine stands in
+    here so the whole pipeline is closed-form and DuckDB-verifiable.
+
+    Both stages are deterministic (floor quantization, id tie-breaks), so
+    the composed semantics have an EXACT SQL oracle — unlike recall-bound
+    ANN, every row of this operator's output is externally checkable.
+    Returns (query_id, rank, neighbor_id, coarse_rank, sim): ``coarse_rank``
+    is the candidate's stage-1 position, surfacing how much the rerank
+    actually reorders.
+
+    Scale posture: stage 1 as written joins queries × corpus (the exact
+    baseline); at corpus scale the pool instead comes from ``ivf_topk``'s
+    cell probe with ``candidates`` as its k — stage 2 is unchanged.  No
+    Python boundary anywhere: quantization/dot/cosine are all Catalyst
+    array HOFs inside whole-stage codegen.
+    """
+    q = _int8_view(queries, id_col, vec_col, "query_id", "qv")
+    c = _int8_view(embeddings, id_col, vec_col, "neighbor_id", "cv")
+    coarse = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "coarse_score",
+            F.aggregate(
+                F.zip_with("qv_q", "cv_q", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        coarse.withColumn("coarse_rank", F.row_number().over(wc))
+        .filter(F.col("coarse_rank") <= candidates)
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "coarse_rank", "sim")
+    )
+
+
 def _plane_weights(num_planes: int, dims: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights, built once on the
     driver and embedded as *literals* in the plan.  (Building them from

@@ -15,6 +15,7 @@ from ..operators.similarity import (
     cosine_pairs,
     lsh_bucketed_pairs,
     quantize_int8,
+    rerank_topk,
     topk_neighbors,
 )
 from .registry import register
@@ -293,3 +294,80 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine"
         ),
     ).orderBy("label_a", "label_b")
+
+
+_RERANK_POOL = 10
+
+
+@register(
+    "retrieve_rerank_topk",
+    oracle=f"""
+    WITH sc AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 127.0 / scale)) AS q
+        FROM sc WHERE scale > 0
+    ),
+    qry AS (
+        SELECT vec_id AS query_id, embedding AS qv, q AS qq
+        FROM qz WHERE vec_id < {TOPK_QUERY_LIMIT}
+    ),
+    coarse AS (
+        SELECT qry.query_id, e.vec_id AS neighbor_id, qry.qv,
+               e.embedding AS cv,
+               CAST(list_dot_product(qry.qq, e.q) AS BIGINT) AS cscore
+        FROM qry JOIN qz e ON e.vec_id <> qry.query_id
+    ),
+    pool AS (
+        SELECT query_id, neighbor_id, qv, cv,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cscore DESC, neighbor_id)
+                   AS coarse_rk
+        FROM coarse
+    ),
+    rer AS (
+        SELECT query_id, neighbor_id, CAST(coarse_rk AS INTEGER) AS coarse_rk,
+               list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                      CAST(cv AS DOUBLE[])) AS sim
+        FROM pool WHERE coarse_rk <= {_RERANK_POOL}
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, coarse_rk,
+           ROUND(sim, 4) AS sim_r
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM rer
+    )
+    WHERE rk <= {TOPK_K}
+    ORDER BY query_id, rk
+    """,
+    description="two-stage retrieve-then-rerank top-3 "
+    "(operators.similarity.rerank_topk): int8-quantized integer dot "
+    "product retrieves a deterministic 10-candidate pool per query, exact "
+    "float cosine reranks the pool only — the cross-encoder-shaped "
+    "pipeline (cheap retriever + expensive scorer on candidates) with "
+    "every stage closed-form, so unlike recall-bound ANN the full "
+    "composition has an EXACT oracle; coarse_rk in the output surfaces "
+    "how far the rerank moved each hit",
+    tags=("similarity", "topk", "rerank"),
+)
+def retrieve_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return (
+        rerank_topk(emb, queries, k=TOPK_K, candidates=_RERANK_POOL)
+        .select(
+            "query_id",
+            F.col("rank").alias("rk"),
+            "neighbor_id",
+            F.col("coarse_rank").alias("coarse_rk"),
+            F.round("sim", 4).alias("sim_r"),
+        )
+        .orderBy("query_id", "rk")
+    )
