@@ -255,8 +255,11 @@ def rerank_topk(
     """
     q = _int8_view(queries, id_col, vec_col, "query_id", "qv")
     c = _int8_view(embeddings, id_col, vec_col, "neighbor_id", "cv")
+    # Broadcast the QUERY side and stream the corpus: left to its size
+    # heuristic Spark builds the corpus side, which inverts at scale —
+    # the query batch is the bounded operand here.
     coarse = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "coarse_score",
             F.aggregate(
