@@ -650,3 +650,37 @@ def test_rerank_margin_and_pool_membership(spark):
         assert best_rerank[qid] >= sim - 1e-12
         checked += 1
     assert checked > 0
+
+
+def test_blocked_levenshtein_recall_is_total_on_corpus(spark):
+    """The token-blocking rule (first/last word) is a recall heuristic —
+    the operator's docstring and the registered oracle both declare it as
+    part of the semantics.  Pin that on the test corpus it loses NOTHING:
+    the blocked pairs equal the all-pairs Levenshtein ground truth, so a
+    vocabulary drift that starts defeating the blocking shows up as a red
+    test, not silent recall loss."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    part = spark.read.parquet(f"{SF0001}/part.parquet")
+    blocked = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in blocked_levenshtein_pairs(part, "p_name").collect()
+    }
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    truth = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in (
+            names.alias("a")
+            .join(names.alias("b"), F.col("a.name") < F.col("b.name"))
+            .select(
+                F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                F.levenshtein("a.name", "b.name").cast("int").alias("dist"),
+            )
+            .filter(F.col("dist").between(1, 2))
+            .collect()
+        )
+    }
+    assert blocked == truth and truth

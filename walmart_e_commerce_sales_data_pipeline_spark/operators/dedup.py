@@ -1110,3 +1110,67 @@ def substring_dup_coverage(
             F.expr(f"(10000 * covered_chars) DIV {len_col}").alias("coverage_bp"),
         )
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    name_col: str,
+    min_distance: int = 1,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: distinct-value pairs within
+    a bounded edit distance, found through token blocking instead of an
+    all-pairs scan.
+
+    The canonical ER pipeline shape, sized for a 100 TB fact table:
+
+    1. **Collapse rows to the value vocabulary** — a hash aggregate with
+       map-side combine, so the quadratic stage never sees row counts,
+       only distinct values (the ``part`` name vocabulary is 64 at every
+       scale factor; real catalogs are thousands, not billions).
+    2. **Token blocking** — each distinct value emits its first and last
+       whitespace tokens as blocking keys; candidate pairs come from an
+       equi-join on the key, never a cross join.  Like ``simhash_pairs``'s
+       pigeonhole chunks this is a recall heuristic, not a guarantee —
+       a pair whose BOTH boundary tokens drift never meets — so the
+       blocked result is pinned against the all-pairs ground truth on the
+       test corpus (100 % recall there) and the blocking rule is part of
+       the operator's declared semantics, mirrored exactly by the oracle.
+    3. **Exact Levenshtein only within blocks** — Spark's built-in
+       ``levenshtein`` (JVM codegen, same unit-cost DP as DuckDB's), with
+       the ``value_a < value_b`` canonical order deduplicating the two
+       blocking passes via ``distinct`` BEFORE the O(len²) distance runs.
+
+    Returns (name_a, name_b, dist, n_a, n_b): the matched pair, its edit
+    distance, and each side's row support — the stats an entity-merge
+    step keys on.
+    """
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    toks = F.split(F.col("name"), " ")
+    keys = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.array(F.element_at(toks, 1), F.element_at(toks, -1))
+            )
+        ).alias("bk"),
+    ).distinct()
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), on="bk")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    flt = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist").between(min_distance, max_distance))
+    na = names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"))
+    return flt.join(F.broadcast(na), "name_a").join(F.broadcast(nb), "name_b").select(
+        "name_a", "name_b", "dist", "n_a", "n_b"
+    )
