@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "substring_dup_coverage",
+    "fuzzy_name_matches",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",
@@ -114,6 +115,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "profile_documents",
     "similarity_topk_ivf",
+    "retrieve_rerank_topk",
     "promo_revenue_share",
     "top_supplier_revenue",
     "grouped_zscore_histogram",

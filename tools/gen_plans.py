@@ -43,6 +43,15 @@ COMMENT = {
     "tests); only the ~12% fingerprint stream shuffles — once on the 48-bit hash for "
     "the shared-hash groupBy, once on doc_id, with the island window and the per-doc "
     "aggregate sharing that second exchange",
+    "retrieve_rerank_topk": "stage-1 BNLJ builds the QUERY side (explicit broadcast — "
+    "corpus streams; Spark's size heuristic would invert it); the coarse 10-candidate "
+    "pool is WindowGroupLimit Partial BEFORE the exchange, so the shuffle moves at most "
+    "10 rows per (query, input partition); the exact-cosine rerank projects only pool "
+    "rows, after the coarse_rank filter",
+    "fuzzy_name_matches": "vocabulary collapse first (partial+final HashAggregate), so "
+    "the self-join sees distinct names only; blocking-key equi-join (shuffle on the "
+    "token, never a cross join); Levenshtein runs after the candidate distinct; both "
+    "support join-backs broadcast",
     "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
     "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
     "the partial/final aggregate and the per-year share window",
