@@ -52,9 +52,17 @@ SMALL_EDGE_LIMIT = 500_000
 # Above this many directed pairs the pointer-jumping loop (which carries a
 # full per-node label table through every iteration) yields to
 # large-star/small-star (whose per-iteration state is the contracting edge
-# set).  The crossover is deliberately high: below it the label table is
-# small enough that pointer jumping's simpler 4-shuffle iteration wins.
-STAR_EDGE_LIMIT = 50_000_000
+# set).  Set from the measured round-13 crossover sweep (SCALE.md §16):
+# on the shallow 8-node-cluster shape (the production dedup graph —
+# millions of tiny components), warm-JVM walls cross between 3 M and 5 M
+# undirected edges (PJ 16.0 s vs star 27.5 s at 3 M; PJ 49.8 s vs star
+# 37.9 s at 5 M; star 1.65x ahead by 30 M with ~10 % less shuffle), so
+# the limit sits at the bracket midpoint, 4 M undirected = 8 M directed.
+# Known trade: on the adversarial deep-chain shape (diameter 10k) PJ
+# stays ~1.5x faster even at 10 M edges — star dispatched there loses
+# bounded wall, while PJ on large shallow graphs loses unboundedly as the
+# label table grows; near-dup graphs are shallow by construction.
+STAR_EDGE_LIMIT = 8_000_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
