@@ -167,3 +167,43 @@ def test_unknown_algorithm_rejected(spark):
     pairs = spark.createDataFrame([(1, 2)], "x: long, y: long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(pairs, algorithm="graphx")
+
+
+def test_pagerank_matches_driver_reference(spark):
+    """The DataFrame PageRank loop must equal an independent dict-based
+    power-method reference on a graph with hubs, chains, and a clique —
+    per-node to 1e-12, and the mass must sum to 1 (no dangling term in an
+    undirected graph)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.centrality import (
+        pagerank,
+    )
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (10, 12), (10, 13),    # star hub
+        (20, 21), (20, 22), (21, 22),    # triangle
+    ]
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(
+            spark.createDataFrame(pairs, ["x", "y"]), iterations=3
+        ).collect()
+    }
+
+    adj: dict = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    n = len(adj)
+    ranks = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        ranks = {
+            v: 0.15 / n + 0.85 * sum(ranks[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    assert set(got) == set(ranks)
+    assert all(abs(got[v] - ranks[v]) < 1e-12 for v in ranks)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the star hub out-centralities its leaves; clique members tie
+    assert got[10] > got[11] == got[12] == got[13]
+    assert abs(got[20] - got[21]) < 1e-12

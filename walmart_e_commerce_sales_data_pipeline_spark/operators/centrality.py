@@ -1,0 +1,74 @@
+"""Graph centrality over pair graphs — fixed-iteration PageRank.
+
+The numeric-iterative counterpart to ``operators.components``'s
+label-propagation iteration: where connected components converges a
+DISCRETE labeling (checkable through a recursive-CTE oracle), PageRank
+iterates a CONTINUOUS fixed-point.  With the iteration count fixed, the
+computation is a finite composition of joins and grouped sums, so the
+whole thing unrolls into plain SQL — giving the one thing iterative
+numeric algorithms usually can't have here: an exact external oracle
+(per-iteration CTEs in DuckDB, values rounded on both sides because
+grouped float sums are order-dependent in the last ulp).
+
+No GraphX / graphframes: the iteration is plain DataFrame joins, which
+is exactly how it shards at scale — each step shuffles on the node id,
+AQE handles skewed hub nodes, and the per-iteration state is one
+(id, rank) row per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src: str = "x",
+    dst: str = "y",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED pair graph.
+
+    ``pairs``: distinct (src, dst) rows, one per undirected edge (the
+    near-dup pair shape: x < y, no self-loops).  Nodes are the ids that
+    appear in ``pairs`` — isolated documents are out of scope by
+    construction, and since every node therefore has degree ≥ 1, the
+    dangling-mass term of general PageRank vanishes (undirected edges
+    are mirrored, so out-degree ≥ 1 everywhere).
+
+    Each iteration: rank_v ← (1−d)/N + d·Σ_{u∈Γ(v)} rank_u / deg_u —
+    two shuffles (the contribution join on the source id, the grouped
+    sum on the destination id).  The edge set with degrees attached is
+    built once and reused by every iteration; with a small fixed
+    iteration count the lineage stays shallow enough that no checkpoint
+    is needed (deep iteration counts should localCheckpoint every few
+    rounds, as ``operators.components`` does for its open-ended loop).
+
+    N (the node count) is a driver scalar from one count job — the same
+    bounded-materialization posture as ``train_ivf_centroids``; it
+    parameterizes the teleport constant, never a collected dataset.
+
+    Returns (id, pr) with Σ pr = 1 up to float error.
+    """
+    edges = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    edges_w = edges.join(deg, "u")
+    teleport = (1.0 - damping) / n
+    ranks = deg.select(F.col("u").alias("id"), (F.lit(1.0) / n).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            edges_w.join(ranks, edges_w["u"] == ranks["id"])
+            .select("v", (F.col("pr") / F.col("deg")).alias("w"))
+            .groupBy("v")
+            .agg(F.sum("w").alias("in_sum"))
+        )
+        ranks = contribs.select(
+            F.col("v").alias("id"),
+            (F.lit(teleport) + F.lit(damping) * F.col("in_sum")).alias("pr"),
+        )
+    return ranks

@@ -35,13 +35,14 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (entering the round): 3 never-green (the new ``substring_dup_coverage``,
-# ``retrieve_rerank_topk``, ``fuzzy_name_matches``), 42 queries last
-# green externally in r9, 50 in r10, 50 in r12 (the r12 window
-# duplicated r11's, so no query is r11).  The window is the three
-# never-green newcomers, all 42 r9-green queries, and the 5 stalest
-# r10-green ones in prior registry order; after this round no query's
-# newest external evidence will be older than r10.  Every tail query is
+# (entering the round): 4 never-green (the new ``substring_dup_coverage``,
+# ``retrieve_rerank_topk``, ``fuzzy_name_matches``,
+# ``dup_graph_pagerank``), 42 queries last green externally in r9, 50 in
+# r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
+# The window is the four never-green newcomers, all 42 r9-green queries,
+# and the 4 stalest r10-green ones in prior registry order; after this
+# round no query's newest external evidence will be older than r10.
+# Every tail query is
 # re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
@@ -49,6 +50,7 @@ _PRIORITY = [
     "substring_dup_coverage",
     "retrieve_rerank_topk",
     "fuzzy_name_matches",
+    "dup_graph_pagerank",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -95,7 +97,6 @@ _PRIORITY = [
     "events_hourly_window",
     "events_sessionization",
     "events_sliding_window",
-    "events_json_extract",
 ]
 
 

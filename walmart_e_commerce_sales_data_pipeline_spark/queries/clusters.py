@@ -446,3 +446,75 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x AS u, y AS v FROM pairs
+              UNION ALL SELECT y, x FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    ew AS (SELECT e.u, e.v, deg.d AS deg_u
+           FROM edges e JOIN deg ON deg.u = e.u),
+    r0 AS (SELECT u AS id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    r1 AS (SELECT e.v AS id,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * SUM(r.pr / e.deg_u) AS pr
+           FROM ew e JOIN r0 r ON r.id = e.u GROUP BY e.v),
+    r2 AS (SELECT e.v AS id,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * SUM(r.pr / e.deg_u) AS pr
+           FROM ew e JOIN r1 r ON r.id = e.u GROUP BY e.v),
+    r3 AS (SELECT e.v AS id,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * SUM(r.pr / e.deg_u) AS pr
+           FROM ew e JOIN r2 r ON r.id = e.u GROUP BY e.v)
+    SELECT r3.id AS doc_id, deg.d AS degree, ROUND(r3.pr, 6) AS pr_r
+    FROM r3 JOIN deg ON deg.u = r3.id
+    ORDER BY doc_id
+    """,
+    description="fixed-iteration PageRank over the exact-Jaccard near-dup "
+    "graph (operators.centrality.pagerank): 3 power-method iterations, "
+    "damping 0.85 — duplication-hub centrality, the iterative-NUMERIC "
+    "counterpart to the connected-components recursive-CTE check.  With "
+    "the iteration count fixed the computation unrolls into per-iteration "
+    "SQL CTEs, so even an iterative float algorithm gets an exact external "
+    "oracle (rounded at 6 dp on both sides: grouped float sums are "
+    "order-dependent in the last ulp); each Spark iteration is two "
+    "shuffles on the node id, per-iteration state one row per node",
+    tags=("graph", "pagerank", "iterative"),
+)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.centrality import pagerank
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    edges = pairs.select("x", "y")
+    deg = (
+        edges.selectExpr("x AS u", "y AS v")
+        .unionAll(edges.selectExpr("y AS u", "x AS v"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    return (
+        pr.join(deg, pr["id"] == deg["u"])
+        .select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            F.round("pr", 6).alias("pr_r"),
+        )
+        .orderBy("doc_id")
+    )
