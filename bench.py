@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "substring_dup_coverage",
     "fuzzy_name_matches",
+    "dup_graph_pagerank",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",

@@ -52,6 +52,13 @@ COMMENT = {
     "the self-join sees distinct names only; blocking-key equi-join (shuffle on the "
     "token, never a cross join); Levenshtein runs after the candidate distinct; both "
     "support join-backs broadcast",
+    "dup_graph_pagerank": "the iterative-numeric plan shape: three unrolled power-method "
+    "iterations, each a (contribution join on the source id, grouped sum on the "
+    "destination id) pair — every shuffle keys on the node id and per-iteration state "
+    "is one (id, rank) row per node.  The pre-execution tree below repeats the shared "
+    "edges/degree subtree per iteration; at runtime AQE collapses those into "
+    "ReusedExchange stages (5 reuse nodes in the executed plan), so the edge set "
+    "shuffles once, not three times",
     "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
     "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
     "the partial/final aggregate and the per-year share window",
