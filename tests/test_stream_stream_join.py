@@ -46,3 +46,64 @@ def test_stream_stream_attribution_equals_batch(spark):
         for r in spark.sql("SELECT view_id, purchase_id FROM attr_test").collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
+    """Abandonment shape: views with no qualifying purchase must surface
+    exactly once with null purchase columns.  Batch emits the nulls
+    immediately; the stream may only emit a null once the joint watermark
+    proves no qualifying purchase can still arrive, so the tail of the
+    stream is closed with far-future sentinel events on BOTH sides (the
+    global watermark is the min across inputs) and the sentinels are
+    excluded from the comparison."""
+    import datetime
+
+    SENTINEL_BASE = 10**12
+    ev = load_events(spark, SF0001)
+    batch_views, batch_buys = _split(ev)
+    batch_rows = {
+        (r["view_id"], r["purchase_id"])
+        for r in attribution_join(batch_views, batch_buys, how="leftOuter").collect()
+    }
+    assert any(p is None for _, p in batch_rows), "corpus should have abandons"
+    assert any(p is not None for _, p in batch_rows)
+
+    far = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(days=2)
+    sentinel = spark.createDataFrame(
+        [
+            (SENTINEL_BASE, far, 999_999_901, "view", 0.0, "{}"),
+            (SENTINEL_BASE + 1, far, 999_999_902, "purchase", 0.0, "{}"),
+        ],
+        spark.read.parquet(f"{SF0001}/events.parquet").schema,
+    )
+    sent_path = str(tmp_path / "sentinel.parquet")
+    sentinel.coalesce(1).write.parquet(sent_path)
+    import glob
+
+    sent_file = glob.glob(f"{sent_path}/part-*.parquet")[0]
+
+    s1 = read_events_stream(
+        spark, stage_stream_dir(f"{SF0001}/events.parquet", sent_file)
+    )
+    s2 = read_events_stream(
+        spark, stage_stream_dir(f"{SF0001}/events.parquet", sent_file)
+    )
+    sv, sb = _split(s1)[0], _split(s2)[1]
+    q = (
+        attribution_join(sv, sb, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("attr_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    stream_rows = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql(
+            "SELECT view_id, purchase_id FROM attr_outer_test"
+        ).collect()
+        if r["view_id"] < SENTINEL_BASE
+    }
+    assert stream_rows == batch_rows

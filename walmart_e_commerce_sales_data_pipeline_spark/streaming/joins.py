@@ -23,10 +23,22 @@ def attribution_join(
     purchases: DataFrame,
     window_minutes: int = 30,
     watermark: str = "40 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs of (view, purchase) by the same user with the purchase inside
     ``window_minutes`` after the view.  Works on batch or streaming inputs;
     streaming inputs get watermarks on both sides so join state is bounded.
+
+    ``how="leftOuter"`` is the ABANDONMENT shape: views that never convert
+    within the window surface once with null purchase columns.  In batch
+    the nulls appear immediately; in streaming Spark holds each view in
+    state until the joint watermark proves no qualifying purchase can
+    still arrive (view_ts + window < watermark), then emits the null row
+    exactly once — which is why outer stream-stream joins REQUIRE the
+    watermark + time-range condition this join always carries, and why
+    the null rows trail the data by one watermark delay.  The stream ==
+    batch equality test closes the tail with far-future sentinel events
+    (tests/test_stream_stream_join.py).
 
     Inputs need columns: user_id, ts (event-time timestamp), event_id.
     """
@@ -50,6 +62,6 @@ def attribution_join(
         & (p.purchase_ts > v.view_ts)
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {window_minutes} MINUTES"))
     )
-    return v.join(p, cond).select(
+    return v.join(p, cond, how).select(
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"
     )
