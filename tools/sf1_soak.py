@@ -92,6 +92,12 @@ HEAVY = [
     "substring_dup_coverage",
     "retrieve_rerank_topk",
     "fuzzy_name_matches",
+    # round 13b: three unrolled PageRank iterations over the near-dup
+    # graph — per-iteration state is one (id, rank) row per node, so wall
+    # must track the pair-generation cost (the graph), not blow up with
+    # iteration depth; AQE's ReusedExchange keeps the edge set to one
+    # shuffle across iterations
+    "dup_graph_pagerank",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
