@@ -684,3 +684,35 @@ def test_blocked_levenshtein_recall_is_total_on_corpus(spark):
         )
     }
     assert blocked == truth and truth
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The asymmetric signal, planted: a 12-token excerpt embedded
+    verbatim in a 200-token document has containment(short->long) = 1.0
+    but Jaccard ~ 0.05 — the symmetric threshold never fires, the
+    containment threshold must."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    long_toks = [f"tok{i}" for i in range(200)]
+    excerpt = " ".join(long_toks[80:92])
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(long_toks)),
+            (2, excerpt),
+            (3, " ".join(f"other{i}" for i in range(50))),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingle_sets(docs)
+    jac = jaccard_pairs(sh, 0.5).collect()
+    assert jac == [], "Jaccard must NOT fire on the planted subset pair"
+    cont = {(r["x"], r["y"]): r for r in containment_pairs(sh, 0.9).collect()}
+    assert set(cont) == {(1, 2)}
+    r = cont[(1, 2)]
+    # containment of the EXCERPT side is exactly 1 (every excerpt shingle
+    # appears in the container); the container side stays low.
+    assert r["c_yx"] == 1.0 and r["c_xy"] < 0.1 and r["jaccard"] < 0.1

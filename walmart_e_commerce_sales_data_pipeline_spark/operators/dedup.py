@@ -1174,3 +1174,60 @@ def blocked_levenshtein_pairs(
     return flt.join(F.broadcast(na), "name_a").join(F.broadcast(nb), "name_b").select(
         "name_a", "name_b", "dist", "n_a", "n_b"
     )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs shingle CONTAINMENT — the asymmetric near-dup
+    signal Jaccard structurally misses: a short document embedded
+    verbatim inside a much longer one has containment(short→long) ≈ 1
+    while Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard threshold never
+    fires (planted-pair demonstration in tests/test_dedup_similarity.py).
+    The production use is quote/excerpt/template detection — drop or
+    down-weight the contained copy, keep the container.
+
+    containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.  Returns
+    (x, y, c_xy, c_yx, jaccard) with x < y and max(c_xy, c_yx) ≥
+    ``threshold`` — both directions plus Jaccard for contrast, all exact
+    integer ratios until the final division.
+
+    Same plan skeleton and cache-lifetime discipline as
+    ``jaccard_pairs`` (shared-shingle equi-join — only documents sharing
+    a shingle ever meet; persisted shingle table released after the
+    thresholded pair set checkpoints); only the threshold predicate
+    differs, so every scale property measured for the Jaccard path
+    (SCALE.md §§7b, 12) carries over unchanged.
+    """
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("id").alias("x"), "shingle")
+    b = shingles.select(F.col("id").alias("y"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
+    sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    out = (
+        inter.join(sx, "x")
+        .join(sy, "y")
+        .withColumn("c_xy", F.col("inter") / F.col("nx"))
+        .withColumn("c_yx", F.col("inter") / F.col("ny"))
+        .filter(F.greatest(F.col("c_xy"), F.col("c_yx")) >= threshold)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")),
+        )
+        .select("x", "y", "c_xy", "c_yx", "jaccard")
+    )
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shingles.unpersist()
+    return out

@@ -35,12 +35,12 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (entering the round): 4 never-green (the new ``substring_dup_coverage``,
-# ``retrieve_rerank_topk``, ``fuzzy_name_matches``,
-# ``dup_graph_pagerank``), 42 queries last green externally in r9, 50 in
+# (entering the round): 5 never-green (the new ``substring_dup_coverage``,
+# ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
+# ``dedup_containment``), 42 queries last green externally in r9, 50 in
 # r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the four never-green newcomers, all 42 r9-green queries,
-# and the 4 stalest r10-green ones in prior registry order; after this
+# The window is the five never-green newcomers, all 42 r9-green queries,
+# and the 3 stalest r10-green ones in prior registry order; after this
 # round no query's newest external evidence will be older than r10.
 # Every tail query is
 # re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
@@ -51,6 +51,7 @@ _PRIORITY = [
     "retrieve_rerank_topk",
     "fuzzy_name_matches",
     "dup_graph_pagerank",
+    "dedup_containment",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "monthly_avg_value",
     "events_hourly_window",
     "events_sessionization",
-    "events_sliding_window",
 ]
 
 

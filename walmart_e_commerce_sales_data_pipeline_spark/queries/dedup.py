@@ -324,3 +324,52 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = table(spark, sf_dir, "part")
     return blocked_levenshtein_pairs(part, "p_name").orderBy("name_a", "name_b")
+
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT x, y,
+           ROUND(n_inter * 1.0 / sa.n_sh, 6) AS c_xy_r,
+           ROUND(n_inter * 1.0 / sb.n_sh, 6) AS c_yx_r,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r
+    FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+    WHERE GREATEST(n_inter * 1.0 / sa.n_sh, n_inter * 1.0 / sb.n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY x, y
+    """,
+    description="asymmetric shingle-containment near-dup pairs "
+    "(operators.dedup.containment_pairs): containment(A->B) = "
+    "|sh(A) n sh(B)| / |sh(A)| >= 0.7 in either direction, with Jaccard "
+    "alongside for contrast — the quote/excerpt/template signal a "
+    "symmetric Jaccard threshold structurally misses (a short doc inside "
+    "a long one has containment ~1, Jaccard ~0; planted-pair proof in "
+    "tests/test_dedup_similarity.py).  Same shared-shingle equi-join "
+    "skeleton as the Jaccard path, so its measured scale posture carries "
+    "over",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs, shingle_sets
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        containment_pairs(shingle_sets(docs), CONTAINMENT_THRESHOLD)
+        .select(
+            "x",
+            "y",
+            F.round("c_xy", 6).alias("c_xy_r"),
+            F.round("c_yx", 6).alias("c_yx_r"),
+            F.round("jaccard", 6).alias("jaccard_r"),
+        )
+        .orderBy("x", "y")
+    )
