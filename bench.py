@@ -109,6 +109,7 @@ HEADLINE = [
     "substring_dup_coverage",
     "fuzzy_name_matches",
     "dup_graph_pagerank",
+    "dedup_containment",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",

@@ -207,3 +207,49 @@ def test_pagerank_matches_driver_reference(spark):
     # the star hub out-centralities its leaves; clique members tie
     assert got[10] > got[11] == got[12] == got[13]
     assert abs(got[20] - got[21]) < 1e-12
+
+
+def test_weighted_pagerank_matches_driver_reference(spark):
+    """Edge-weighted PageRank (contribution rank_u * w_uv / sum_w(u)) vs
+    an independent dict reference, and the w==1 case must degenerate to
+    the unweighted operator exactly."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.centrality import (
+        pagerank,
+    )
+
+    pairs = [(1, 2, 0.9), (2, 3, 0.1), (1, 3, 0.5), (3, 4, 1.0)]
+    df = spark.createDataFrame(pairs, ["x", "y", "jac"])
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(df, iterations=3, weight_col="jac").collect()
+    }
+
+    adj: dict = {}
+    for x, y, w in pairs:
+        adj.setdefault(x, {})[y] = w
+        adj.setdefault(y, {})[x] = w
+    n = len(adj)
+    ranks = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        ranks = {
+            v: 0.15 / n
+            + 0.85
+            * sum(
+                ranks[u] * adj[u][v] / sum(adj[u].values()) for u in adj[v]
+            )
+            for v in adj
+        }
+    assert all(abs(got[v] - ranks[v]) < 1e-9 for v in ranks)
+
+    unit = {
+        r["id"]: r["pr"]
+        for r in pagerank(
+            df.selectExpr("x", "y", "CAST(1.0 AS DOUBLE) AS one"),
+            iterations=3,
+            weight_col="one",
+        ).collect()
+    }
+    plain = {
+        r["id"]: r["pr"] for r in pagerank(df, iterations=3).collect()
+    }
+    assert unit == plain

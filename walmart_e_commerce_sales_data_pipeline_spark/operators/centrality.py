@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 3,
     src: str = "x",
     dst: str = "y",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED pair graph.
 
@@ -50,12 +51,22 @@ def pagerank(
     bounded-materialization posture as ``train_ivf_centroids``; it
     parameterizes the teleport constant, never a collected dataset.
 
+    ``weight_col`` names an edge-weight column on ``pairs`` (e.g. the
+    pair's Jaccard similarity): contributions become
+    rank_u · w_uv / Σ_x w_ux — stronger duplicate links carry more rank
+    — and the unweighted form is the special case w ≡ 1.  The plan shape
+    is unchanged: the "degree" aggregate sums weights instead of
+    counting rows.
+
     Returns (id, pr) with Σ pr = 1 up to float error.
     """
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("w")
     edges = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        F.col(src).alias("u"), F.col(dst).alias("v"), w
+    ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"), w))
+    deg = edges.groupBy("u").agg(F.sum("w").alias("deg"))
     n = deg.count()
     edges_w = edges.join(deg, "u")
     teleport = (1.0 - damping) / n
@@ -63,9 +74,12 @@ def pagerank(
     for _ in range(iterations):
         contribs = (
             edges_w.join(ranks, edges_w["u"] == ranks["id"])
-            .select("v", (F.col("pr") / F.col("deg")).alias("w"))
+            .select(
+                "v",
+                (F.col("pr") * F.col("w") / F.col("deg")).alias("contrib"),
+            )
             .groupBy("v")
-            .agg(F.sum("w").alias("in_sum"))
+            .agg(F.sum("contrib").alias("in_sum"))
         )
         ranks = contribs.select(
             F.col("v").alias("id"),
