@@ -98,6 +98,9 @@ HEAVY = [
     # iteration depth; AQE's ReusedExchange keeps the edge set to one
     # shuffle across iterations
     "dup_graph_pagerank",
+    # round 13b: asymmetric containment shares jaccard_pairs' plan
+    # skeleton — its wall must track the jaccard pair path, not diverge
+    "dedup_containment",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
