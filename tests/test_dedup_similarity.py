@@ -716,3 +716,53 @@ def test_containment_catches_what_jaccard_misses(spark):
     # containment of the EXCERPT side is exactly 1 (every excerpt shingle
     # appears in the container); the container side stays low.
     assert r["c_yx"] == 1.0 and r["c_xy"] < 0.1 and r["jaccard"] < 0.1
+
+
+def test_rerank_pandas_udf_scorer_parity(spark):
+    """The stage-2 scorer slot must accept an Arrow-batched Pandas UDF —
+    the production cross-encoder shape — and a numpy cosine passed that
+    way must select the same top-k as the Catalyst expression scorer
+    (scores agree to float tolerance; the plan carries an ArrowEvalPython
+    stage over pool rows only)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.similarity import (
+        rerank_topk,
+    )
+
+    # Annotations are attached as real objects (not inline hints): the
+    # module's `from __future__ import annotations` would stringify
+    # inline hints into names Spark's resolver can't evaluate here.
+    def _np_cosine(qv, cv):
+        out = []
+        for a, b in zip(qv, cv):
+            a = np.asarray(a, dtype=np.float64)
+            b = np.asarray(b, dtype=np.float64)
+            out.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+        return pd.Series(out)
+
+    _np_cosine.__annotations__ = {
+        "qv": pd.Series,
+        "cv": pd.Series,
+        "return": pd.Series,
+    }
+    np_cosine = pandas_udf(_np_cosine, "double")
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    expr_rows = rerank_topk(emb, queries, k=3, candidates=10).collect()
+    udf_df = rerank_topk(emb, queries, k=3, candidates=10, scorer=np_cosine)
+    plan = udf_df._sc._jvm.PythonSQLUtils.explainString(
+        udf_df._jdf.queryExecution(), "simple"
+    )
+    assert "ArrowEvalPython" in plan
+    udf_rows = udf_df.collect()
+    key = lambda rs: {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rs}  # noqa: E731
+    assert key(udf_rows) == key(expr_rows)
+    expr_sim = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in expr_rows}
+    assert all(
+        abs(expr_sim[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+        for r in udf_rows
+    )

@@ -220,6 +220,7 @@ def rerank_topk(
     candidates: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer=None,
 ) -> DataFrame:
     """Two-stage retrieve-then-rerank top-k — the cross-encoder-shaped
     retrieval pipeline every production semantic-search stack runs: a
@@ -239,6 +240,13 @@ def rerank_topk(
     cross-encoder model call goes (same frame shape: one row per
     query×candidate with both payloads present); exact cosine stands in
     here so the whole pipeline is closed-form and DuckDB-verifiable.
+
+    ``scorer``: optional ``(query_vec_col, cand_vec_col) -> Column``
+    replacing the exact-cosine stage-2 score — pass an Arrow-batched
+    ``@pandas_udf("double")`` model call and the plan is the production
+    cross-encoder pipeline verbatim (the UDF sees one Arrow batch of
+    pool rows at a time; parity with the expression scorer is pinned in
+    tests/test_dedup_similarity.py).
 
     Both stages are deterministic (floor quantization, id tie-breaks), so
     the composed semantics have an EXACT SQL oracle — unlike recall-bound
@@ -272,10 +280,11 @@ def rerank_topk(
     wc = Window.partitionBy("query_id").orderBy(
         F.col("coarse_score").desc(), F.col("neighbor_id")
     )
+    score = scorer if scorer is not None else cosine
     pool = (
         coarse.withColumn("coarse_rank", F.row_number().over(wc))
         .filter(F.col("coarse_rank") <= candidates)
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", score(F.col("qv"), F.col("cv")))
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
