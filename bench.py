@@ -110,6 +110,7 @@ HEADLINE = [
     "fuzzy_name_matches",
     "dup_graph_pagerank",
     "dedup_containment",
+    "cms_heavy_hitters",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",

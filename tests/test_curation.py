@@ -9,7 +9,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF001
+from tests.conftest import SF001, SF0001
 from walmart_e_commerce_sales_data_pipeline_spark import queries as q
 
 
@@ -255,3 +255,36 @@ def test_hll_registers_merge_by_max(spark):
     }
     got = {(r["source"], r["bucket"]): r["m_j"] for r in merged.collect()}
     assert got == whole
+
+
+def test_cms_guarantee_and_mergeability(spark):
+    """The two count-min invariants that make it a production sketch:
+    (a) the min-estimate NEVER under-counts (est >= exact for every probed
+    item), and (b) sketches of disjoint shards merge by elementwise cell
+    addition into exactly the whole-stream sketch."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries import REGISTRY
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        cms_cells,
+    )
+
+    rows = REGISTRY["cms_heavy_hitters"].fn(spark, SF0001).collect()
+    assert len(rows) == 10
+    assert all(r["overest"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["n_exact"] + r["overest"] for r in rows)
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    occ = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("shingle")
+    )
+    whole = {
+        (r["r"], r["b"]): r["c"] for r in cms_cells(occ).collect()
+    }
+    merged: dict = {}
+    for part in (
+        occ.filter(F.crc32(F.col("shingle")) % 2 == 0),
+        occ.filter(F.crc32(F.col("shingle")) % 2 == 1),
+    ):
+        for r in cms_cells(part).collect():
+            k = (r["r"], r["b"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole

@@ -152,23 +152,24 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-13 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r13: never:5 / r9:42 / r10:50 / r12:50
+    # Staleness histogram entering r13: never:6 / r9:42 / r10:50 / r12:50
     # (the r12 window duplicated r11's, so nothing is r11-green).  The
-    # window is the five never-externally-green round-13 additions, all
-    # 42 r9-green queries, and the 3 stalest r10-green ones, in prior
+    # window is the six never-externally-green round-13 additions, all
+    # 42 r9-green queries, and the 2 stalest r10-green ones, in prior
     # registry order.
     window = set(names[:50])
     # The round-13 additions (never externally green) lead unconditionally.
-    assert _PRIORITY[:5] == [
+    assert _PRIORITY[:6] == [
         "substring_dup_coverage",
         "retrieve_rerank_topk",
         "fuzzy_name_matches",
         "dup_graph_pagerank",
         "dedup_containment",
+        "cms_heavy_hitters",
     ]
     # The 42 queries whose newest external evidence is r9 follow, in
     # prior registry order.
-    assert _PRIORITY[5:47] == [
+    assert _PRIORITY[6:48] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -223,7 +224,7 @@ def test_checked_window_composition():
         "pricing_summary", "regional_revenue", "string_functions",
     }
     assert not (r12_green_sample & window)
-    # Likewise the freshest r10-green queries stay out; only the 3
+    # Likewise the freshest r10-green queries stay out; only the 2
     # stalest r10-green ones fill the window tail.
     r10_fresh_sample = {
         "warc_curation_by_day", "label_centroid_similarity",
@@ -234,10 +235,9 @@ def test_checked_window_composition():
         "key_skew_profile",
     }
     assert not (r10_fresh_sample & window)
-    assert _PRIORITY[47:] == [
+    assert _PRIORITY[48:] == [
         "monthly_avg_value",
         "events_hourly_window",
-        "events_sessionization",
     ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())

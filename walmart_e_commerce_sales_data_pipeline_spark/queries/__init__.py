@@ -35,14 +35,14 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (entering the round): 5 never-green (the new ``substring_dup_coverage``,
+# (entering the round): 6 never-green (the new ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
-# ``dedup_containment``), 42 queries last green externally in r9, 50 in
-# r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the five never-green newcomers, all 42 r9-green queries,
-# and the 3 stalest r10-green ones in prior registry order; after this
-# round no query's newest external evidence will be older than r10.
-# Every tail query is
+# ``dedup_containment``, ``cms_heavy_hitters``), 42 queries last green
+# externally in r9, 50 in r10, 50 in r12 (the r12 window duplicated
+# r11's, so no query is r11).  The window is the six never-green
+# newcomers, all 42 r9-green queries, and the 2 stalest r10-green ones
+# in prior registry order; after this round no query's newest external
+# evidence will be older than r10.  Every tail query is
 # re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
@@ -52,6 +52,7 @@ _PRIORITY = [
     "fuzzy_name_matches",
     "dup_graph_pagerank",
     "dedup_containment",
+    "cms_heavy_hitters",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "events_session_window",
     "monthly_avg_value",
     "events_hourly_window",
-    "events_sessionization",
 ]
 
 

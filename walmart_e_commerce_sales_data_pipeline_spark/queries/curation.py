@@ -918,3 +918,154 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- count-min frequency sketch -------------------------------------------
+# Depth 4 x width 256: four 8-bit buckets sliced from DISJOINT hex spans of
+# ONE portable md5 per shingle (positions 1-2, 3-4, 5-6, 7-8) -- a single
+# hash evaluation per row, identical text in both engines, derived rows
+# independent enough for the CMS min-estimate guarantee in practice.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(h_expr: str, r: int) -> str:
+    hexd = "0123456789abcdef"
+    p = 2 * r + 1
+    return (
+        f"((instr('{hexd}', substring({h_expr}, {p}, 1)) - 1) * 16"
+        f" + (instr('{hexd}', substring({h_expr}, {p + 1}, 1)) - 1))"
+    )
+
+
+def cms_cells(occ: DataFrame, item_col: str = "shingle") -> DataFrame:
+    """Count-min counter matrix (r, b, c) for an occurrence stream — one
+    md5 per row, buckets from disjoint hex slices, partial aggregation
+    collapsing every partition to ≤ depth·width rows before the shuffle.
+    Sketches MERGE by elementwise cell addition (pinned in
+    tests/test_curation.py), which is what makes per-shard sketches
+    unionable at 100 TB."""
+    hashed = occ.withColumn("h", F.md5(F.col(item_col).cast("string")))
+    return (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cms_bucket_sql("h", r)).alias("b"),
+                        )
+                        for r in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    occ AS (
+        SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    hashed AS (SELECT shingle, md5(CAST(shingle AS VARCHAR)) AS h FROM occ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, {_cms_bucket_sql('h', r)} AS b, COUNT(*) AS c "
+            "FROM hashed GROUP BY 1, 2"
+            for r in range(_CMS_DEPTH)
+        )}
+    ),
+    ex AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM occ GROUP BY shingle
+        ORDER BY n_exact DESC, shingle LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+        SELECT e.shingle, e.n_exact, cells.r,
+               MIN(cells.c) AS cell
+        FROM ex e
+        JOIN cells
+          ON cells.b = CASE cells.r
+              {" ".join(
+                  f"WHEN {r} THEN "
+                  + _cms_bucket_sql("md5(CAST(e.shingle AS VARCHAR))", r)
+                  for r in range(_CMS_DEPTH)
+              )}
+              END
+        GROUP BY e.shingle, e.n_exact, cells.r
+    )
+    SELECT shingle, n_exact,
+           CAST(MIN(cell) AS BIGINT) AS cms_est,
+           CAST(MIN(cell) - n_exact AS BIGINT) AS overest
+    FROM probes
+    GROUP BY shingle, n_exact
+    ORDER BY n_exact DESC, shingle
+    """,
+    description="count-min frequency sketch, depth 4 x width 256, over the "
+    "corpus 3-gram occurrence stream — the THIRD sketch family beside KMV "
+    "and HLL (those estimate cardinality; CMS estimates per-item "
+    "FREQUENCY, the heavy-hitter primitive a 100 TB pipeline uses instead "
+    "of an exact group-by on an unbounded key domain).  Buckets are four "
+    "disjoint 8-bit slices of ONE portable md5 (identical fold text both "
+    "engines), so the sketch is deterministic and the oracle verifies the "
+    "estimator cell-for-cell: est = min over rows of the probed counter, "
+    "always >= the exact count (overest >= 0, asserted in "
+    "tests/test_curation.py along with register mergeability).  Scale "
+    "shape: the counter matrix is 1,024 cells, so the sketch aggregation "
+    "map-side-combines each partition to <= 1,024 rows before a tiny "
+    "shuffle — per-partition sketches ARE the merge, the property that "
+    "lets every shard keep one and union them",
+    tags=("sketch", "text", "frequency", "portable"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    occ = (
+        _spread_narrow(docs)
+        .select(tokenize("text").alias("_t"))
+        .select(F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+    )
+    cells = cms_cells(occ)
+    ex = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "shingle")
+        .limit(_CMS_TOPK)
+        .withColumn("h", F.md5(F.col("shingle").cast("string")))
+    )
+    probes = ex.select(
+        "shingle",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cms_bucket_sql("h", r)).alias("b"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("probe"),
+    ).select("shingle", "n_exact", "probe.r", "probe.b")
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("shingle", "n_exact")
+        .agg(
+            F.min("c").cast("long").alias("cms_est"),
+            (F.min("c") - F.col("n_exact")).cast("long").alias("overest"),
+        )
+        .orderBy(F.col("n_exact").desc(), "shingle")
+    )
