@@ -101,6 +101,12 @@ HEAVY = [
     # round 13b: asymmetric containment shares jaccard_pairs' plan
     # skeleton — its wall must track the jaccard pair path, not diverge
     "dedup_containment",
+    # round 13b: the count-min sketch's point at scale — each partition
+    # map-side-combines to <= 1,024 counter cells, so the sketch branch's
+    # shuffle is O(cells x map tasks), independent of ROWS per task; the
+    # measured query total is dominated by the exact ground-truth branch
+    # it carries for the oracle (SCALE.md §17d)
+    "cms_heavy_hitters",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
