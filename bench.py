@@ -111,6 +111,11 @@ HEADLINE = [
     "dup_graph_pagerank",
     "dedup_containment",
     "cms_heavy_hitters",
+    "histogram_quantile_sketch",
+    "kmv_jaccard_langs",
+    "rrf_hybrid_retrieval",
+    "referential_integrity_audit",
+    "revenue_trend_slope",
     "similarity_pairs_blocked",
     "similarity_topk",
     "text_quality_buckets",

@@ -51,6 +51,14 @@ BNLJ_WHITELIST = {
     # (rerank_topk docstring) and stage 2 — the only new machinery — is
     # a bounded candidates×queries frame either way.
     "retrieve_rerank_topk",
+    # rrf_hybrid_retrieval: the same two 1-row broadcasts as its parents —
+    # bm25_scores' corpus-stats row and the single probe vector.
+    "rrf_hybrid_retrieval",
+    # kmv_jaccard_langs: the lang-pair list is a `a.lang < b.lang` cross
+    # over the DISTINCT language dimension (a config-sized set, like
+    # join_cross's bounded dimensions); every frame the loop touches is
+    # k-row signature state, never corpus rows.
+    "kmv_jaccard_langs",
 }
 
 
@@ -73,6 +81,10 @@ BNLJ_WHITELIST = {
 # - mixture_sampling_plan: full-frame sum over the per-source doc-count
 #   table — one row per corpus source, a config-sized set.
 UNPARTITIONED_WINDOW_WHITELIST = {
+    # - rrf_hybrid_retrieval: all three rank windows sit above
+    #   orderBy().limit(20) pools (TakeOrderedAndProject) or their ≤ 40-row
+    #   fusion join — same bounded shape as bm25_doc_retrieval's.
+    "rrf_hybrid_retrieval",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",

@@ -152,24 +152,30 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-13 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram entering r13: never:6 / r9:42 / r10:50 / r12:50
-    # (the r12 window duplicated r11's, so nothing is r11-green).  The
-    # window is the six never-externally-green round-13 additions, all
-    # 42 r9-green queries, and the 2 stalest r10-green ones, in prior
-    # registry order.
+    # Staleness histogram after the wave-2 additions: never:11 / r9:42 /
+    # r10:50 / r12:50 (the r12 window duplicated r11's, so nothing is
+    # r11-green).  The window is the eleven never-externally-green
+    # round-13 queries and the 39 stalest r9-green ones, in prior
+    # registry order; the remaining three r9 queries
+    # (asof_join_latest_order, range_join_close_events,
+    # events_session_window) rotate to the r14 head.
     window = set(names[:50])
     # The round-13 additions (never externally green) lead unconditionally.
-    assert _PRIORITY[:6] == [
+    assert _PRIORITY[:11] == [
         "substring_dup_coverage",
         "retrieve_rerank_topk",
         "fuzzy_name_matches",
         "dup_graph_pagerank",
         "dedup_containment",
         "cms_heavy_hitters",
+        "referential_integrity_audit",
+        "revenue_trend_slope",
+        "rrf_hybrid_retrieval",
+        "histogram_quantile_sketch",
+        "kmv_jaccard_langs",
     ]
-    # The 42 queries whose newest external evidence is r9 follow, in
-    # prior registry order.
-    assert _PRIORITY[6:48] == [
+    # The 39 stalest r9-green queries follow, in prior registry order.
+    assert _PRIORITY[11:50] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -209,9 +215,6 @@ def test_checked_window_composition():
         "events_cohort_retention",
         "mixture_sampling_plan",
         "from_json_map",
-        "asof_join_latest_order",
-        "range_join_close_events",
-        "events_session_window",
     ]
     # Nothing green in round 12 re-occupies a window slot — the window is
     # reserved for the stalest evidence.
@@ -224,21 +227,17 @@ def test_checked_window_composition():
         "pricing_summary", "regional_revenue", "string_functions",
     }
     assert not (r12_green_sample & window)
-    # Likewise the freshest r10-green queries stay out; only the 2
-    # stalest r10-green ones fill the window tail.
+    # Likewise every r10-green query stays out this round: eleven
+    # never-green queries displace the r10 tail entirely.
     r10_fresh_sample = {
         "warc_curation_by_day", "label_centroid_similarity",
         "event_interarrival_profile", "vocab_oov_rate",
         "prefix_dup_groups", "profile_documents",
         "join_customer_orders", "join_semi",
         "quantize_embeddings", "orders_rfm_segments",
-        "key_skew_profile",
+        "key_skew_profile", "monthly_avg_value", "events_hourly_window",
     }
     assert not (r10_fresh_sample & window)
-    assert _PRIORITY[48:] == [
-        "monthly_avg_value",
-        "events_hourly_window",
-    ]
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
 

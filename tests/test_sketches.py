@@ -1,0 +1,98 @@
+"""Targeted invariants for the wave-2 sketches (queries/sketches.py):
+histogram-quantile mergeability + error bound, KMV Jaccard estimator
+sanity.  Cross-engine value equality is covered by the registry mirror
+(tests/test_queries_vs_duckdb.py); these tests pin the properties the
+oracle comparison cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+from walmart_e_commerce_sales_data_pipeline_spark.queries.sketches import (
+    _HQ_B,
+    histogram_cells,
+)
+
+from tests.conftest import SF001
+
+
+def test_histogram_cells_merge_by_addition(spark):
+    """Per-shard histograms built against SHARED bounds must merge by
+    elementwise bucket addition into exactly the whole-frame histogram —
+    the property that makes the sketch per-shard state at 100 TB."""
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    whole = histogram_cells(li, "l_returnflag", "l_extendedprice", bounds=bounds)
+    shard_a = li.filter(F.col("l_extendedprice") % 2 < 1)
+    shard_b = li.filter(F.col("l_extendedprice") % 2 >= 1)
+    merged = (
+        histogram_cells(shard_a, "l_returnflag", "l_extendedprice", bounds=bounds)
+        .union(
+            histogram_cells(
+                shard_b, "l_returnflag", "l_extendedprice", bounds=bounds
+            )
+        )
+        .groupBy("l_returnflag", "lo", "hi", "n", "bk")
+        .agg(F.sum("c").alias("c"))
+    )
+    w_rows = {
+        (r["l_returnflag"], r["bk"]): r["c"] for r in whole.collect()
+    }
+    m_rows = {
+        (r["l_returnflag"], r["bk"]): r["c"] for r in merged.collect()
+    }
+    assert w_rows == m_rows
+    # Fixed sketch width: no group ever exceeds B cells.
+    per_group: dict[str, int] = {}
+    for (g, _bk) in w_rows:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group and all(v <= _HQ_B for v in per_group.values())
+
+
+def test_histogram_quantile_error_within_bucket_bound(spark):
+    """The interpolated readout sits in the bucket bracketing the target
+    rank; quantile_cont's value can sit at most one bucket away (its rank
+    differs by < 1), so |est - exact| <= 2 bucket widths — the sketch's
+    a-priori guarantee, independent of the data distribution."""
+    rows = q.REGISTRY["histogram_quantile_sketch"].fn(spark, SF001).collect()
+    assert len(rows) == 9  # 3 return flags x 3 quantiles
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    b = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = b[r["l_returnflag"]]
+        width = (hi - lo) / _HQ_B
+        assert abs(r["hist_est"] - r["exact"]) <= 2 * width + 1e-9, r
+        assert 0.0 <= r["rel_err"] < 0.1, r
+
+
+def test_kmv_jaccard_estimator_sanity(spark):
+    """Signatures must be saturated (cardinalities >> k so the union holds
+    exactly k hashes), estimates live in [0, 1], the exact side obeys set
+    algebra, and the estimator error stays inside ~3 sigma of the KMV
+    binomial bound sqrt(J(1-J)/k) + the 1/k quantization floor."""
+    rows = q.REGISTRY["kmv_jaccard_langs"].fn(spark, SF001).collect()
+    assert len(rows) == 10  # C(5 langs, 2)
+    for r in rows:
+        assert r["sig_union_k"] == 64, r
+        assert 0 <= r["sig_in_both"] <= 64, r
+        assert 0.0 <= r["kmv_jaccard_est"] <= 1.0, r
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"]), r
+        j = r["jaccard_exact"]
+        sigma = (j * (1 - j) / 64) ** 0.5
+        assert r["abs_err"] <= 3 * sigma + 1.0 / 64 + 1e-9, r

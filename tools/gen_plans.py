@@ -59,6 +59,27 @@ COMMENT = {
     "edges/degree subtree per iteration; at runtime AQE collapses those into "
     "ReusedExchange stages (5 reuse nodes in the executed plan), so the edge set "
     "shuffles once, not three times",
+    "histogram_quantile_sketch": "two single-shuffle passes: per-group bounds (3-row "
+    "broadcast back), then the bucket aggregate whose partial side collapses every "
+    "partition to <= 128 rows per group BEFORE the exchange — the network moves sketch "
+    "cells, never values; the cumulative/readout windows are partitioned by group over "
+    "<= 128-row state, and the exact branch reuses the distributed percentile ladder",
+    "kmv_jaccard_langs": "one shingle-distinct shuffle feeds BOTH branches; signatures "
+    "are WindowGroupLimit-capped to k=64 rows per lang, so the pair union/rank/overlap "
+    "stages touch only 10 pairs x <= 128 signature rows (the whitelisted lang-pair "
+    "nested loop is over the 5-row DISTINCT language dimension); the exact-Jaccard "
+    "self-join fans out per shingle by at most the language count",
+    "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
+    "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
+    "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "
+    "the probe vector broadcast",
+    "referential_integrity_audit": "orphan checks are LEFT joins + null-probe CASE sums "
+    "folded into ONE conditional aggregate per fact table (never an anti-join per "
+    "check); the PK check is a per-key partial aggregate; all six branches reduce to "
+    "1-row frames before the union",
+    "revenue_trend_slope": "two stacked hash aggregates (monthly rollup keyed on "
+    "(nation, month), then per-nation sufficient stats) behind one shuffle join "
+    "(orders-customer) and a broadcast nation dim; the OLS combine is a projection",
     "market_share_by_year": "7-relation tree: every dimension (nation twice, under "
     "different roles) broadcasts — zero fact-side join shuffle; the only exchanges are "
     "the partial/final aggregate and the per-year share window",

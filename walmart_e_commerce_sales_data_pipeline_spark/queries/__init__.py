@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     corpus,
     curation,
     dedup,
+    diagnostics,
     grouped_pandas,
     lakehouse,
     product_analytics,
@@ -21,7 +22,9 @@ from . import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    retrieval,
     similarity,
+    sketches,
     streaming_media,
     text,
 )
@@ -35,16 +38,21 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (entering the round): 6 never-green (the new ``substring_dup_coverage``,
+# (after this round's five wave-2 additions): 11 never-green (the six
+# earlier round-13 queries ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
-# ``dedup_containment``, ``cms_heavy_hitters``), 42 queries last green
-# externally in r9, 50 in r10, 50 in r12 (the r12 window duplicated
-# r11's, so no query is r11).  The window is the six never-green
-# newcomers, all 42 r9-green queries, and the 2 stalest r10-green ones
-# in prior registry order; after this round no query's newest external
-# evidence will be older than r10.  Every tail query is
-# re-proven by the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
-# driver-equivalent strictness) on every pytest run.
+# ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
+# ``referential_integrity_audit``, ``revenue_trend_slope``,
+# ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
+# ``kmv_jaccard_langs``), 42 queries last green externally in r9, 50 in
+# r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
+# The window is the eleven never-green queries plus the 39 stalest
+# r9-green ones in prior registry order; three r9-green queries
+# (``asof_join_latest_order``, ``range_join_close_events``,
+# ``events_session_window``) no longer fit and rotate to the r14 head.
+# Every tail query is re-proven by the local DuckDB mirror
+# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
+# every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     "substring_dup_coverage",
@@ -53,6 +61,11 @@ _PRIORITY = [
     "dup_graph_pagerank",
     "dedup_containment",
     "cms_heavy_hitters",
+    "referential_integrity_audit",
+    "revenue_trend_slope",
+    "rrf_hybrid_retrieval",
+    "histogram_quantile_sketch",
+    "kmv_jaccard_langs",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -92,11 +105,6 @@ _PRIORITY = [
     "events_cohort_retention",
     "mixture_sampling_plan",
     "from_json_map",
-    "asof_join_latest_order",
-    "range_join_close_events",
-    "events_session_window",
-    "monthly_avg_value",
-    "events_hourly_window",
 ]
 
 

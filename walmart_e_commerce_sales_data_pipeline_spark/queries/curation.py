@@ -32,11 +32,10 @@ _K1 = 1.2
 _B = 0.75
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-
-@register(
-    "bm25_doc_retrieval",
-    oracle=f"""
-    WITH tok AS (
+# The BM25 scoring pipeline as reusable CTEs: bm25_doc_retrieval's oracle
+# is WITH <these> SELECT top-10; rrf_hybrid_retrieval (queries/retrieval.py)
+# appends a dense-retrieval CTE and fuses the two rank lists.
+BM25_SCORED_CTES = f"""tok AS (
         SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
         FROM documents
     ),
@@ -65,26 +64,13 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
         JOIN idf ON tf.token = idf.token
         JOIN dl ON tf.doc_id = dl.doc_id, stats
         GROUP BY tf.doc_id
-    )
-    SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk
-    FROM (
-        SELECT doc_id, bm25,
-               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
-        FROM scored
-    )
-    WHERE rk <= 10
-    ORDER BY rk
-    """,
-    description="Okapi BM25 top-10 documents for fixed probe terms "
-    "(k1=1.2, b=0.75): targeted subset retrieval over the corpus. Scale "
-    "shape: the token explode shuffles once on (doc_id, token); the "
-    "3-term df table and the 1-row corpus stats broadcast; the global "
-    "top-10 runs as orderBy+limit (TakeOrderedAndProject, k-row "
-    "per-partition state) before a 10-row ranking window",
-    tags=("text", "retrieval", "curation"),
-)
-def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    )"""
+
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """``(doc_id, bm25)`` Okapi scores of every probe-term-matching doc —
+    the Spark mirror of ``BM25_SCORED_CTES``, shared by
+    ``bm25_doc_retrieval`` and ``rrf_hybrid_retrieval``."""
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
@@ -104,13 +90,39 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + F.lit(1.2) * (
         F.lit(1) - F.lit(0.75) + F.lit(0.75) * (F.col("dl") / avgdl)
     )
-    scored = (
+    return (
         tf.join(F.broadcast(idf), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf_expr * F.col("tf") * F.lit(2.2) / denom), 4).alias("bm25"))
     )
+
+
+@register(
+    "bm25_doc_retrieval",
+    oracle=f"""
+    WITH {BM25_SCORED_CTES}
+    SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= 10
+    ORDER BY rk
+    """,
+    description="Okapi BM25 top-10 documents for fixed probe terms "
+    "(k1=1.2, b=0.75): targeted subset retrieval over the corpus. Scale "
+    "shape: the token explode shuffles once on (doc_id, token); the "
+    "3-term df table and the 1-row corpus stats broadcast; the global "
+    "top-10 runs as orderBy+limit (TakeOrderedAndProject, k-row "
+    "per-partition state) before a 10-row ranking window",
+    tags=("text", "retrieval", "curation"),
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs)
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (

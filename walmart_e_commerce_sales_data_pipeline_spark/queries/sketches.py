@@ -1,0 +1,429 @@
+"""Mergeable-sketch extensions, wave 2 (SURVEY.md §2.11): the QUANTILE
+sketch family and KMV set algebra.
+
+The suite already carries three sketch families with exact DuckDB oracles
+(KMV and HLL estimate *cardinality*, CMS estimates per-item *frequency* —
+``queries/curation.py``).  This module adds the remaining primitives a
+100 TB pipeline keeps per shard instead of exact state:
+
+- ``histogram_quantile_sketch``: a fixed-width B=128 bucket histogram per
+  group with linear-interpolation quantile readout — the mergeable
+  *quantile* structure (t-digest's role) next to the exact percentile
+  ladder (``operators/percentiles.py``).  Per-shard histograms merge by
+  elementwise bucket addition (pinned in tests/test_sketches.py), and the
+  partial aggregation collapses every partition to ≤ B rows per group
+  before the shuffle, so the network cost is the sketch size, never the
+  data size.  The exact ladder percentiles ride along so the oracle
+  verifies BOTH the estimator arithmetic and its error.
+- ``kmv_jaccard_langs``: KMV signature SET ALGEBRA — the k-minimum-values
+  sketches that ``kmv_distinct_sketch`` keeps per group also estimate
+  *pairwise Jaccard* without touching the raw sets again: for a pair
+  (A, B), take the k smallest hashes of sig(A) ∪ sig(B) and count how
+  many sit in both signatures (Beyer et al., "On Synopses for Distinct-
+  Value Estimation Under Multiset Operations", SIGMOD'07 geometry).  This
+  is the sketch-sized version of ``cross_source_dup_matrix``: overlap
+  diagnostics from fixed-width per-shard state, no re-scan.
+
+Both sketches hash with the engine-portable 48-bit md5 fold
+(``operators.splits.portable_hex_value_sql``), so — unlike
+approx_percentile / approx_count_distinct — every estimate is
+deterministic and shares an EXACT cross-engine oracle.
+
+Float discipline (queries/stable.py): bucket widths, interpolation, and
+ratio estimates are mirrored term-by-term with identical association;
+counts and ranks stay integral until one final deterministic division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, word_shingles
+from .registry import register
+from .tables import table
+
+# --- histogram quantile sketch ---------------------------------------------
+
+_HQ_B = 128  # buckets per group: the fixed sketch width
+_HQ_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def histogram_cells(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = _HQ_B,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-width histogram sketch cells ``(group, lo, hi, n, bk, c)``.
+
+    Two passes, both single-shuffle: (1) per-group bounds, (2) bucket
+    counts.  The bucket index is ``least(floor((x-lo)/w), B-1)`` with
+    ``w = (hi-lo)/B`` — pure deterministic IEEE arithmetic, identical in
+    any engine given identical inputs.  Cells merge across shards by
+    elementwise ``c`` addition PROVIDED the shards share ``bounds`` —
+    pass the globally-computed ``(group, lo, hi, n)`` frame when sharding
+    (the two-phase shape a 100 TB run uses: bounds from footer stats or
+    one cheap pass, then per-shard counting; merge equality pinned in
+    tests/test_sketches.py).  The partial aggregate collapses every
+    partition to ≤ B rows per group before the exchange: per-shard
+    sketches ARE the merge.
+    """
+    g, x = F.col(group_col), F.col(value_col)
+    if bounds is None:
+        bounds = df.groupBy(group_col).agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bk = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("lo")) / w).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(g, F.col("lo"), F.col("hi"), F.col("n"), bk.alias("bk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+_HQ_TARGETS_SQL = ", ".join(f"('{lbl}', {q!r})" for lbl, q in _HQ_QS)
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH src AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
+    ),
+    b AS (
+        SELECT g, MIN(x) AS lo, MAX(x) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+        FROM src GROUP BY g
+    ),
+    hist AS (
+        SELECT src.g, b.lo, b.hi, b.n,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((src.x - b.lo)
+                                    / ((b.hi - b.lo) / {float(_HQ_B)!r})) AS INT),
+                               {_HQ_B - 1})
+               END AS bk,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM src JOIN b ON src.g = b.g
+        GROUP BY ALL
+    ),
+    cum AS (
+        SELECT *, CAST(SUM(c) OVER (PARTITION BY g ORDER BY bk) AS BIGINT)
+                  AS cw
+        FROM hist
+    ),
+    targets AS (
+        -- CAST q to DOUBLE before the product: DuckDB VALUES literals are
+        -- DECIMAL, and exact-decimal CEIL can differ from the IEEE-double
+        -- CEIL Spark computes exactly when q*n lands on an integer.
+        SELECT b.g, t.lbl AS quantile,
+               CAST(CEIL(CAST(t.q AS DOUBLE) * b.n) AS BIGINT) AS tr
+        FROM b, (VALUES {_HQ_TARGETS_SQL}) AS t(lbl, q)
+    ),
+    est AS (
+        SELECT t.g, t.quantile,
+               cum.lo + ((cum.hi - cum.lo) / {float(_HQ_B)!r})
+                      * (CAST(cum.bk AS DOUBLE)
+                         + (t.tr - (cum.cw - cum.c)) / cum.c) AS est_raw
+        FROM targets t
+        JOIN cum ON cum.g = t.g
+                AND cum.cw >= t.tr AND cum.cw - cum.c < t.tr
+    ),
+    exq AS (
+        SELECT l_returnflag AS g,
+               quantile_cont(l_extendedprice, 0.5)  AS e50,
+               quantile_cont(l_extendedprice, 0.9)  AS e90,
+               quantile_cont(l_extendedprice, 0.99) AS e99
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    exact AS (
+        SELECT g, 'p50' AS quantile, e50 AS ex_raw FROM exq
+        UNION ALL SELECT g, 'p90', e90 FROM exq
+        UNION ALL SELECT g, 'p99', e99 FROM exq
+    )
+    SELECT est.g AS l_returnflag, est.quantile AS quantile,
+           ROUND(est.est_raw, 4) AS hist_est,
+           ROUND(exact.ex_raw, 4) AS exact,
+           ROUND(ABS(est.est_raw - exact.ex_raw) / exact.ex_raw, 6)
+               AS rel_err
+    FROM est JOIN exact ON exact.g = est.g AND exact.quantile = est.quantile
+    ORDER BY l_returnflag, est.quantile
+    """,
+    description="fixed-width histogram quantile sketch (B=128 buckets per "
+    "group, linear interpolation at the bracketing bucket) vs the exact "
+    "ladder percentiles — the FOURTH sketch family beside KMV/HLL "
+    "(cardinality) and CMS (frequency): the mergeable QUANTILE structure "
+    "a 100 TB pipeline keeps per shard in t-digest's role, next to the "
+    "exact percentile ladder when exactness is worth a second pass.  The "
+    "sketch is deterministic (bucket index and interpolation are pure "
+    "IEEE arithmetic on group bounds), so the oracle verifies estimator "
+    "AND error bit-for-bit; per-shard histograms merge by elementwise "
+    "bucket addition (pinned in tests/test_sketches.py).  Scale shape: "
+    "two single-shuffle passes (bounds, counts); the bucket aggregation "
+    "map-side-combines every partition to <= 128 rows per group before "
+    "the exchange, the cumulative/readout windows run per group over "
+    "<= 128-row sketch state, and the exact branch reuses the "
+    "distributed histogram ladder (operators/percentiles.py), never a "
+    "sort-buffer percentile",
+    tags=("sketch", "percentile", "agg"),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cells = histogram_cells(li, "l_returnflag", "l_extendedprice")
+    cum = cells.withColumn(
+        "cw",
+        F.sum("c")
+        .over(Window.partitionBy("l_returnflag").orderBy("bk"))
+        .cast("long"),
+    )
+    bounds = cells.select("l_returnflag", "n").distinct()
+    targets = bounds.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        F.ceil(F.lit(q) * F.col("n")).alias("tr"),
+                    )
+                    for lbl, q in _HQ_QS
+                ]
+            )
+        ).alias("t"),
+    ).select("l_returnflag", "t.quantile", "t.tr")
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(_HQ_B))
+    est_raw = F.col("lo") + w * (
+        F.col("bk").cast("double")
+        + (F.col("tr") - (F.col("cw") - F.col("c"))) / F.col("c")
+    )
+    # Alias the sketch side's group key before the join: both frames
+    # descend from `cells`, and a bare equality between same-named columns
+    # of a self-derived pair resolves trivially true.
+    cum2 = cum.select(
+        F.col("l_returnflag").alias("g2"), "lo", "hi", "bk", "c", "cw"
+    )
+    est = (
+        targets.join(
+            F.broadcast(cum2),
+            on=[
+                F.col("l_returnflag") == F.col("g2"),
+                F.col("cw") >= F.col("tr"),
+                F.col("cw") - F.col("c") < F.col("tr"),
+            ],
+        )
+        .select("l_returnflag", "quantile", est_raw.alias("est_raw"))
+    )
+    # Exact branch: the distributed interpolated-percentile ladder
+    # (bit-identical to DuckDB quantile_cont, pinned in
+    # tests/test_percentiles.py), unpivoted to one row per quantile.
+    exact = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [q for _, q in _HQ_QS],
+        on_overflow="error",
+    ).selectExpr(
+        "l_returnflag",
+        "stack(3, 'p50', p_0, 'p90', p_1, 'p99', p_2) AS (quantile, ex_raw)",
+    )
+    return (
+        est.join(exact, ["l_returnflag", "quantile"])
+        .select(
+            "l_returnflag",
+            "quantile",
+            F.round("est_raw", 4).alias("hist_est"),
+            F.round("ex_raw", 4).alias("exact"),
+            F.round(
+                F.abs(F.col("est_raw") - F.col("ex_raw")) / F.col("ex_raw"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag", "quantile")
+    )
+
+
+# --- KMV signature set algebra ---------------------------------------------
+
+_KJ_K = 64  # signature size, matching kmv_distinct_sketch
+
+
+def _kj_hash_sql(str_type: str) -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    return portable_hex_value_sql("shingle", 12, str_type)
+
+
+@register(
+    "kmv_jaccard_langs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT lang,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    h AS (SELECT DISTINCT lang, {_kj_hash_sql("VARCHAR")} AS hv FROM sh),
+    sig AS (
+        SELECT lang, hv FROM (
+            SELECT lang, hv,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rk
+            FROM h
+        ) WHERE rk <= {_KJ_K}
+    ),
+    pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b
+        FROM (SELECT DISTINCT lang FROM sig) a
+        JOIN (SELECT DISTINCT lang FROM sig) b ON a.lang < b.lang
+    ),
+    u AS (
+        SELECT p.lang_a, p.lang_b, s.hv,
+               MAX(CASE WHEN s.lang = p.lang_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.lang = p.lang_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN sig s ON s.lang = p.lang_a OR s.lang = p.lang_b
+        GROUP BY p.lang_a, p.lang_b, s.hv
+    ),
+    kmin AS (
+        SELECT * FROM (
+            SELECT u.*, ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b
+                                           ORDER BY hv) AS rk
+            FROM u
+        ) WHERE rk <= {_KJ_K}
+    ),
+    estagg AS (
+        SELECT lang_a, lang_b,
+               CAST(COUNT(*) AS BIGINT) AS sig_union_k,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS sig_in_both
+        FROM kmin GROUP BY lang_a, lang_b
+    ),
+    nl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY lang
+    ),
+    it AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT p.lang_a AS lang_a, p.lang_b AS lang_b, na.n AS n_a, nb.n AS n_b,
+           COALESCE(it.n_inter, 0) AS n_inter,
+           ROUND(COALESCE(it.n_inter, 0)
+                 / (na.n + nb.n - COALESCE(it.n_inter, 0)), 6)
+               AS jaccard_exact,
+           e.sig_union_k, e.sig_in_both,
+           ROUND(e.sig_in_both / e.sig_union_k, 6) AS kmv_jaccard_est,
+           ROUND(ABS(e.sig_in_both / e.sig_union_k
+                     - COALESCE(it.n_inter, 0)
+                       / (na.n + nb.n - COALESCE(it.n_inter, 0))), 6)
+               AS abs_err
+    FROM pairs p
+    JOIN nl na ON na.lang = p.lang_a
+    JOIN nl nb ON nb.lang = p.lang_b
+    LEFT JOIN it ON it.lang_a = p.lang_a AND it.lang_b = p.lang_b
+    JOIN estagg e ON e.lang_a = p.lang_a AND e.lang_b = p.lang_b
+    ORDER BY p.lang_a, p.lang_b
+    """,
+    description="pairwise Jaccard between language shingle sets estimated "
+    "from KMV signatures ALONE (k=64, same portable 48-bit md5 as "
+    "kmv_distinct_sketch): for each pair, the k smallest hashes of "
+    "sig(A) UNION sig(B) are a uniform sample of A UNION B, so the "
+    "fraction present in BOTH signatures estimates J(A,B) — KMV set "
+    "algebra per Beyer et al. SIGMOD'07, the sketch-sized version of "
+    "cross_source_dup_matrix.  The exact per-pair Jaccard rides along so "
+    "the oracle verifies estimator and error bit-for-bit (deterministic "
+    "hash -> exact oracle).  Scale shape: signatures are fixed-width "
+    "(k rows per group, WindowGroupLimit-capped rank windows, "
+    "plan-asserted like the KMV sketch); ALL pairwise work downstream "
+    "touches only k-row signatures — pairs x k rows, never the raw "
+    "shingle sets, which is the point: at 100 TB per-shard signatures "
+    "union by re-ranking and pair overlap costs O(pairs * k), not a "
+    "re-scan.  The exact branch's shingle self-join fans out per shingle "
+    "by at most the language count (bounded key multiplicity, no skew "
+    "hazard)",
+    tags=("sketch", "text", "distinct", "portable", "dedup"),
+)
+def kmv_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        _spread_narrow(docs)
+        .select("lang", tokenize("text").alias("_t"))
+        .select("lang", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+        .distinct()
+    )
+    h = sh.select("lang", F.expr(_kj_hash_sql("STRING")).alias("hv")).distinct()
+    wl = Window.partitionBy("lang").orderBy("hv")
+    sig = (
+        h.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _KJ_K)
+        .select("lang", "hv")
+    )
+    langs = sig.select("lang").distinct()
+    pairs = langs.select(F.col("lang").alias("lang_a")).join(
+        langs.select(F.col("lang").alias("lang_b")),
+        F.col("lang_a") < F.col("lang_b"),
+    )
+    # Signature union with membership flags: two equi-joins (sig keyed by
+    # lang on each side of the pair list), unioned, collapsed per hash.
+    ua = pairs.join(sig, sig.lang == pairs.lang_a).select(
+        "lang_a", "lang_b", "hv",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    ub = pairs.join(sig, sig.lang == pairs.lang_b).select(
+        "lang_a", "lang_b", "hv",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = (
+        ua.union(ub)
+        .groupBy("lang_a", "lang_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("lang_a", "lang_b").orderBy("hv")
+    estagg = (
+        u.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _KJ_K)
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sig_union_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("sig_in_both"),
+        )
+    )
+    nl = sh.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sha = sh.select(F.col("lang").alias("ia"), "shingle")
+    shb = sh.select(F.col("lang").alias("ib"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        sha.join(
+            shb,
+            (F.col("shingle") == F.col("shingle_b")) & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy(F.col("ia").alias("lang_a"), F.col("ib").alias("lang_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    ex_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ex_raw = F.col("n_inter") / ex_union
+    est_raw = F.col("sig_in_both") / F.col("sig_union_k")
+    return (
+        pairs.join(F.broadcast(nl.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))), "lang_a")
+        .join(F.broadcast(nl.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))), "lang_b")
+        .join(F.broadcast(inter), ["lang_a", "lang_b"], "left")
+        .join(F.broadcast(estagg), ["lang_a", "lang_b"])
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0).cast("long")))
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b", "n_inter",
+            F.round(ex_raw, 6).alias("jaccard_exact"),
+            "sig_union_k", "sig_in_both",
+            F.round(est_raw, 6).alias("kmv_jaccard_est"),
+            F.round(F.abs(est_raw - ex_raw), 6).alias("abs_err"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
