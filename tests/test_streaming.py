@@ -14,6 +14,7 @@ from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
 )
 from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import events as load_events
 from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+    hourly_user_cms,
     hourly_window_agg,
     read_events_stream,
     run_stream_to_memory,
@@ -44,6 +45,55 @@ def test_streaming_hourly_equals_batch(spark, events_batch, tmp_path_factory):
     q.stop()
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_hourly_cms_equals_batch_and_bounds_state(spark, events_batch):
+    """The per-hour count-min sketch must emit identical counter cells from
+    the stream and the batch plan, keep at most depth*width cells of state
+    per hour (user cardinality never enters the key domain), and its
+    point-query estimate must dominate the exact per-user count."""
+    import hashlib
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["r"], r["b"]): r["c"]
+        for r in hourly_user_cms(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(hourly_user_cms(stream), "cms_hourly_test", mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["r"], r["b"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    for (w, _r, _b) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= _CMS_DEPTH * _CMS_WIDTH for v in per_hour.values())
+    # Point query for the busiest (hour, user): min over the 4 probed
+    # cells >= the exact count (buckets recomputed independently here).
+    top = (
+        events_batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .first()
+    )
+    h = hashlib.md5(str(top["user_id"]).encode()).hexdigest()
+    w_start = str(top["w"]["start"])
+    est = min(
+        batch[(w_start, r, int(h[2 * r : 2 * r + 2], 16))]
+        for r in range(_CMS_DEPTH)
+    )
+    assert est >= top["n"]
 
 
 def test_session_window_agrees_with_lag_cumsum(spark, events_batch):

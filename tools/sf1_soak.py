@@ -107,6 +107,19 @@ HEAVY = [
     # measured query total is dominated by the exact ground-truth branch
     # it carries for the oracle (SCALE.md §17d)
     "cms_heavy_hitters",
+    # round 13 wave 2: the histogram quantile sketch (10x lineitem through
+    # two bounded-width passes — shuffle must stay O(cells), wall must
+    # track the scan), KMV set algebra (per-lang cardinality 10x but every
+    # pairwise stage touches only k-row signatures; the exact-Jaccard
+    # branch's shingle self-join is the part that grows), RRF fusion
+    # (corpus 10x, pools fixed at 20 — wall must track the two scans),
+    # the integrity audit (two shuffle joins + three scans at 10x), and
+    # the OLS slope (10x orders through two stacked hash aggregates).
+    "histogram_quantile_sketch",
+    "kmv_jaccard_langs",
+    "rrf_hybrid_retrieval",
+    "referential_integrity_audit",
+    "revenue_trend_slope",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

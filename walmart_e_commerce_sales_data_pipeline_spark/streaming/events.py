@@ -150,6 +150,51 @@ def session_window_agg(
     )
 
 
+def hourly_user_cms(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+    """Per-hour count-min sketch of user-activity frequency — batch or
+    streaming input (one logical plan, the module's standing design).
+
+    Emits the counter matrix ``(window_start, r, b, c)`` using the same
+    deterministic geometry as the batch ``cms_heavy_hitters`` query
+    (depth × 256 cells from disjoint 8-bit slices of one md5 — see
+    ``queries.curation.cms_cells``), keyed by tumbling 1-hour event-time
+    windows.  This is the telemetry shape a 100 TB stream keeps instead
+    of per-key counts: streaming state is bounded at depth·width rows
+    PER HOUR regardless of user cardinality (the aggregation key domain
+    is (window, r, b), never user_id), the watermark finalizes and
+    evicts closed hours, and emitted per-hour sketches merge downstream
+    by cell addition — across hours for coarser windows, across shards
+    for a fleet (merge law pinned for the batch twin in
+    tests/test_curation.py; stream == batch equality in
+    tests/test_streaming.py).
+    """
+    # Lazy import: streaming.* must not import the queries package at
+    # module load (queries/__init__ imports streaming-facing modules).
+    from ..queries.curation import _CMS_DEPTH, _cms_bucket_sql
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    hashed = src.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    cells = hashed.select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cms_bucket_sql("h", r)).alias("b"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("ts", "cell.r", "cell.b")
+    return (
+        cells.groupBy(F.window("ts", "1 hour").alias("w"), "r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "r", "b", "c")
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
