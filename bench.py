@@ -113,6 +113,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
     "kmv_jaccard_langs",
+    "events_hourly_cms",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",

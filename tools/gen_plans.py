@@ -73,6 +73,11 @@ COMMENT = {
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "
     "the probe vector broadcast",
+    "events_hourly_cms": "the sketch aggregation's key domain is (hour, r, b) — the "
+    "partial aggregate caps every partition's output at depth*width cells per hour "
+    "regardless of user/event cardinality (the streaming twin's state-size claim, "
+    "batch-visible); the top-user rank window is hour-partitioned; the probe join is "
+    "a (hour, r, b) equi-join",
     "referential_integrity_audit": "orphan checks are LEFT joins + null-probe CASE sums "
     "folded into ONE conditional aggregate per fact table (never an anti-join per "
     "check); the PK check is a per-key partial aggregate; all six branches reduce to "

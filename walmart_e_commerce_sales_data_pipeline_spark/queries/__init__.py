@@ -38,18 +38,20 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (after this round's five wave-2 additions): 11 never-green (the six
+# (after this round's six wave-2 additions): 12 never-green (the six
 # earlier round-13 queries ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
 # ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
 # ``referential_integrity_audit``, ``revenue_trend_slope``,
 # ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
-# ``kmv_jaccard_langs``), 42 queries last green externally in r9, 50 in
+# ``kmv_jaccard_langs``, ``events_hourly_cms`` — the streaming-CMS
+# batch twin), 42 queries last green externally in r9, 50 in
 # r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the eleven never-green queries plus the 39 stalest
-# r9-green ones in prior registry order; three r9-green queries
+# The window is the twelve never-green queries plus the 38 stalest
+# r9-green ones in prior registry order; four r9-green queries
 # (``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``) no longer fit and rotate to the r14 head.
+# ``events_session_window``, ``from_json_map``) no longer fit and
+# rotate to the r14 head.
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -66,6 +68,7 @@ _PRIORITY = [
     "rrf_hybrid_retrieval",
     "histogram_quantile_sketch",
     "kmv_jaccard_langs",
+    "events_hourly_cms",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -104,7 +107,6 @@ _PRIORITY = [
     "events_funnel",
     "events_cohort_retention",
     "mixture_sampling_plan",
-    "from_json_map",
 ]
 
 

@@ -248,6 +248,154 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-window count-min readout -------------------------------------------
+
+
+def _ev_bucket_probe_sql(key_sql: str, r: int) -> str:
+    from .curation import _cms_bucket_sql
+
+    return _cms_bucket_sql(f"md5(CAST({key_sql} AS VARCHAR))", r)
+
+
+def _events_hourly_cms_oracle() -> str:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    cell_branches = " UNION ALL ".join(
+        f"SELECT hour_start, {r} AS r, {_cms_bucket_sql('h', r)} AS b FROM ev"
+        for r in range(_CMS_DEPTH)
+    )
+    probe_case = " ".join(
+        f"WHEN {r} THEN {_ev_bucket_probe_sql('t.top_user', r)}"
+        for r in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    cells AS (
+        SELECT hour_start, r, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ({cell_branches})
+        GROUP BY hour_start, r, b
+    ),
+    nc AS (
+        SELECT hour_start, CAST(COUNT(*) AS BIGINT) AS cells_used
+        FROM cells GROUP BY hour_start
+    ),
+    exact AS (
+        SELECT hour_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM ev GROUP BY hour_start, user_id
+    ),
+    top AS (
+        SELECT hour_start, user_id AS top_user, n_exact FROM (
+            SELECT exact.*,
+                   ROW_NUMBER() OVER (PARTITION BY hour_start
+                                      ORDER BY n_exact DESC, user_id) AS rk
+            FROM exact
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT t.hour_start, t.top_user, t.n_exact, c.c
+        FROM top t
+        JOIN cells c
+          ON c.hour_start = t.hour_start
+         AND c.b = CASE c.r {probe_case} END
+    )
+    SELECT p.hour_start, p.top_user, p.n_exact,
+           CAST(MIN(p.c) AS BIGINT) AS cms_est,
+           CAST(MIN(p.c) - p.n_exact AS BIGINT) AS overest,
+           nc.cells_used
+    FROM probes p JOIN nc ON nc.hour_start = p.hour_start
+    GROUP BY p.hour_start, p.top_user, p.n_exact, nc.cells_used
+    ORDER BY p.hour_start
+    """
+
+
+@register(
+    "events_hourly_cms",
+    oracle=_events_hourly_cms_oracle(),
+    description="per-hour count-min heavy-hitter readout: for every "
+    "tumbling event-time hour, the busiest user's exact count next to its "
+    "estimate probed from THAT hour's CMS counter matrix (same depth-4 x "
+    "width-256 portable-md5 geometry as cms_heavy_hitters), plus the "
+    "hour's occupied-cell count — the batch twin of the streaming "
+    "operator streaming.events.hourly_user_cms (stream == batch pinned "
+    "in tests/test_streaming.py), giving the streaming sketch an "
+    "external oracle.  Scale shape: the sketch aggregation's key domain "
+    "is (hour, r, b) — bounded at depth*width cells per hour however "
+    "many users or events arrive, which is exactly the state-size claim "
+    "of the streaming twin; the per-hour top-user rank window is keyed "
+    "by hour; the probe join is a (hour, r, b)-keyed equi-join with a "
+    "residual on the probed bucket",
+    tags=("sketch", "event-time", "frequency", "portable", "streaming-twin"),
+)
+def events_hourly_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.expr(_cms_bucket_sql("h", r)).alias("b"),
+            )
+            for r in range(_CMS_DEPTH)
+        ]
+    )
+    cells = (
+        ev.select("hour_start", F.explode(probe_structs).alias("cell"))
+        .groupBy("hour_start", F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nc = cells.groupBy("hour_start").agg(
+        F.count(F.lit(1)).cast("long").alias("cells_used")
+    )
+    exact = ev.groupBy("hour_start", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    wh = Window.partitionBy("hour_start").orderBy(
+        F.col("n_exact").desc(), "user_id"
+    )
+    top = (
+        exact.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") == 1)
+        .select(
+            "hour_start",
+            F.col("user_id").alias("top_user"),
+            "n_exact",
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    probes = top.select(
+        "hour_start",
+        "top_user",
+        "n_exact",
+        F.explode(probe_structs).alias("probe"),
+    ).select("hour_start", "top_user", "n_exact", "probe.r", "probe.b")
+    return (
+        probes.join(cells, ["hour_start", "r", "b"])
+        .groupBy("hour_start", "top_user", "n_exact")
+        .agg(
+            F.min("c").cast("long").alias("cms_est"),
+            (F.min("c") - F.col("n_exact")).cast("long").alias("overest"),
+        )
+        .join(nc, "hour_start")
+        .select(
+            "hour_start", "top_user", "n_exact", "cms_est", "overest",
+            "cells_used",
+        )
+        .orderBy("hour_start")
+    )
+
+
 # --- KMV signature set algebra ---------------------------------------------
 
 _KJ_K = 64  # signature size, matching kmv_distinct_sketch
