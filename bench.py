@@ -114,6 +114,7 @@ HEADLINE = [
     "histogram_quantile_sketch",
     "kmv_jaccard_langs",
     "events_hourly_cms",
+    "embedding_top_pc",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",

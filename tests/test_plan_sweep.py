@@ -59,6 +59,11 @@ BNLJ_WHITELIST = {
     # join_cross's bounded dimensions); every frame the loop touches is
     # k-row signature state, never corpus rows.
     "kmv_jaccard_langs",
+    # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
+    # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
+    # side is dimension-sized (d fixed by the embedding schema), and the
+    # one corpus-sized stage (Gram accumulation) is a hash aggregate.
+    "embedding_top_pc",
 }
 
 

@@ -96,3 +96,79 @@ def test_kmv_jaccard_estimator_sanity(spark):
         j = r["jaccard_exact"]
         sigma = (j * (1 - j) / 64) ** 0.5
         assert r["abs_err"] <= 3 * sigma + 1.0 / 64 + 1e-9, r
+
+
+def test_embedding_top_pc_matches_numpy_recurrence(spark):
+    """On the near-isotropic testdata (lambda2/lambda1 = 0.96, no dominant
+    component) a few power steps cannot — and should not — recover the
+    true eigenvector; what must hold is (1) the Spark plan computes
+    exactly the declared k-step INTEGER recurrence (numpy replays it
+    bit-for-bit), and (2) pc1_share correctly diagnoses the isotropy."""
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.similarity import (
+        _PC_G_CAP,
+        _PC_ITERS,
+        _PC_V_CAP,
+    )
+
+    rows = q.REGISTRY["embedding_top_pc"].fn(spark, SF001).collect()
+    assert len(rows) == 64
+    loading = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF001}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+
+    def sign_div(x, s):
+        return np.sign(x) * (np.abs(x) // s)
+
+    scale = np.abs(emb).max(axis=1, keepdims=True)
+    qm = np.floor(emb * 127.0 / scale).astype(object)  # exact int arithmetic
+    g = (qm.T @ qm).astype(object)
+    gsc = max(1, int(np.abs(g.astype(np.int64)).max()) // _PC_G_CAP)
+    gs = sign_div(g.astype(np.int64), gsc)
+    v = np.ones(64, dtype=np.int64)
+    for _ in range(_PC_ITERS):
+        u = gs @ v
+        vs = max(1, int(np.abs(u).max()) // _PC_V_CAP)
+        prev_v, v = v, sign_div(u, vs)
+    ref = np.round(u / np.abs(u).max(), 6)
+    assert np.array_equal(loading, ref), (loading[:4], ref[:4])
+    # Isotropy correctly diagnosed: no dominant component on this corpus.
+    assert 0.0 < rows[0]["pc1_share"] < 0.1
+
+
+def test_embedding_top_pc_converges_on_anisotropic_corpus(spark, tmp_path):
+    """Where the diagnostic matters — a corpus with a genuinely dominant
+    direction (embedding collapse) — the k-step iteration must recover
+    the true top eigenvector and report a large pc1_share."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(64)
+    u /= np.linalg.norm(u)
+    w = rng.standard_normal((300, 1)) * 3.0
+    emb = w * u + 0.15 * rng.standard_normal((300, 64))
+    pd.DataFrame(
+        {
+            "vec_id": range(300),
+            "embedding": [r.astype(np.float32).tolist() for r in emb],
+            "label": [0] * 300,
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+    rows = q.REGISTRY["embedding_top_pc"].fn(spark, str(tmp_path)).collect()
+    loading = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    scale = np.abs(emb).max(axis=1, keepdims=True)
+    qm = np.floor(emb * 127.0 / scale)
+    g = qm.T @ qm
+    wv, vv = np.linalg.eigh(g)
+    top = vv[:, np.argmax(wv)]
+    cos = abs(float(loading @ top) / (np.linalg.norm(loading) * np.linalg.norm(top)))
+    assert cos >= 0.99, cos
+    assert rows[0]["pc1_share"] >= 0.5, rows[0]["pc1_share"]
+    assert abs(rows[0]["pc1_share"] - wv.max() / np.trace(g)) <= 0.05

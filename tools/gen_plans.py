@@ -78,6 +78,12 @@ COMMENT = {
     "regardless of user/event cardinality (the streaming twin's state-size claim, "
     "batch-visible); the top-user rank window is hour-partitioned; the probe join is "
     "a (hour, r, b) equi-join",
+    "embedding_top_pc": "the Gram accumulation is the only corpus-sized stage — "
+    "posexplode^2 streams through a partial HashAggregate that caps every partition's "
+    "output at d^2=4,096 cells; the scaled Gram localCheckpoints once (4,096 rows of "
+    "state), so the visible plan is the final readout over materialized iterates; all "
+    "power iterations touch only d^2- and d-row frames with 1-row scale broadcasts "
+    "(whitelisted BNLJ class)",
     "referential_integrity_audit": "orphan checks are LEFT joins + null-probe CASE sums "
     "folded into ONE conditional aggregate per fact table (never an anti-join per "
     "check); the PK check is a per-key partial aggregate; all six branches reduce to "

@@ -120,6 +120,13 @@ HEAVY = [
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",
+    # round 13 wave 2b: the per-hour CMS readout (10x events, per-hour
+    # cell domain fixed at depth*width) and the integer-power-iteration
+    # PCA (10x vectors through the d^2-cell Gram partial aggregate; all
+    # iterations touch dimension-sized frames only, so wall must track
+    # the one corpus-sized stage).
+    "events_hourly_cms",
+    "embedding_top_pc",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

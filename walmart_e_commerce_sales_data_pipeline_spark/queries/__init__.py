@@ -38,20 +38,21 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (after this round's six wave-2 additions): 12 never-green (the six
+# (after this round's seven wave-2 additions): 13 never-green (the six
 # earlier round-13 queries ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
 # ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
 # ``referential_integrity_audit``, ``revenue_trend_slope``,
 # ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
 # ``kmv_jaccard_langs``, ``events_hourly_cms`` — the streaming-CMS
-# batch twin), 42 queries last green externally in r9, 50 in
+# batch twin — and ``embedding_top_pc``), 42 queries last green
+# externally in r9, 50 in
 # r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the twelve never-green queries plus the 38 stalest
-# r9-green ones in prior registry order; four r9-green queries
+# The window is the thirteen never-green queries plus the 37 stalest
+# r9-green ones in prior registry order; five r9-green queries
 # (``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``, ``from_json_map``) no longer fit and
-# rotate to the r14 head.
+# ``events_session_window``, ``from_json_map``,
+# ``mixture_sampling_plan``) no longer fit and rotate to the r14 head.
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -69,6 +70,7 @@ _PRIORITY = [
     "histogram_quantile_sketch",
     "kmv_jaccard_langs",
     "events_hourly_cms",
+    "embedding_top_pc",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -106,7 +108,6 @@ _PRIORITY = [
     "grouped_zscore_histogram",
     "events_funnel",
     "events_cohort_retention",
-    "mixture_sampling_plan",
 ]
 
 

@@ -371,3 +371,230 @@ def retrieve_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via INTEGER power iteration over the int8 Gram
+# matrix — distributed PCA with an exact oracle.
+# ---------------------------------------------------------------------------
+#
+# Float power iteration cannot share an exact cross-engine oracle (every
+# mat-vec is an order-dependent float sum), so the whole algorithm is kept
+# in exact integer arithmetic: quantize each vector to int8 (the registered
+# floor-based `quantize_int8` fold), accumulate the d x d Gram matrix as
+# exact BIGINT sums of integer products, and run the unrolled power
+# iterations as integer mat-vecs with deterministic magnitude rescaling
+# (sign-split integer division by a max-derived scalar — max is
+# order-independent, so every intermediate is bit-identical in any
+# engine).  The ONLY floating arithmetic is the final loading
+# normalization and the Rayleigh-quotient ratio, both exact-integer
+# inputs through deterministic IEEE division.
+#
+# Rescaling bounds every intermediate independent of corpus size: the
+# Gram is capped at 2^30 per entry (so a billion-row corpus cannot
+# overflow the mat-vec), iterates at 2^20; u = G_s . v then satisfies
+# |u| <= 64 * 2^30 * 2^20 = 2^56 < 2^63.
+_PC_DIMS = 64
+_PC_ITERS = 4
+_PC_G_CAP = 1 << 30
+_PC_V_CAP = 1 << 20
+
+
+def _pc_sign_div(x: str, s: str, intdiv: str) -> str:
+    """Sign-split integer division: floor == trunc on non-negatives in
+    both engines, so splitting the sign removes the Spark-`div`(trunc)
+    vs DuckDB-`//` negative-operand divergence."""
+    return (
+        f"CASE WHEN {x} < 0 THEN -((-({x})) {intdiv} {s}) "
+        f"ELSE ({x}) {intdiv} {s} END"
+    )
+
+
+def _pc_oracle() -> str:
+    iters = []
+    prev_v = "v0"
+    for k in range(1, _PC_ITERS + 1):
+        last = k == _PC_ITERS
+        iters.append(f"""
+    u{k} AS (
+        SELECT g.i, CAST(SUM(g.gs * {prev_v}.v) AS BIGINT) AS u
+        FROM gs g JOIN {prev_v} ON g.j = {prev_v}.j GROUP BY g.i
+    ),
+    m{k} AS (
+        SELECT GREATEST(1, CAST(MAX(ABS(u)) AS BIGINT) // {_PC_V_CAP}) AS s
+        FROM u{k}
+    ),
+    v{k} AS (
+        SELECT u{k}.i AS j,
+               {_pc_sign_div('u' + str(k) + '.u', 'm' + str(k) + '.s', '//')} AS v
+        FROM u{k}, m{k}
+    )""")
+        prev_v = f"v{k}"
+    n, p = _PC_ITERS, _PC_ITERS - 1
+    return f"""
+    WITH s AS (
+        SELECT list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale)
+                             AS BIGINT)) AS qv
+        FROM s WHERE scale > 0
+    ),
+    qr AS (SELECT ROW_NUMBER() OVER () AS rid, qv FROM q),
+    qx AS (
+        SELECT rid, a.i - 1 AS d, qv[a.i] AS qd
+        FROM qr, UNNEST(range(1, len(qv) + 1)) AS a(i)
+    ),
+    graw AS (
+        SELECT x.d AS i, y.d AS j, CAST(SUM(x.qd * y.qd) AS BIGINT) AS g
+        FROM qx x JOIN qx y USING (rid)
+        GROUP BY x.d, y.d
+    ),
+    gm AS (
+        SELECT GREATEST(1, CAST(MAX(ABS(g)) AS BIGINT) // {_PC_G_CAP}) AS s
+        FROM graw
+    ),
+    gs AS (
+        SELECT i, j, {_pc_sign_div('graw.g', 'gm.s', '//')} AS gs
+        FROM graw, gm
+    ),
+    v0 AS (SELECT DISTINCT j, 1 AS v FROM gs),
+    {",".join(iters)},
+    tr AS (SELECT CAST(SUM(gs) AS BIGINT) AS trace FROM gs WHERE i = j),
+    ray AS (
+        SELECT CAST(ANY_VALUE(m{n}.s) AS DOUBLE)
+               * CAST(SUM(v{p}.v * v{n}.v) AS DOUBLE)
+               / CAST(SUM(v{p}.v * v{p}.v) AS DOUBLE) AS lam
+        FROM v{p} JOIN v{n} ON v{p}.j = v{n}.j, m{n}
+    ),
+    mm AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u{n})
+    SELECT CAST(u{n}.i AS INTEGER) AS dim,
+           ROUND(CAST(u{n}.u AS DOUBLE) / CAST(mm.m AS DOUBLE), 6)
+               AS loading,
+           ROUND(ray.lam / CAST(tr.trace AS DOUBLE), 6) AS pc1_share
+    FROM u{n}, mm, ray, tr
+    ORDER BY dim
+    """
+
+
+@register(
+    "embedding_top_pc",
+    oracle=_pc_oracle(),
+    description="top principal component of the embedding corpus by "
+    "INTEGER power iteration over the int8 Gram matrix: quantize_int8 "
+    "per vector, accumulate G = sum q q^T as exact BIGINT sums, then "
+    f"{_PC_ITERS} unrolled mat-vec iterations in pure integer arithmetic "
+    "with deterministic max-derived rescaling (sign-split integer "
+    "division, identical trunc semantics both engines), so even an "
+    "ITERATIVE NUMERIC eigen-solver gets an exact DuckDB oracle — the "
+    "only floats are the final loading normalization and the Rayleigh "
+    "share, exact-integer inputs through deterministic IEEE division.  "
+    "pc1_share = rayleigh(G_s)/trace(G_s) estimates the variance "
+    "fraction the top component carries (embedding collapse/anisotropy "
+    "diagnostic, the check run before cosine-similarity mining).  "
+    "Convergence is eigengap-dependent, exactly as the diagnostic "
+    "needs: on a collapsed corpus (large gap) k steps pin the true "
+    "eigenvector (cos >= 0.99 on a planted corpus), on a near-isotropic "
+    "one the share correctly reports ~1/d and the direction is the "
+    "declared k-step iterate — both regimes pinned against numpy in "
+    "tests/test_sketches.py.  Scale "
+    "shape: the Gram accumulation is the only corpus-sized stage — "
+    "posexplode^2 streams through a partial aggregate that caps every "
+    "partition's output at d^2=4,096 cells (the CMS-style mergeable-"
+    "state shape), all iterations touch only the 4,096-row scaled Gram "
+    "and 64-row iterates, and the 2^30/2^20 rescale caps bound every "
+    "intermediate below 2^56 at ANY corpus size",
+    tags=("similarity", "pca", "iterative", "quantization"),
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb).select("id", "q")
+    cells = q.select(
+        F.posexplode("q").alias("i", "qi"), F.col("q").alias("qv")
+    ).select("i", "qi", F.posexplode("qv").alias("j", "qj"))
+    graw = cells.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g")
+    )
+    gm = graw.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(MAX(ABS(g)) AS BIGINT) div {_PC_G_CAP}"),
+        ).alias("s")
+    )
+    gs = graw.crossJoin(F.broadcast(gm)).select(
+        "i", "j", F.expr(_pc_sign_div("g", "s", "div")).alias("gs")
+    )
+    # Materialize the d^2-row scaled Gram ONCE: every iteration, the
+    # trace, and the readout all branch from it, and each branch's
+    # max-scale aggregate re-references its own input — without the
+    # checkpoint the corpus-sized Gram accumulation re-executes
+    # exponentially in the iteration depth (measured 126 s -> ~15 s at
+    # sf0.01).  4,096 rows of state, same bounded-materialization
+    # posture as operators.components' loop checkpoints.
+    gs = gs.localCheckpoint(eager=True)
+    v = gs.select("j").distinct().withColumn("v", F.lit(1).cast("long"))
+    u = None
+    for k in range(1, _PC_ITERS + 1):
+        u = (
+            gs.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("v")).cast("long").alias("u"))
+        )
+        # 64-row iterate: checkpoint BEFORE the scale aggregate so both
+        # consumers (mk and the next v) read the materialized rows and
+        # lineage stays linear in the iteration depth.
+        u = u.localCheckpoint(eager=True)
+        mk = u.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST(MAX(ABS(u)) AS BIGINT) div {_PC_V_CAP}"),
+            ).alias("s")
+        )
+        prev_v = v
+        v = (
+            u.crossJoin(F.broadcast(mk))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(_pc_sign_div("u", "s", "div")).alias("v"),
+            )
+        )
+    tr = gs.filter(F.col("i") == F.col("j")).agg(
+        F.sum("gs").cast("long").alias("trace")
+    )
+    vp = prev_v.select(F.col("j"), F.col("v").alias("vp"))
+    vn = v.select(F.col("j"), F.col("v").alias("vn"))
+    mn = u.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(MAX(ABS(u)) AS BIGINT) div {_PC_V_CAP}"),
+        ).alias("s")
+    )
+    ray = (
+        vp.join(vn, "j")
+        .crossJoin(F.broadcast(mn))
+        .agg(
+            (
+                F.first("s").cast("double")
+                * F.sum(F.col("vp") * F.col("vn")).cast("double")
+                / F.sum(F.col("vp") * F.col("vp")).cast("double")
+            ).alias("lam")
+        )
+    )
+    mm = u.agg(F.expr("CAST(MAX(ABS(u)) AS BIGINT)").alias("m"))
+    return (
+        u.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round(F.col("u").cast("double") / F.col("m").cast("double"), 6)
+            .alias("loading"),
+            F.round(F.col("lam") / F.col("trace").cast("double"), 6)
+            .alias("pc1_share"),
+        )
+        .orderBy("dim")
+    )
