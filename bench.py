@@ -115,6 +115,8 @@ HEADLINE = [
     "kmv_jaccard_langs",
     "events_hourly_cms",
     "embedding_top_pc",
+    "events_time_weighted_value",
+    "revenue_decline_streaks",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",

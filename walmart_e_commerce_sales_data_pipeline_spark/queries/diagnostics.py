@@ -265,3 +265,175 @@ def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((syd * sxxd - sxd * sxyd) / den, 4).alias("intercept_cents"),
     ).orderBy("n_name")
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    iv AS (
+        SELECT user_id, cents,
+               (LEAD(ts_ns) OVER w - ts_ns) // 1000 AS dur_us
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(cents * dur_us) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 4) AS twa_value
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="per-user TIME-WEIGHTED average event value: each event's "
+    "value holds until the user's next event, so the mean weights values "
+    "by interval duration instead of event count — the correct reading "
+    "for state-like metrics (session quality, price level) under bursty "
+    "sampling, where a plain AVG over-weights bursts.  Exactness: "
+    "weights are exact integer microseconds (the ns timestamps are µs "
+    "multiples, so the //1000 is lossless), values are exact integer "
+    "cents, and both accumulators are exact BIGINT sums — the only "
+    "float is the final ratio (deterministic IEEE on identical "
+    "integers).  Scale shape: one shuffle on user_id shared by the lead "
+    "window and the aggregation; per-user state is one row",
+    tags=("event-time", "window", "agg"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    iv = ev.select(
+        "user_id",
+        "cents",
+        F.expr("(lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) - ts_ns) div 1000").alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "revenue_decline_streaks",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, x
+    ),
+    flagged AS (
+        SELECT n_name, x, y,
+               CASE WHEN y < LAG(y) OVER w THEN 1 ELSE 0 END AS dec,
+               LAG(y) OVER w - y AS drop_cents,
+               ROW_NUMBER() OVER w AS rn
+        FROM monthly
+        WINDOW w AS (PARTITION BY n_name ORDER BY x)
+    ),
+    islands AS (
+        SELECT n_name, drop_cents,
+               rn - ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x)
+                   AS island
+        FROM flagged WHERE dec = 1
+    ),
+    streaks AS (
+        SELECT n_name, island,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MAX(drop_cents) AS BIGINT) AS worst_drop
+        FROM islands GROUP BY n_name, island
+    )
+    SELECT n_name,
+           CAST(SUM(len) AS BIGINT) AS n_decline_months,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MAX(worst_drop) AS BIGINT) AS worst_drop_cents
+    FROM streaks GROUP BY n_name
+    ORDER BY n_name
+    """,
+    description="per-nation month-over-month revenue DECLINE STREAKS via "
+    "gaps-and-islands over the aggregated series: consecutive declining "
+    "months group into islands (row_number difference trick), reporting "
+    "streak count, longest streak, total declining months, and the worst "
+    "single-month drop — the drift-monitoring complement to "
+    "revenue_trend_slope (a slope can hide an 8-month slide inside a "
+    "recovering year).  All arithmetic is exact integer cents on a "
+    "calendar-bounded series; windows and islands are keyed by nation.  "
+    "Scale shape: the heavy work is the same monthly rollup as the "
+    "slope query (partial aggregate to (nation, month) cells); "
+    "everything downstream moves <= months-per-nation rows per key",
+    tags=("window", "islands", "agg", "monitoring"),
+)
+def revenue_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    x = (F.year("o_orderdate") - F.lit(1995)) * F.lit(12) + F.month(
+        "o_orderdate"
+    ) - F.lit(1)
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", x.alias("x"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("x")
+    flagged = monthly.select(
+        "n_name",
+        "x",
+        F.when(F.col("y") < F.lag("y").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("dec"),
+        (F.lag("y").over(w) - F.col("y")).alias("drop_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wd = Window.partitionBy("n_name").orderBy("x")
+    islands = flagged.filter(F.col("dec") == 1).select(
+        "n_name",
+        "drop_cents",
+        (F.col("rn") - F.row_number().over(wd)).alias("island"),
+    )
+    streaks = islands.groupBy("n_name", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("drop_cents").cast("long").alias("worst_drop"),
+    )
+    return (
+        streaks.groupBy("n_name")
+        .agg(
+            F.sum("len").cast("long").alias("n_decline_months"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.max("worst_drop").cast("long").alias("worst_drop_cents"),
+        )
+        .orderBy("n_name")
+    )
