@@ -127,6 +127,12 @@ HEAVY = [
     # the one corpus-sized stage).
     "events_hourly_cms",
     "embedding_top_pc",
+    # round 13 wave 2c: the interval-weighted mean (10x events through
+    # one user-keyed lead window + aggregate — per-user state is one
+    # row) and the decline-streak islands (10x orders through the same
+    # calendar-bounded monthly rollup as the slope query).
+    "events_time_weighted_value",
+    "revenue_decline_streaks",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
