@@ -117,6 +117,7 @@ HEADLINE = [
     "embedding_top_pc",
     "events_time_weighted_value",
     "revenue_decline_streaks",
+    "bloom_semijoin_stats",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",

@@ -122,3 +122,30 @@ def test_integrity_audit_findings_on_testdata(spark):
     assert rows["lineitem_orphan_order"] == 0
     assert rows["orders_orphan_customer"] == 0
     assert rows["lineitem_duplicate_pk"] > 0
+
+
+def test_bloom_fp_rate_near_theory(spark):
+    """The realized false-positive rate must sit in a binomial band
+    around the textbook (1 - e^(-kn/m))^k for the filter's geometry —
+    the property that makes the fixed-size filter predictable enough to
+    ship as a runtime filter."""
+    import math
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+    )
+
+    row = q.REGISTRY["bloom_semijoin_stats"].fn(spark, SF001).collect()[0]
+    assert row["n_pass"] >= row["n_true"]  # no false negatives, ever
+    assert row["bits_set"] <= min(_BLOOM_BITS, _BLOOM_K * row["n_keys"])
+    theory = (1 - math.exp(-_BLOOM_K * row["n_keys"] / _BLOOM_BITS)) ** _BLOOM_K
+    # Binomial noise band on the distinct non-member probes: the fp_rate
+    # is computed over ORDERS of non-member custkeys (clustered trials),
+    # so allow a generous 4-sigma band on ~n_keys*4 distinct probes.
+    trials = 1200  # distinct non-member custkeys at sf0.01 (1500 * 4/5)
+    sigma = math.sqrt(theory * (1 - theory) / trials)
+    assert abs(row["fp_rate"] - theory) <= 4 * sigma + 0.25 * theory, (
+        row["fp_rate"],
+        theory,
+    )

@@ -64,6 +64,10 @@ BNLJ_WHITELIST = {
     # side is dimension-sized (d fixed by the embedding schema), and the
     # one corpus-sized stage (Gram accumulation) is a hash aggregate.
     "embedding_top_pc",
+    # bloom_semijoin_stats: the output row assembles five 1-row count
+    # aggregates by cross join; the data path (bit-set build, probe,
+    # semi-joins) is all hash/equi against the <= 4,096-row filter.
+    "bloom_semijoin_stats",
 }
 
 

@@ -133,6 +133,11 @@ HEAVY = [
     # calendar-bounded monthly rollup as the slope query).
     "events_time_weighted_value",
     "revenue_decline_streaks",
+    # round 13 wave 2d: the Bloom runtime filter (10x orders probe a
+    # fixed <= 4,096-row bit set; the build side's key count also 10x
+    # but the filter state is capped — saturation shows up as fp_rate,
+    # never as state growth).
+    "bloom_semijoin_stats",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -38,7 +38,7 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (after this round's nine wave-2 additions): 15 never-green (the six
+# (after this round's ten wave-2 additions): 16 never-green (the six
 # earlier round-13 queries ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
 # ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
@@ -46,15 +46,17 @@ from . import (  # noqa: F401
 # ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
 # ``kmv_jaccard_langs``, ``events_hourly_cms`` — the streaming-CMS
 # batch twin — ``embedding_top_pc``, ``events_time_weighted_value``,
-# and ``revenue_decline_streaks``), 42 queries last green
+# ``revenue_decline_streaks``, and ``bloom_semijoin_stats``), 42
+# queries last green
 # externally in r9, 50 in
 # r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the fifteen never-green queries plus the 35 stalest
-# r9-green ones in prior registry order; seven r9-green queries
+# The window is the sixteen never-green queries plus the 34 stalest
+# r9-green ones in prior registry order; eight r9-green queries
 # (``asof_join_latest_order``, ``range_join_close_events``,
 # ``events_session_window``, ``from_json_map``,
-# ``mixture_sampling_plan``, ``events_cohort_retention``,
-# ``events_funnel``) no longer fit and rotate to the r14 head.
+# ``mixture_sampling_plan``, ``events_funnel``,
+# ``events_cohort_retention``, ``grouped_zscore_histogram``) no
+# longer fit and rotate to the r14 head.
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -75,6 +77,7 @@ _PRIORITY = [
     "embedding_top_pc",
     "events_time_weighted_value",
     "revenue_decline_streaks",
+    "bloom_semijoin_stats",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -109,7 +112,6 @@ _PRIORITY = [
     "events_rolling_engagement",
     "events_hourly_anomaly",
     "common_shingle_fraction",
-    "grouped_zscore_histogram",
 ]
 
 

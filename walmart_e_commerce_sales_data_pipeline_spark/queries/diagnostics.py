@@ -437,3 +437,157 @@ def revenue_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join with measured false-positive rate.
+# ---------------------------------------------------------------------------
+#
+# The runtime-filter primitive a 100 TB join pipeline ships to the fact
+# side instead of the key set: m = 4096 bits, k = 3 probes, each probe a
+# disjoint 3-hex-digit slice of ONE portable md5 (3 hex digits = exactly
+# 12 bits = the 4096-bit address space, so the slicing is uniform and
+# engine-identical).  Unlike Spark's builtin BloomFilter aggregate (seeded
+# murmur, opaque bitmap) every position here is deterministic, so the
+# whole filter — build, probe, and its false-positive behavior — carries
+# an exact cross-engine oracle.
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(h_expr: str, slot: int) -> str:
+    hexd = "0123456789abcdef"
+    p = 3 * slot + 1
+    return (
+        f"((instr('{hexd}', substring({h_expr}, {p}, 1)) - 1) * 256"
+        f" + (instr('{hexd}', substring({h_expr}, {p + 1}, 1)) - 1) * 16"
+        f" + (instr('{hexd}', substring({h_expr}, {p + 2}, 1)) - 1))"
+    )
+
+
+@register(
+    "bloom_semijoin_stats",
+    oracle=f"""
+    WITH keys AS (
+        SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_bloom_pos_sql('h', s)} AS pos FROM keys"
+                for s in range(_BLOOM_K)
+            )}
+        )
+    ),
+    probes AS (
+        SELECT DISTINCT o_custkey FROM orders
+    ),
+    ph AS (
+        SELECT o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS h FROM probes
+    ),
+    ppos AS (
+        {" UNION ALL ".join(
+            f"SELECT o_custkey, {_bloom_pos_sql('h', s)} AS pos FROM ph"
+            for s in range(_BLOOM_K)
+        )}
+    ),
+    verdict AS (
+        SELECT p.o_custkey,
+               CAST(COUNT(b.pos) AS BIGINT) = {_BLOOM_K} AS pass
+        FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY p.o_custkey
+    ),
+    o_pass AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pass
+        FROM orders o JOIN verdict v ON v.o_custkey = o.o_custkey
+        WHERE v.pass
+    ),
+    o_true AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM orders o WHERE EXISTS (
+            SELECT 1 FROM keys k WHERE k.c_custkey = o.o_custkey
+        )
+    ),
+    nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+    no AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
+    SELECT nk.n_keys, nb.bits_set, no.n_orders,
+           o_pass.n_pass, o_true.n_true,
+           o_pass.n_pass - o_true.n_true AS false_positives,
+           ROUND((o_pass.n_pass - o_true.n_true)
+                 / (no.n_orders - o_true.n_true), 6) AS fp_rate
+    FROM nk, nb, no, o_pass, o_true
+    """,
+    description="Bloom-filter semi-join with MEASURED false-positive "
+    "rate: a 4096-bit, k=3 filter built from the BUILDING-segment "
+    "customer keys (each probe a disjoint 3-hex-digit slice of one "
+    "portable md5 — 12 bits addresses the bitmap exactly), probed by "
+    "every order's custkey, with the exact semi-join alongside so the "
+    "output reports pass/true/false-positive counts and the realized "
+    "fp rate — the runtime-filter primitive a 100 TB pipeline ships to "
+    "the fact side instead of a key set, here with a fully "
+    "deterministic layout so (unlike the builtin seeded BloomFilter "
+    "aggregate) build, probe, AND error behavior carry an exact "
+    "cross-engine oracle.  Realized fp_rate must straddle the "
+    "(1-e^(-kn/m))^k theory value (asserted in tests/test_diagnostics"
+    ".py).  Scale shape: the bit set is <= 4,096 rows however many keys "
+    "feed it (the whole point — fixed-size filter state), probing is a "
+    "distinct-key equi-join against that bounded set, and the exact "
+    "branch is a plain key semi-join; nothing pairwise, nothing "
+    "collected",
+    tags=("join", "bloom", "sketch", "portable"),
+)
+def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.md5(F.col("c_custkey").cast("string")).alias("h")
+    )
+    pos_structs = lambda: F.explode(  # noqa: E731
+        F.array(
+            *[F.expr(_bloom_pos_sql("h", s)) for s in range(_BLOOM_K)]
+        )
+    ).alias("pos")
+    bits = keys.select(pos_structs()).distinct()
+    probes = o.select("o_custkey").distinct().withColumn(
+        "h", F.md5(F.col("o_custkey").cast("string"))
+    )
+    ppos = probes.select("o_custkey", pos_structs())
+    verdict = (
+        ppos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+        .select("o_custkey")
+    )
+    o_pass = o.join(verdict, "o_custkey", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass")
+    )
+    o_true = o.join(
+        keys.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    no = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        nk.crossJoin(nb)
+        .crossJoin(no)
+        .crossJoin(o_pass)
+        .crossJoin(o_true)
+        .select(
+            "n_keys",
+            "bits_set",
+            "n_orders",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("false_positives"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true"))
+                / (F.col("n_orders") - F.col("n_true")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
