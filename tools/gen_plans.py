@@ -84,6 +84,16 @@ COMMENT = {
     "state), so the visible plan is the final readout over materialized iterates; all "
     "power iterations touch only d^2- and d-row frames with 1-row scale broadcasts "
     "(whitelisted BNLJ class)",
+    "events_time_weighted_value": "one shuffle on user_id shared by the lead window "
+    "and the aggregation; weights are exact integer microseconds x integer cents, so "
+    "the only float is the final ratio projection",
+    "revenue_decline_streaks": "the heavy work is the same (nation, month) rollup as "
+    "revenue_trend_slope — partial aggregate to calendar-bounded cells; the lag/island/"
+    "streak windows all key on nation and move <= months-per-nation rows",
+    "bloom_semijoin_stats": "the bit set is a <= 4,096-row broadcast however many keys "
+    "feed it; probe verdicts come from a distinct-key left-semi against it; the exact "
+    "branch is a plain key semi-join; five 1-row aggregates assemble the output row "
+    "(whitelisted 1-row cross joins)",
     "referential_integrity_audit": "orphan checks are LEFT joins + null-probe CASE sums "
     "folded into ONE conditional aggregate per fact table (never an anti-join per "
     "check); the PK check is a per-key partial aggregate; all six branches reduce to "
