@@ -118,6 +118,7 @@ HEADLINE = [
     "events_time_weighted_value",
     "revenue_decline_streaks",
     "bloom_semijoin_stats",
+    "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",
     "revenue_trend_slope",

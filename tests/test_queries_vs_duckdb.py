@@ -152,18 +152,18 @@ def test_checked_window_composition():
     assert names[:50] == _PRIORITY
     # Round-13 rotation policy: the checked window is the 50 queries with
     # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram after the wave-2 additions: never:16 / r9:42 /
+    # Staleness histogram after the wave-2 additions: never:17 / r9:42 /
     # r10:50 / r12:50 (the r12 window duplicated r11's, so nothing is
-    # r11-green).  The window is the sixteen never-externally-green
-    # round-13 queries and the 34 stalest r9-green ones, in prior
-    # registry order; the remaining eight r9 queries
+    # r11-green).  The window is the seventeen never-externally-green
+    # round-13 queries and the 33 stalest r9-green ones, in prior
+    # registry order; the remaining nine r9 queries
     # (asof_join_latest_order, range_join_close_events,
     # events_session_window, from_json_map, mixture_sampling_plan,
-    # events_funnel, events_cohort_retention, grouped_zscore_histogram)
-    # rotate to the r14 head.
+    # events_funnel, events_cohort_retention, grouped_zscore_histogram,
+    # common_shingle_fraction) rotate to the r14 head.
     window = set(names[:50])
     # The round-13 additions (never externally green) lead unconditionally.
-    assert _PRIORITY[:16] == [
+    assert _PRIORITY[:17] == [
         "substring_dup_coverage",
         "retrieve_rerank_topk",
         "fuzzy_name_matches",
@@ -180,9 +180,10 @@ def test_checked_window_composition():
         "events_time_weighted_value",
         "revenue_decline_streaks",
         "bloom_semijoin_stats",
+        "events_hourly_value_quantiles",
     ]
-    # The 34 stalest r9-green queries follow, in prior registry order.
-    assert _PRIORITY[16:50] == [
+    # The 33 stalest r9-green queries follow, in prior registry order.
+    assert _PRIORITY[17:50] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -216,7 +217,6 @@ def test_checked_window_composition():
         "disjunctive_predicate_revenue",
         "events_rolling_engagement",
         "events_hourly_anomaly",
-        "common_shingle_fraction",
     ]
     # Nothing green in round 12 re-occupies a window slot — the window is
     # reserved for the stalest evidence.

@@ -14,7 +14,9 @@ from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
 )
 from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import events as load_events
 from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+    VALUE_HIST_BUCKETS,
     hourly_user_cms,
+    hourly_value_histogram,
     hourly_window_agg,
     read_events_stream,
     run_stream_to_memory,
@@ -94,6 +96,39 @@ def test_streaming_hourly_cms_equals_batch_and_bounds_state(spark, events_batch)
         for r in range(_CMS_DEPTH)
     )
     assert est >= top["n"]
+
+
+def test_streaming_value_histogram_equals_batch_and_bounds_state(
+    spark, events_batch
+):
+    """The fixed-bounds per-hour value histogram — the streaming form of
+    the quantile sketch — must emit identical cells from stream and
+    batch, keep at most VALUE_HIST_BUCKETS cells of state per hour, and
+    stay count-total (cells sum to the hour's event count)."""
+    batch = {
+        (str(r["window_start"]), r["bk"]): r["c"]
+        for r in hourly_value_histogram(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q_ = run_stream_to_memory(
+        hourly_value_histogram(stream), "vhist_test", mode="complete"
+    )
+    q_.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["bk"]): r["c"]
+        for r in spark.sql("SELECT * FROM vhist_test").collect()
+    }
+    q_.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for (w, _bk), c in got.items():
+        per_hour[w] = per_hour.get(w, 0) + 1
+        totals[w] = totals.get(w, 0) + c
+    assert all(v <= VALUE_HIST_BUCKETS for v in per_hour.values())
+    n_events = events_batch.count()
+    assert sum(totals.values()) == n_events  # clamping keeps counts total
 
 
 def test_session_window_agrees_with_lag_cumsum(spark, events_batch):

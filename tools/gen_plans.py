@@ -94,6 +94,11 @@ COMMENT = {
     "feed it; probe verdicts come from a distinct-key left-semi against it; the exact "
     "branch is a plain key semi-join; five 1-row aggregates assemble the output row "
     "(whitelisted 1-row cross joins)",
+    "events_hourly_value_quantiles": "the histogram aggregation's key domain is "
+    "(hour, bucket) — partial aggregate caps every partition at 64 cells per hour "
+    "(the streaming twin's state claim, batch-visible); cumulative/readout windows "
+    "are hour-partitioned over <= 64-row state; the exact branch is the per-hour "
+    "percentile ladder",
     "referential_integrity_audit": "orphan checks are LEFT joins + null-probe CASE sums "
     "folded into ONE conditional aggregate per fact table (never an anti-join per "
     "check); the PK check is a per-key partial aggregate; all six branches reduce to "

@@ -138,6 +138,10 @@ HEAVY = [
     # but the filter state is capped — saturation shows up as fp_rate,
     # never as state growth).
     "bloom_semijoin_stats",
+    # round 13 wave 2e: the streaming-twin quantile readout (10x events
+    # through a (hour, bucket)-capped aggregate + the per-hour exact
+    # ladder — the sketch branch's shuffle is cells x map tasks).
+    "events_hourly_value_quantiles",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -38,7 +38,7 @@ from . import (  # noqa: F401
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
 # committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (after this round's ten wave-2 additions): 16 never-green (the six
+# (after this round's eleven wave-2 additions): 17 never-green (the six
 # earlier round-13 queries ``substring_dup_coverage``,
 # ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
 # ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
@@ -46,17 +46,19 @@ from . import (  # noqa: F401
 # ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
 # ``kmv_jaccard_langs``, ``events_hourly_cms`` — the streaming-CMS
 # batch twin — ``embedding_top_pc``, ``events_time_weighted_value``,
-# ``revenue_decline_streaks``, and ``bloom_semijoin_stats``), 42
-# queries last green
+# ``revenue_decline_streaks``, ``bloom_semijoin_stats``, and
+# ``events_hourly_value_quantiles`` — the streaming-quantile-sketch
+# batch twin), 42 queries last green
 # externally in r9, 50 in
 # r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the sixteen never-green queries plus the 34 stalest
-# r9-green ones in prior registry order; eight r9-green queries
+# The window is the seventeen never-green queries plus the 33 stalest
+# r9-green ones in prior registry order; nine r9-green queries
 # (``asof_join_latest_order``, ``range_join_close_events``,
 # ``events_session_window``, ``from_json_map``,
 # ``mixture_sampling_plan``, ``events_funnel``,
-# ``events_cohort_retention``, ``grouped_zscore_histogram``) no
-# longer fit and rotate to the r14 head.
+# ``events_cohort_retention``, ``grouped_zscore_histogram``,
+# ``common_shingle_fraction``) no longer fit and rotate to the r14
+# head.
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -78,6 +80,7 @@ _PRIORITY = [
     "events_time_weighted_value",
     "revenue_decline_streaks",
     "bloom_semijoin_stats",
+    "events_hourly_value_quantiles",
     "date_functions",
     "agg_suite",
     "case_when_tiers",
@@ -111,7 +114,6 @@ _PRIORITY = [
     "disjunctive_predicate_revenue",
     "events_rolling_engagement",
     "events_hourly_anomaly",
-    "common_shingle_fraction",
 ]
 
 

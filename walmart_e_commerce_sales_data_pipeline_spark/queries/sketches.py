@@ -248,6 +248,35 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fixed_bucket_expr(
+    value: "F.Column", lo: float, hi: float, n_buckets: int
+):
+    """Bucket index for a FIXED-bounds histogram: ``least(floor((x-lo)/w),
+    B-1)`` clamped into [0, B-1].  A-priori bounds are what make the
+    sketch STREAMING-compatible (a stream cannot two-pass for min/max);
+    out-of-range values clamp into the edge buckets rather than drop, so
+    counts stay total.  Pure deterministic IEEE arithmetic — identical
+    in any engine given the same doubles."""
+    w = (hi - lo) / float(n_buckets)
+    return F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((value - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+    )
+
+
+def fixed_bucket_sql(value_sql: str, lo: float, hi: float, n_buckets: int) -> str:
+    """The DuckDB mirror of ``fixed_bucket_expr`` — same literals, same
+    association."""
+    w = (hi - lo) / float(n_buckets)
+    return (
+        f"GREATEST(0, LEAST(CAST(FLOOR(({value_sql} - {lo!r}) / {w!r}) AS INT),"
+        f" {n_buckets - 1}))"
+    )
+
+
 # --- per-window count-min readout -------------------------------------------
 
 
@@ -574,4 +603,165 @@ def kmv_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est_raw - ex_raw), 6).alias("abs_err"),
         )
         .orderBy("lang_a", "lang_b")
+    )
+
+
+# --- per-window quantile sketch readout (streaming twin) --------------------
+
+_EVQ_QS = (("p50", 0.5), ("p90", 0.9))
+_EVQ_LO, _EVQ_HI = 0.0, 500.0  # streaming.events.VALUE_HIST_BOUNDS
+_EVQ_B = 64  # streaming.events.VALUE_HIST_BUCKETS
+
+
+def _evq_oracle() -> str:
+    bucket = fixed_bucket_sql("value", _EVQ_LO, _EVQ_HI, _EVQ_B)
+    w = (_EVQ_HI - _EVQ_LO) / float(_EVQ_B)
+    targets_sql = ", ".join(f"('{lbl}', {q!r})" for lbl, q in _EVQ_QS)
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               value
+        FROM events
+    ),
+    hist AS (
+        SELECT hour_start, {bucket} AS bk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev GROUP BY hour_start, 2
+    ),
+    n AS (
+        SELECT hour_start, CAST(SUM(c) AS BIGINT) AS n
+        FROM hist GROUP BY hour_start
+    ),
+    cum AS (
+        SELECT *, CAST(SUM(c) OVER (PARTITION BY hour_start ORDER BY bk)
+                       AS BIGINT) AS cw
+        FROM hist
+    ),
+    targets AS (
+        SELECT n.hour_start, t.lbl AS quantile,
+               CAST(CEIL(CAST(t.q AS DOUBLE) * n.n) AS BIGINT) AS tr
+        FROM n, (VALUES {targets_sql}) AS t(lbl, q)
+    ),
+    est AS (
+        SELECT t.hour_start, t.quantile,
+               {_EVQ_LO!r} + {w!r}
+                   * (CAST(cum.bk AS DOUBLE)
+                      + (t.tr - (cum.cw - cum.c)) / cum.c) AS est_raw
+        FROM targets t
+        JOIN cum ON cum.hour_start = t.hour_start
+                AND cum.cw >= t.tr AND cum.cw - cum.c < t.tr
+    ),
+    exq AS (
+        SELECT hour_start,
+               quantile_cont(value, 0.5) AS e50,
+               quantile_cont(value, 0.9) AS e90
+        FROM ev GROUP BY hour_start
+    ),
+    exact AS (
+        SELECT hour_start, 'p50' AS quantile, e50 AS ex_raw FROM exq
+        UNION ALL SELECT hour_start, 'p90', e90 FROM exq
+    )
+    SELECT est.hour_start AS hour_start, est.quantile AS quantile,
+           ROUND(est.est_raw, 4) AS hist_est,
+           ROUND(exact.ex_raw, 4) AS exact,
+           ROUND(ABS(est.est_raw - exact.ex_raw) / exact.ex_raw, 6)
+               AS rel_err
+    FROM est JOIN exact ON exact.hour_start = est.hour_start
+                       AND exact.quantile = est.quantile
+    ORDER BY est.hour_start, est.quantile
+    """
+
+
+@register(
+    "events_hourly_value_quantiles",
+    oracle=_evq_oracle(),
+    description="per-hour p50/p90 of event value read from the "
+    "FIXED-BOUNDS 64-bucket histogram (the streaming-compatible form of "
+    "the quantile sketch: a stream cannot two-pass for bounds, so they "
+    "are fixed a priori and out-of-range values clamp into edge "
+    "buckets), with the exact per-hour ladder percentiles alongside — "
+    "the batch twin of streaming.events.hourly_value_histogram (stream "
+    "== batch cell equality pinned in tests/test_streaming.py), giving "
+    "the streaming quantile sketch an external oracle exactly as "
+    "events_hourly_cms does for the streaming CMS.  Scale shape: the "
+    "histogram aggregation's key domain is (hour, bucket) — bounded at "
+    "64 cells per hour however many events arrive (the streaming "
+    "state-size claim, batch-visible); the cumulative/readout windows "
+    "run per hour over <= 64-row sketch state; the exact branch reuses "
+    "the distributed percentile ladder per hour group",
+    tags=("sketch", "percentile", "event-time", "streaming-twin"),
+)
+def events_hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_group_percentiles
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "value",
+    )
+    w = (_EVQ_HI - _EVQ_LO) / float(_EVQ_B)
+    hist = (
+        ev.select(
+            "hour_start",
+            fixed_bucket_expr(F.col("value"), _EVQ_LO, _EVQ_HI, _EVQ_B).alias(
+                "bk"
+            ),
+        )
+        .groupBy("hour_start", "bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = hist.groupBy("hour_start").agg(F.sum("c").cast("long").alias("n"))
+    cum = hist.withColumn(
+        "cw",
+        F.sum("c")
+        .over(Window.partitionBy("hour_start").orderBy("bk"))
+        .cast("long"),
+    )
+    targets = n.select(
+        "hour_start",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        F.ceil(F.lit(q) * F.col("n")).alias("tr"),
+                    )
+                    for lbl, q in _EVQ_QS
+                ]
+            )
+        ).alias("t"),
+    ).select("hour_start", "t.quantile", "t.tr")
+    est_raw = F.lit(_EVQ_LO) + F.lit(w) * (
+        F.col("bk").cast("double")
+        + (F.col("tr") - (F.col("cw") - F.col("c"))) / F.col("c")
+    )
+    cum2 = cum.select(F.col("hour_start").alias("g2"), "bk", "c", "cw")
+    est = targets.join(
+        cum2,
+        on=[
+            F.col("hour_start") == F.col("g2"),
+            F.col("cw") >= F.col("tr"),
+            F.col("cw") - F.col("c") < F.col("tr"),
+        ],
+    ).select("hour_start", "quantile", est_raw.alias("est_raw"))
+    exact = exact_group_percentiles(
+        ev, ["hour_start"], "value", [q for _, q in _EVQ_QS],
+        on_overflow="error",
+    ).selectExpr(
+        "hour_start",
+        "stack(2, 'p50', p_0, 'p90', p_1) AS (quantile, ex_raw)",
+    )
+    return (
+        est.join(exact, ["hour_start", "quantile"])
+        .select(
+            "hour_start",
+            "quantile",
+            F.round("est_raw", 4).alias("hist_est"),
+            F.round("ex_raw", 4).alias("exact"),
+            F.round(
+                F.abs(F.col("est_raw") - F.col("ex_raw")) / F.col("ex_raw"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_start", "quantile")
     )

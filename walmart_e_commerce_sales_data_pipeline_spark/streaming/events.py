@@ -195,6 +195,50 @@ def hourly_user_cms(events: DataFrame, watermark: str = "25 hours") -> DataFrame
     )
 
 
+# Fixed a-priori bounds for the streaming value histogram: the events
+# generator draws value in (0, 500) (TESTDATA.md); a stream cannot
+# two-pass for min/max, so fixed bounds ARE the streaming trade —
+# out-of-range values clamp into the edge buckets (counts stay total).
+VALUE_HIST_BOUNDS = (0.0, 500.0)
+VALUE_HIST_BUCKETS = 64
+
+
+def hourly_value_histogram(
+    events: DataFrame, watermark: str = "25 hours"
+) -> DataFrame:
+    """Per-hour fixed-bounds histogram of ``value`` — batch or streaming
+    input (one logical plan, the module's standing design).
+
+    Emits ``(window_start, bk, c)`` — the QUANTILE sketch of
+    ``queries/sketches.py`` in its streaming-compatible form: bounds are
+    fixed a priori (see ``VALUE_HIST_BOUNDS``) because a stream cannot
+    two-pass for per-group min/max, which is exactly how t-digest-style
+    telemetry runs in production.  Streaming state is bounded at
+    ``VALUE_HIST_BUCKETS`` cells per hour regardless of event volume,
+    the watermark finalizes and evicts closed hours, and emitted
+    per-hour histograms merge downstream by bucket addition — across
+    hours for coarser windows, across shards for a fleet.  The
+    oracle-checked batch readout (interpolated per-hour quantiles vs
+    the exact ladder) is ``events_hourly_value_quantiles``; stream ==
+    batch equality is pinned in tests/test_streaming.py.
+    """
+    from ..queries.sketches import fixed_bucket_expr
+
+    lo, hi = VALUE_HIST_BOUNDS
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cells = src.select(
+        "ts",
+        fixed_bucket_expr(F.col("value"), lo, hi, VALUE_HIST_BUCKETS).alias(
+            "bk"
+        ),
+    )
+    return (
+        cells.groupBy(F.window("ts", "1 hour").alias("w"), "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "bk", "c")
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
