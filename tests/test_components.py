@@ -209,6 +209,33 @@ def test_pagerank_matches_driver_reference(spark):
     assert abs(got[20] - got[21]) < 1e-12
 
 
+def test_pagerank_drops_self_loops_and_validates_edge_shape(spark):
+    """The distinct-(x<y) edge contract is load-bearing for sum(pr)=1:
+    self-loops are dropped defensively (narrow filter, always on), and
+    validate=True turns duplicate / already-mirrored pairs into a
+    ValueError instead of silently double-counted degrees."""
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.centrality import (
+        pagerank,
+    )
+
+    clean = spark.createDataFrame([(1, 2), (2, 3)], ["x", "y"])
+    base = {r["id"]: r["pr"] for r in pagerank(clean, iterations=3).collect()}
+
+    with_loop = spark.createDataFrame([(1, 2), (2, 3), (2, 2)], ["x", "y"])
+    looped = {
+        r["id"]: r["pr"]
+        for r in pagerank(with_loop, iterations=3, validate=True).collect()
+    }
+    assert looped == base  # self-loop filtered before degrees
+
+    for bad in ([(1, 2), (2, 3), (1, 2)], [(1, 2), (2, 3), (2, 1)]):
+        df = spark.createDataFrame(bad, ["x", "y"])
+        with pytest.raises(ValueError, match="distinct undirected"):
+            pagerank(df, iterations=1, validate=True)
+        # default path stays cheap: no validation job, ranks still emitted
+        assert pagerank(df, iterations=1).count() == 3
+
+
 def test_weighted_pagerank_matches_driver_reference(spark):
     """Edge-weighted PageRank (contribution rank_u * w_uv / sum_w(u)) vs
     an independent dict reference, and the w==1 case must degenerate to

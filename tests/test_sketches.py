@@ -57,6 +57,27 @@ def test_histogram_cells_merge_by_addition(spark):
     assert per_group and all(v <= _HQ_B for v in per_group.values())
 
 
+def test_histogram_cells_clamps_out_of_bounds_values(spark):
+    """With caller-supplied bounds (the sharded two-phase use) a shard can
+    hold values OUTSIDE [lo, hi] — stale footer stats, late data.  Those
+    must clamp into the edge buckets 0 / B-1, never a negative or
+    out-of-range ``bk`` that would corrupt the merge-by-addition; counts
+    stay total."""
+    df = spark.createDataFrame(
+        [("g", v) for v in (-50.0, -1.0, 0.0, 10.0, 99.0, 100.0, 250.0)],
+        "g string, x double",
+    )
+    bounds = spark.createDataFrame(
+        [("g", 0.0, 100.0, 7)], "g string, lo double, hi double, n bigint"
+    )
+    cells = histogram_cells(df, "g", "x", n_buckets=10, bounds=bounds).collect()
+    assert all(0 <= r["bk"] <= 9 for r in cells), cells
+    assert sum(r["c"] for r in cells) == 7
+    by_bk = {r["bk"]: r["c"] for r in cells}
+    assert by_bk[0] == 3  # -50, -1 clamp low; 0.0 lands in bucket 0
+    assert by_bk[9] == 3  # 99 in-range top bucket; 100, 250 clamp high
+
+
 def test_histogram_quantile_error_within_bucket_bound(spark):
     """The interpolated readout sits in the bucket bracketing the target
     rank; quantile_cont's value can sit at most one bucket away (its rank

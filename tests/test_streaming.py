@@ -131,6 +131,27 @@ def test_streaming_value_histogram_equals_batch_and_bounds_state(
     assert sum(totals.values()) == n_events  # clamping keeps counts total
 
 
+def test_value_histogram_filters_null_values_keeping_invariants(spark):
+    """A stream carrying NULL values must not grow a NULL bucket cell:
+    nulls are filtered (quantiles over NULL are meaningless), the state
+    bound stays <= VALUE_HIST_BUCKETS, and totality holds over the
+    NON-NULL count — the invariant as documented on the operator."""
+    rows = [
+        ("2024-01-01 10:00:05", 10.0),
+        ("2024-01-01 10:10:05", None),
+        ("2024-01-01 10:20:05", 499.0),
+        ("2024-01-01 10:30:05", None),
+        ("2024-01-01 10:40:05", 250.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, value double").selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    cells = hourly_value_histogram(df).collect()
+    assert all(r["bk"] is not None for r in cells), cells
+    assert len(cells) <= VALUE_HIST_BUCKETS
+    assert sum(r["c"] for r in cells) == 3  # the non-null values
+
+
 def test_session_window_agrees_with_lag_cumsum(spark, events_batch):
     """The native session_window and the lag+cumsum implementation define
     sessions identically except at exact-gap boundaries (measure-zero for

@@ -29,6 +29,7 @@ def pagerank(
     src: str = "x",
     dst: str = "y",
     weight_col: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED pair graph.
 
@@ -58,11 +59,33 @@ def pagerank(
     is unchanged: the "degree" aggregate sums weights instead of
     counting rows.
 
+    The distinct-(x<y, no self-loop) shape is load-bearing for the
+    Σ pr = 1 invariant the oracle comparison checks: a duplicate or
+    already-mirrored edge double-counts degrees, and a self-loop breaks
+    the no-dangling argument.  Self-loops are dropped defensively (a
+    narrow filter — free), but duplicate detection needs a shuffle, so
+    it sits behind ``validate=True``: one count job that raises
+    ``ValueError`` naming the violation instead of silently skewing
+    ranks (pinned in tests/test_components.py).
+
     Returns (id, pr) with Σ pr = 1 up to float error.
     """
     w = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     ).alias("w")
+    pairs = pairs.filter(F.col(src) != F.col(dst))
+    if validate:
+        key = [F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))]
+        stats = pairs.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct(*key).alias("undirected"),
+        ).first()
+        if stats["rows"] != stats["undirected"]:
+            raise ValueError(
+                "pagerank: pairs must be distinct undirected edges; got "
+                f"{stats['rows']} rows for {stats['undirected']} undirected "
+                "edges (duplicate or mirrored pairs double-count degrees)"
+            )
     edges = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), w
     ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"), w))

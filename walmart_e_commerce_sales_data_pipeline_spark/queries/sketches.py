@@ -78,10 +78,18 @@ def histogram_cells(
             F.count(F.lit(1)).alias("n"),
         )
     w = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    # Clamp BOTH ends (as fixed_bucket_expr does): with caller-supplied
+    # bounds — the documented sharded / footer-stats two-phase use — a shard
+    # value outside [lo, hi] must land in an edge bucket, not a negative or
+    # out-of-range ``bk`` that would silently corrupt the merge-by-addition
+    # and let the quantile readout emit estimates outside the bounds.
     bk = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((x - F.col("lo")) / w).cast("int"),
-            F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((x - F.col("lo")) / w).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
         )
     )
     return (

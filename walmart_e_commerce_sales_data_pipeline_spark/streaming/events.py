@@ -226,7 +226,14 @@ def hourly_value_histogram(
 
     lo, hi = VALUE_HIST_BOUNDS
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    cells = src.select(
+    # NULL values are filtered, not bucketed: a quantile sketch over NULL is
+    # meaningless (SQL aggregates ignore NULLs too), and without the filter a
+    # null ``value`` would fall through fixed_bucket_expr into a NULL ``bk``
+    # cell — an extra state row per hour that violates both the
+    # ``<= VALUE_HIST_BUCKETS`` state bound and the counts-stay-total claim.
+    # Totality therefore reads: sum(c) == count of NON-NULL values per hour
+    # (pinned in tests/test_streaming.py for a null-carrying stream).
+    cells = src.filter(F.col("value").isNotNull()).select(
         "ts",
         fixed_bucket_expr(F.col("value"), lo, hi, VALUE_HIST_BUCKETS).alias(
             "bk"
