@@ -113,11 +113,13 @@ HEADLINE = [
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
     "kmv_jaccard_langs",
+    "kmv_set_difference",
     "events_hourly_cms",
     "embedding_top_pc",
     "events_time_weighted_value",
     "revenue_decline_streaks",
     "bloom_semijoin_stats",
+    "events_hourly_bloom_returns",
     "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",

@@ -59,6 +59,11 @@ BNLJ_WHITELIST = {
     # join_cross's bounded dimensions); every frame the loop touches is
     # k-row signature state, never corpus rows.
     "kmv_jaccard_langs",
+    # kmv_set_difference: same plan skeleton and same justification as
+    # kmv_jaccard_langs — the only nested loop is the `lang_a < lang_b`
+    # pair cross over the 5-row distinct language dimension; all
+    # downstream frames are k=64-row signatures.
+    "kmv_set_difference",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the

@@ -150,96 +150,95 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-13 rotation policy: the checked window is the 50 queries with
-    # the oldest external evidence (computed by tools/rotate_window.py).
-    # Staleness histogram after the wave-2 additions: never:17 / r9:42 /
-    # r10:50 / r12:50 (the r12 window duplicated r11's, so nothing is
-    # r11-green).  The window is the seventeen never-externally-green
-    # round-13 queries and the 33 stalest r9-green ones, in prior
-    # registry order; the remaining nine r9 queries
-    # (asof_join_latest_order, range_join_close_events,
-    # events_session_window, from_json_map, mixture_sampling_plan,
-    # events_funnel, events_cohort_retention, grouped_zscore_histogram,
-    # common_shingle_fraction) rotate to the r14 head.
+    # Round-14 rotation policy: the checked window is the 50 queries with
+    # the oldest external evidence (computed by tools/rotate_window.py,
+    # which also asserts the 5-round staleness horizon).  Staleness
+    # histogram after the round-14 additions: never:2 / r9:9 / r10:50 /
+    # r12:50 / r13:50.  The window is the two never-green round-14
+    # queries, the nine r9-stale leftovers the r13 window could not fit,
+    # then the 39 stalest r10-green queries in prior registry order;
+    # eleven r10-green queries (exists_not_exists_combo,
+    # lateral_explode_embeddings, tfidf_top_terms, top_supplier_revenue,
+    # dormant_customer_balance, local_supplier_volume,
+    # customer_order_histogram, set_operations_all, orders_rfm_segments,
+    # quantize_embeddings, label_centroid_similarity) no longer fit and
+    # head the r15 window.
     window = set(names[:50])
-    # The round-13 additions (never externally green) lead unconditionally.
-    assert _PRIORITY[:17] == [
-        "substring_dup_coverage",
-        "retrieve_rerank_topk",
-        "fuzzy_name_matches",
-        "dup_graph_pagerank",
-        "dedup_containment",
-        "cms_heavy_hitters",
-        "referential_integrity_audit",
-        "revenue_trend_slope",
-        "rrf_hybrid_retrieval",
-        "histogram_quantile_sketch",
-        "kmv_jaccard_langs",
-        "events_hourly_cms",
-        "embedding_top_pc",
-        "events_time_weighted_value",
-        "revenue_decline_streaks",
-        "bloom_semijoin_stats",
-        "events_hourly_value_quantiles",
+    # The round-14 additions (never externally green) lead unconditionally,
+    # followed by the nine r9-stale queries named in VERDICT r13 task 1.
+    assert _PRIORITY[:11] == [
+        "events_hourly_bloom_returns",
+        "kmv_set_difference",
+        "common_shingle_fraction",
+        "grouped_zscore_histogram",
+        "events_funnel",
+        "events_cohort_retention",
+        "mixture_sampling_plan",
+        "from_json_map",
+        "asof_join_latest_order",
+        "range_join_close_events",
+        "events_session_window",
     ]
-    # The 33 stalest r9-green queries follow, in prior registry order.
-    assert _PRIORITY[17:50] == [
-        "date_functions",
-        "agg_suite",
-        "case_when_tiers",
-        "union_all_monthly",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "decontaminate_corpus",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "text_stats",
-        "text_quality_buckets",
-        "text_lang_id",
-        "doc_fingerprint",
-        "text_bpe_tokens",
-        "text_repetition",
-        "pack_context_segments",
-        "pack_greedy_bins",
-        "vocab_top_ngrams",
-        "quality_percentile_filter",
-        "cdc_chunk_stats",
-        "token_budget_fill",
-        "dedup_clusters",
-        "dedup_canonical_keep",
-        "event_transition_matrix",
-        "dedup_embedding",
-        "dup_graph_triangles",
-        "corpus_clean_pipeline",
-        "warc_roundtrip_curation",
-        "bm25_doc_retrieval",
-        "source_unigram_divergence",
-        "disjunctive_predicate_revenue",
-        "events_rolling_engagement",
-        "events_hourly_anomaly",
+    # The 39 stalest r10-green queries follow, in prior registry order.
+    assert _PRIORITY[11:50] == [
+        "monthly_avg_value",
+        "events_hourly_window",
+        "events_sessionization",
+        "events_sliding_window",
+        "events_json_extract",
+        "user_event_paths",
+        "time_series_gap_fill",
+        "key_skew_profile",
+        "latest_record_compaction",
+        "events_dow_hour_heatmap",
+        "event_interarrival_profile",
+        "scalar_means",
+        "impute_group_avg",
+        "join_customer_orders",
+        "join_left_outer",
+        "join_semi",
+        "warc_curation_by_day",
+        "vocab_oov_rate",
+        "prefix_dup_groups",
+        "profile_documents",
+        "stratified_sample_stats",
+        "train_val_test_split",
+        "embedding_dim_profile",
+        "forecast_revenue",
+        "shipping_priority_top10",
+        "large_quantity_orders",
+        "above_average_orders",
+        "pivot_status_by_year",
+        "price_percentiles",
+        "regex_math_functions",
+        "ship_delay_buckets",
+        "map_array_functions",
+        "join_right_outer",
+        "join_cross",
+        "null_ordering",
+        "window_frames_suite",
+        "grouping_sets_explicit",
+        "correlated_subquery_orders",
+        "min_price_per_type",
     ]
-    # Nothing green in round 12 re-occupies a window slot — the window is
-    # reserved for the stalest evidence.
-    r12_green_sample = {
+    # Nothing green in rounds 12 or 13 re-occupies a window slot — the
+    # window is reserved for the stalest evidence.
+    r12_r13_green_sample = {
         "dup_cluster_size_dist_star", "merge_upsert_orders",
         "concurrent_sessions_profile", "mad_outlier_rate",
         "pii_redaction_stats", "hll_distinct_sketch",
         "weighted_sample_aes", "join_anti", "join_full_outer",
         "kmv_sketch_union", "scd2_user_state_history",
         "pricing_summary", "regional_revenue", "string_functions",
+        "substring_dup_coverage", "retrieve_rerank_topk",
+        "dup_graph_pagerank", "cms_heavy_hitters",
+        "histogram_quantile_sketch", "kmv_jaccard_langs",
+        "events_hourly_cms", "embedding_top_pc", "bloom_semijoin_stats",
+        "events_hourly_value_quantiles", "date_functions", "agg_suite",
+        "dedup_exact", "dedup_minhash_lsh", "text_stats",
+        "vocab_top_ngrams", "events_hourly_anomaly",
     }
-    assert not (r12_green_sample & window)
-    # Likewise every r10-green query stays out this round: eleven
-    # never-green queries displace the r10 tail entirely.
-    r10_fresh_sample = {
-        "warc_curation_by_day", "label_centroid_similarity",
-        "event_interarrival_profile", "vocab_oov_rate",
-        "prefix_dup_groups", "profile_documents",
-        "join_customer_orders", "join_semi",
-        "quantize_embeddings", "orders_rfm_segments",
-        "key_skew_profile", "monthly_avg_value", "events_hourly_window",
-    }
-    assert not (r10_fresh_sample & window)
+    assert not (r12_r13_green_sample & window)
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
 

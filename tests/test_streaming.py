@@ -131,6 +131,57 @@ def test_streaming_value_histogram_equals_batch_and_bounds_state(
     assert sum(totals.values()) == n_events  # clamping keeps counts total
 
 
+def test_streaming_hourly_bloom_equals_batch_and_bounds_state(
+    spark, events_batch
+):
+    """The per-hour Bloom filter (membership — the third streaming sketch
+    family beside CMS frequency and histogram quantiles) must emit the
+    identical set-bit rows from stream and batch, keep at most
+    _BLOOM_BITS rows of state per hour, and never produce a false
+    NEGATIVE: every user active in an hour must pass that hour's filter
+    (probes recomputed independently here)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _bloom_pos_sql,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_bloom,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["pos"])
+        for r in hourly_user_bloom(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_bloom(stream), "bloom_hourly_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["pos"])
+        for r in spark.sql("SELECT * FROM bloom_hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    for (w, _pos) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= _BLOOM_BITS for v in per_hour.values())
+    # No false negatives: every (hour, active user) probes all-k-set.
+    probes = events_batch.select(
+        F.window("ts", "1 hour").getField("start").alias("w"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "w",
+        *[F.expr(_bloom_pos_sql("h", s)).alias(f"p{s}") for s in range(_BLOOM_K)],
+    )
+    for r in probes.distinct().collect():
+        for s in range(_BLOOM_K):
+            assert (str(r["w"]), r[f"p{s}"]) in got
+
+
 def test_value_histogram_filters_null_values_keeping_invariants(spark):
     """A stream carrying NULL values must not grow a NULL bucket cell:
     nulls are filtered (quantiles over NULL are meaningless), the state

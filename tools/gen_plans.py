@@ -69,6 +69,16 @@ COMMENT = {
     "stages touch only 10 pairs x <= 128 signature rows (the whitelisted lang-pair "
     "nested loop is over the 5-row DISTINCT language dimension); the exact-Jaccard "
     "self-join fans out per shingle by at most the language count",
+    "kmv_set_difference": "same plan skeleton as kmv_jaccard_langs: one shingle-distinct "
+    "shuffle feeds the signature AND exact branches; signatures are WindowGroupLimit-capped "
+    "to k=64 rows per lang; the difference estimator reads only the union-signature "
+    "membership flags (pairs x <= 128 rows), and the exact n_a_only/n_b_only come from the "
+    "same bounded-multiplicity shingle self-join the Jaccard query carries",
+    "events_hourly_bloom_returns": "the filter aggregation's key domain is (hour, pos) — "
+    "the partial aggregate caps every partition at <= 4,096 set-bit rows per hour "
+    "regardless of user cardinality (the streaming twin's state-size claim, "
+    "batch-visible); the probe is a (hour, pos) equi-join against that bounded set; the "
+    "exact return branch is an (hour+1, user)-keyed self-join of distinct hour-user pairs",
     "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "

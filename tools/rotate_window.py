@@ -71,6 +71,38 @@ def main() -> None:
     never = [n for n in names if last_green[n] == 0]
     if never:
         print(f"# NEVER-GREEN (must head the window): {never}")
+
+    # Staleness-horizon honesty check: with a registry this much wider than
+    # the window, a query's external-refresh period is ceil(N/window) rounds
+    # by construction.  Project forward: under the proposed window, every
+    # query not in it keeps its current evidence age + 1 next round.  Assert
+    # no query would exceed MAX_STALE_ROUNDS rounds without external
+    # evidence — if this fires, widen the window or split the round.
+    MAX_STALE_ROUNDS = 5
+    cur_round = max((r for h in hist.values() for r in h), default=0)
+    next_round = cur_round + 1
+    period = -(-len(names) // window)  # ceil: structural refresh period
+    print(
+        f"# staleness horizon: registry {len(names)} / window {window} -> "
+        f"structural refresh period {period} rounds"
+    )
+    worst = None
+    for n in names:
+        # age after the next round, assuming the proposed prefix goes green
+        age = 0 if n in set(prefix) else next_round - last_green[n]
+        if last_green[n] == 0 and n not in set(prefix):
+            age = period  # never-green outside the window: worst case
+        if worst is None or age > worst[1]:
+            worst = (n, age)
+    print(
+        f"# worst projected staleness after r{next_round}: "
+        f"{worst[0]} at {worst[1]} rounds (limit {MAX_STALE_ROUNDS})"
+    )
+    assert worst[1] <= MAX_STALE_ROUNDS, (
+        f"query {worst[0]} would be {worst[1]} rounds without external "
+        f"evidence (> {MAX_STALE_ROUNDS}); widen the window or rotate twice"
+    )
+
     print(f"# proposed {window}-query prefix, stalest first:")
     print("_PRIORITY = [")
     for n in prefix:

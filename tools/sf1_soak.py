@@ -142,6 +142,15 @@ HEAVY = [
     # through a (hour, bucket)-capped aggregate + the per-hour exact
     # ladder — the sketch branch's shuffle is cells x map tasks).
     "events_hourly_value_quantiles",
+    # round 14: the KMV set-difference (same signature pipeline as
+    # kmv_jaccard_langs — every estimator stage touches k=64-row
+    # signatures, the exact branch's bounded-multiplicity shingle
+    # self-join is the part that grows) and the streaming-twin Bloom
+    # readout (10x events through a (hour, pos)-capped <= 4,096-cell
+    # aggregate, probe join against that bounded set, plus the exact
+    # hour-over-hour return self-join).
+    "kmv_set_difference",
+    "events_hourly_bloom_returns",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -37,83 +37,78 @@ from . import (  # noqa: F401
 # hard oracle-checked signal this round.  Rotation policy (standing since
 # round 6): the checked prefix is the 50 queries with the OLDEST external
 # evidence, computed mechanically by ``tools/rotate_window.py`` from the
-# committed CORRECTNESS_r*.json files.  Round-13 staleness histogram
-# (after this round's eleven wave-2 additions): 17 never-green (the six
-# earlier round-13 queries ``substring_dup_coverage``,
-# ``retrieve_rerank_topk``, ``fuzzy_name_matches``, ``dup_graph_pagerank``,
-# ``dedup_containment``, ``cms_heavy_hitters`` plus the wave-2
-# ``referential_integrity_audit``, ``revenue_trend_slope``,
-# ``rrf_hybrid_retrieval``, ``histogram_quantile_sketch``,
-# ``kmv_jaccard_langs``, ``events_hourly_cms`` — the streaming-CMS
-# batch twin — ``embedding_top_pc``, ``events_time_weighted_value``,
-# ``revenue_decline_streaks``, ``bloom_semijoin_stats``, and
-# ``events_hourly_value_quantiles`` — the streaming-quantile-sketch
-# batch twin), 42 queries last green
-# externally in r9, 50 in
-# r10, 50 in r12 (the r12 window duplicated r11's, so no query is r11).
-# The window is the seventeen never-green queries plus the 33 stalest
-# r9-green ones in prior registry order; nine r9-green queries
-# (``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``, ``from_json_map``,
-# ``mixture_sampling_plan``, ``events_funnel``,
-# ``events_cohort_retention``, ``grouped_zscore_histogram``,
-# ``common_shingle_fraction``) no longer fit and rotate to the r14
-# head.
-# Every tail query is re-proven by the local DuckDB mirror
-# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
-# every pytest run.
+# committed CORRECTNESS_r*.json files (the tool now also asserts a
+# staleness horizon: no query may project past 5 rounds without external
+# evidence under the proposed window).
+#
+# Round-14 staleness histogram (registry at 161 after this round's two
+# additions): 2 never-green (``events_hourly_bloom_returns`` — the
+# streaming-Bloom batch twin — and ``kmv_set_difference`` — the last
+# piece of the KMV set algebra), 9 queries last green externally in r9
+# (the r13 window could not fit them), 50 in r10, 50 in r12, 50 in r13.
+# The window is the two never-green queries, the nine r9-stale ones
+# (``common_shingle_fraction``, ``grouped_zscore_histogram``,
+# ``events_funnel``, ``events_cohort_retention``,
+# ``mixture_sampling_plan``, ``from_json_map``,
+# ``asof_join_latest_order``, ``range_join_close_events``,
+# ``events_session_window``), then the 39 stalest r10-green queries in
+# prior registry order; eleven r10-green queries
+# (``exists_not_exists_combo`` ... ``label_centroid_similarity``) no
+# longer fit and head the r15 window.  Every tail query is re-proven by
+# the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
+# driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "substring_dup_coverage",
-    "retrieve_rerank_topk",
-    "fuzzy_name_matches",
-    "dup_graph_pagerank",
-    "dedup_containment",
-    "cms_heavy_hitters",
-    "referential_integrity_audit",
-    "revenue_trend_slope",
-    "rrf_hybrid_retrieval",
-    "histogram_quantile_sketch",
-    "kmv_jaccard_langs",
-    "events_hourly_cms",
-    "embedding_top_pc",
-    "events_time_weighted_value",
-    "revenue_decline_streaks",
-    "bloom_semijoin_stats",
-    "events_hourly_value_quantiles",
-    "date_functions",
-    "agg_suite",
-    "case_when_tiers",
-    "union_all_monthly",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "decontaminate_corpus",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    "vocab_top_ngrams",
-    "quality_percentile_filter",
-    "cdc_chunk_stats",
-    "token_budget_fill",
-    "dedup_clusters",
-    "dedup_canonical_keep",
-    "event_transition_matrix",
-    "dedup_embedding",
-    "dup_graph_triangles",
-    "corpus_clean_pipeline",
-    "warc_roundtrip_curation",
-    "bm25_doc_retrieval",
-    "source_unigram_divergence",
-    "disjunctive_predicate_revenue",
-    "events_rolling_engagement",
-    "events_hourly_anomaly",
+    "events_hourly_bloom_returns",
+    "kmv_set_difference",
+    "common_shingle_fraction",
+    "grouped_zscore_histogram",
+    "events_funnel",
+    "events_cohort_retention",
+    "mixture_sampling_plan",
+    "from_json_map",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "events_session_window",
+    "monthly_avg_value",
+    "events_hourly_window",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "latest_record_compaction",
+    "events_dow_hour_heatmap",
+    "event_interarrival_profile",
+    "scalar_means",
+    "impute_group_avg",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_semi",
+    "warc_curation_by_day",
+    "vocab_oov_rate",
+    "prefix_dup_groups",
+    "profile_documents",
+    "stratified_sample_stats",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "forecast_revenue",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    "above_average_orders",
+    "pivot_status_by_year",
+    "price_percentiles",
+    "regex_math_functions",
+    "ship_delay_buckets",
+    "map_array_functions",
+    "join_right_outer",
+    "join_cross",
+    "null_ordering",
+    "window_frames_suite",
+    "grouping_sets_explicit",
+    "correlated_subquery_orders",
+    "min_price_per_type",
 ]
 
 

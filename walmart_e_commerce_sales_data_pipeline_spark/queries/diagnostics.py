@@ -591,3 +591,177 @@ def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+def _ehb_oracle() -> str:
+    cell_branches = " UNION ALL ".join(
+        f"SELECT hour_ts, {_bloom_pos_sql('h', s)} AS pos FROM hb"
+        for s in range(_BLOOM_K)
+    )
+    probe_branches = " UNION ALL ".join(
+        f"SELECT hour_ts, user_id, {_bloom_pos_sql('h', s)} AS pos FROM pr"
+        for s in range(_BLOOM_K)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+               user_id
+        FROM events
+    ),
+    hu AS (SELECT DISTINCT hour_ts, user_id FROM ev),
+    nh AS (
+        SELECT hour_ts, CAST(COUNT(*) AS BIGINT) AS n_hour_users
+        FROM hu GROUP BY hour_ts
+    ),
+    hb AS (
+        SELECT hour_ts, md5(CAST(user_id AS VARCHAR)) AS h FROM hu
+    ),
+    bits AS (SELECT DISTINCT hour_ts, pos FROM ({cell_branches})),
+    nb AS (
+        SELECT hour_ts, CAST(COUNT(*) AS BIGINT) AS bits_set
+        FROM bits GROUP BY hour_ts
+    ),
+    pr AS (
+        SELECT hour_ts - INTERVAL '1 hour' AS hour_ts, user_id,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM hu
+    ),
+    nn AS (
+        SELECT hour_ts, CAST(COUNT(*) AS BIGINT) AS n_next_users
+        FROM pr GROUP BY hour_ts
+    ),
+    ppos AS ({probe_branches}),
+    verdict AS (
+        SELECT p.hour_ts, p.user_id,
+               CAST(COUNT(b.pos) AS BIGINT) = {_BLOOM_K} AS pass
+        FROM ppos p
+        LEFT JOIN bits b ON b.hour_ts = p.hour_ts AND b.pos = p.pos
+        GROUP BY p.hour_ts, p.user_id
+    ),
+    np AS (
+        SELECT hour_ts,
+               CAST(COUNT(*) FILTER (WHERE pass) AS BIGINT) AS n_pass
+        FROM verdict GROUP BY hour_ts
+    ),
+    tr AS (
+        SELECT a.hour_ts, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM hu a JOIN hu b
+          ON b.user_id = a.user_id
+         AND b.hour_ts = a.hour_ts + INTERVAL '1 hour'
+        GROUP BY a.hour_ts
+    )
+    SELECT STRFTIME(nh.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           nh.n_hour_users, nb.bits_set, nn.n_next_users,
+           COALESCE(np.n_pass, 0) AS n_pass,
+           COALESCE(tr.n_true, 0) AS n_true_returns,
+           COALESCE(np.n_pass, 0) - COALESCE(tr.n_true, 0) AS false_positives,
+           ROUND(CAST(COALESCE(np.n_pass, 0) - COALESCE(tr.n_true, 0) AS DOUBLE)
+                 / NULLIF(nn.n_next_users - COALESCE(tr.n_true, 0), 0), 6)
+               AS fp_rate
+    FROM nh
+    JOIN nb ON nb.hour_ts = nh.hour_ts
+    JOIN nn ON nn.hour_ts = nh.hour_ts
+    LEFT JOIN np ON np.hour_ts = nh.hour_ts
+    LEFT JOIN tr ON tr.hour_ts = nh.hour_ts
+    ORDER BY hour_start
+    """
+
+
+@register(
+    "events_hourly_bloom_returns",
+    oracle=_ehb_oracle(),
+    description="per-hour Bloom-filter returning-user prescreen: for every "
+    "tumbling event-time hour H whose successor hour exists, hour H+1's "
+    "users are probed against hour H's 4,096-bit k=3 Bloom filter (same "
+    "deterministic portable-md5 slice geometry as bloom_semijoin_stats), "
+    "with the exact hour-over-hour return join alongside so the output "
+    "reports pass / true-return / false-positive counts and the realized "
+    "fp rate per hour — the batch twin of the streaming operator "
+    "streaming.events.hourly_user_bloom (stream == batch pinned in "
+    "tests/test_streaming.py), giving the third streaming sketch family "
+    "(membership, beside CMS frequency and histogram quantiles) an "
+    "external oracle.  This is the 'was this user active last hour?' "
+    "prescreen a 100 TB stream answers from 4 KB of state per hour "
+    "instead of the user set.  Scale shape: the filter aggregation's key "
+    "domain is (hour, pos) — bounded at 4,096 rows per hour however many "
+    "users arrive, exactly the streaming twin's state-size claim; the "
+    "probe is a (hour, pos)-keyed equi-join against that bounded set; "
+    "the exact branch is an (hour+1, user)-keyed self-join of the "
+    "distinct hour-user pairs; nothing pairwise, nothing collected",
+    tags=("sketch", "bloom", "event-time", "portable", "streaming-twin"),
+)
+def events_hourly_bloom_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hu = (
+        ev.select(
+            F.window("ts", "1 hour").getField("start").alias("hour_ts"),
+            "user_id",
+        )
+        .distinct()
+    )
+    nh = hu.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hour_users")
+    )
+    pos_array = lambda: F.explode(  # noqa: E731
+        F.array(*[F.expr(_bloom_pos_sql("h", s)) for s in range(_BLOOM_K)])
+    ).alias("pos")
+    hb = hu.select("hour_ts", F.md5(F.col("user_id").cast("string")).alias("h"))
+    bits = hb.select("hour_ts", pos_array()).distinct()
+    nb = bits.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    pr = hu.select(
+        (F.col("hour_ts") - F.expr("INTERVAL 1 HOUR")).alias("hour_ts"),
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    nn = pr.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_next_users")
+    )
+    ppos = pr.select("hour_ts", "user_id", pos_array())
+    np_ = (
+        ppos.join(bits, ["hour_ts", "pos"])
+        .groupBy("hour_ts", "user_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+        .groupBy("hour_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    )
+    tr = (
+        hu.alias("a")
+        .join(
+            hu.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (
+                F.col("b.hour_ts")
+                == F.col("a.hour_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy(F.col("a.hour_ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    fp = F.col("n_pass") - F.col("n_true_returns")
+    denom = F.col("n_next_users") - F.col("n_true_returns")
+    return (
+        nh.join(nb, "hour_ts")
+        .join(nn, "hour_ts")
+        .join(np_, "hour_ts", "left")
+        .join(tr, "hour_ts", "left")
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_hour_users",
+            "bits_set",
+            "n_next_users",
+            F.coalesce("n_pass", F.lit(0).cast("long")).alias("n_pass"),
+            F.coalesce("n_true", F.lit(0).cast("long")).alias("n_true_returns"),
+        )
+        .select(
+            "hour_start", "n_hour_users", "bits_set", "n_next_users",
+            "n_pass", "n_true_returns",
+            fp.alias("false_positives"),
+            F.when(denom == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(fp.cast("double") / denom, 6))
+            .alias("fp_rate"),
+        )
+        .orderBy("hour_start")
+    )

@@ -195,6 +195,47 @@ def hourly_user_cms(events: DataFrame, watermark: str = "25 hours") -> DataFrame
     )
 
 
+def hourly_user_bloom(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+    """Per-hour Bloom filter of active user ids — batch or streaming input
+    (one logical plan, the module's standing design).
+
+    Emits the SET BITS ``(window_start, pos)`` using the same deterministic
+    geometry as the batch ``bloom_semijoin_stats`` query (m = 4,096 bits,
+    k = 3 probes, each a disjoint 3-hex-digit slice of one portable md5 —
+    ``queries.diagnostics._bloom_pos_sql``), keyed by tumbling 1-hour
+    event-time windows.  The third streaming sketch twin beside
+    ``hourly_user_cms`` (frequency) and ``hourly_value_histogram``
+    (quantiles): this one answers MEMBERSHIP — "was this user active in
+    hour H?" — without keeping the user set.  Streaming state is bounded
+    at ``_BLOOM_BITS`` rows per hour regardless of user cardinality (the
+    aggregation key domain is (window, pos), never user_id), the
+    watermark finalizes and evicts closed hours, and emitted per-hour
+    filters merge downstream by bit-OR — a plain row union + distinct —
+    across hours for coarser windows, across shards for a fleet.  The
+    oracle-checked batch readout (next-hour users probed against each
+    hour's filter, false positives measured exactly) is
+    ``events_hourly_bloom_returns``; stream == batch equality and the
+    state bound are pinned in tests/test_streaming.py.
+    """
+    # Lazy import: streaming.* must not import the queries package at
+    # module load (queries/__init__ imports streaming-facing modules).
+    from ..queries.diagnostics import _BLOOM_K, _bloom_pos_sql
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    hashed = src.select("ts", F.md5(F.col("user_id").cast("string")).alias("h"))
+    pos = hashed.select(
+        "ts",
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql("h", s)) for s in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    return (
+        pos.groupBy(F.window("ts", "1 hour").alias("w"), "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "pos")
+    )
+
+
 # Fixed a-priori bounds for the streaming value histogram: the events
 # generator draws value in (0, 500) (TESTDATA.md); a stream cannot
 # two-pass for min/max, so fixed bounds ARE the streaming trade —
