@@ -50,6 +50,28 @@ CAL_GATE_SEC = float(os.environ.get("SPARK_GRAFT_CAL_GATE", "0.33"))
 CAL_ST_GATE_SEC = float(os.environ.get("SPARK_GRAFT_CAL_ST_GATE", "0.40"))
 CAL_GATE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CAL_ATTEMPTS", "8"))
 CAL_GATE_SLEEP_SEC = float(os.environ.get("SPARK_GRAFT_CAL_SLEEP", "45"))
+# END calibration sample count (VERDICT r13 item 3): two r13 runs missed
+# the trusted stamp by 1-3 ms on the END parallel calibration under light
+# ambient waves while the single-thread signal stayed quiet.  The start
+# gate can retry-until-quiet; the end gate cannot (re-running later would
+# say nothing about the window that just closed), so its one shot takes
+# MORE samples instead: min-of-5.  A 1-2 s transient blip is unlikely to
+# straddle all five ~0.3 s runs, while a sustained load still fails every
+# one — the gate VALUE is unchanged, only the sample count grows.
+END_CAL_RUNS = int(os.environ.get("SPARK_GRAFT_END_CAL_RUNS", "5"))
+
+
+def end_calibration_trusted(
+    cal_end_runs: list[float],
+    st_end_runs: list[float],
+    gate: float = CAL_GATE_SEC,
+    st_gate: float = CAL_ST_GATE_SEC,
+) -> bool:
+    """END-of-sweep trust verdict: min of each calibration's runs must
+    clear the same gates the start used — min-of-N, never mean, so one
+    quiet sample among transient-wave samples is enough (the repo's
+    standing measurement rule), and a sustained load fails all N."""
+    return min(cal_end_runs) <= gate and min(st_end_runs) <= st_gate
 
 
 def wait_for_quiet_machine(
@@ -86,6 +108,18 @@ def wait_for_quiet_machine(
         if i < attempts - 1:
             sleep(sleep_sec)
     return history[-1], False, history
+
+# Queries with a sketch_only= production tier (VERDICT r13 item 6): the
+# default (headline) path carries an exact-truth branch for the oracle;
+# sketch_only=True is the branch a production run keeps.  bench records
+# both walls in bench_details.json (sketch_only_queries).
+SKETCH_ONLY_TIER = [
+    "histogram_quantile_sketch",
+    "kmv_jaccard_langs",
+    "kmv_set_difference",
+    "mad_outlier_rate",
+    "embedding_top_pc",
+]
 
 # Headline set: one representative per operator family (scan+agg, star join,
 # every-join-type, windows, sessionization, LSH dedup, vector LSH, text).
@@ -230,9 +264,9 @@ def main() -> None:
     # with byte-identical shuffle/row metrics and zero code change) — this
     # number lets a reader normalize a round's walls before calling a
     # drift a regression.
-    def _calibrate() -> list[float]:
+    def _calibrate(n_runs: int = 3) -> list[float]:
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             (
                 spark.range(20_000_000)
@@ -253,9 +287,9 @@ def main() -> None:
     # plans/bytes/rows while the parallel calibration said "quiet").
     # Recording both lets a reader attribute a wall delta to the right
     # resource mechanically.
-    def _calibrate_single_thread() -> list[float]:
+    def _calibrate_single_thread(n_runs: int = 3) -> list[float]:
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             acc = 0
             for i in range(5_000_000):
@@ -327,6 +361,30 @@ def main() -> None:
         # Result cardinality rides along so round-over-round result drift
         # (a correctness smell the wall clock can't see) is visible too.
         runtime[name] = {**metrics_since(spark, mark), "rows": len(rows)}
+
+    # Production-tier twin measurements (VERDICT r13 item 6): four of the
+    # five slowest headline queries spend most of their wall on the exact-
+    # truth branch they deliberately carry for the oracle.  Each exposes a
+    # sketch_only= escape hatch (default off — the headline number above is
+    # unchanged); this second sweep records the production-path walls so
+    # bench_details.json reports BOTH tiers.  Measurement, not a behavior
+    # change: nothing here feeds `total`.
+    sketch_only_timings: dict[str, float] = {}
+    sketch_only_runs: dict[str, list[float]] = {}
+    for name in SKETCH_ONLY_TIER:
+        fn = q.REGISTRY[name].fn
+        runs = []
+        try:
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR, sketch_only=True).collect()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}[sketch_only]"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        sketch_only_timings[name] = min(runs)
+        sketch_only_runs[name] = runs
 
     # Reference-parity ETL on the reference's own bundled data (matches the
     # BASELINE.md measurement boundary: extract→transform→agg→load→validate).
@@ -412,12 +470,11 @@ def main() -> None:
     # the stamped flag (ADVICE r12): `calibration_trusted` means the WHOLE
     # measurement window was bounded by quiet calibrations, not just the
     # start, so a load wave arriving mid-sweep can't hide behind the flag.
-    cal_end_runs = _calibrate()
-    cal_st_end_runs = _calibrate_single_thread()
-    cal_end_trusted = (
-        min(cal_end_runs) <= CAL_GATE_SEC
-        and min(cal_st_end_runs) <= CAL_ST_GATE_SEC
-    )
+    # min-of-5 at the end (VERDICT r13 item 3): the end gate has no
+    # retry loop, so it takes more samples in its one shot instead.
+    cal_end_runs = _calibrate(END_CAL_RUNS)
+    cal_st_end_runs = _calibrate_single_thread(END_CAL_RUNS)
+    cal_end_trusted = end_calibration_trusted(cal_end_runs, cal_st_end_runs)
     cal_trusted = cal_start_trusted and cal_end_trusted
 
     total = round(sum(timings.values()), 3)
@@ -456,6 +513,8 @@ def main() -> None:
                 "calibration_st_end_runs": cal_st_end_runs,
                 "queries": timings,
                 "runs": all_runs,
+                "sketch_only_queries": sketch_only_timings,
+                "sketch_only_runs": sketch_only_runs,
                 "loadavg_1m": loadavgs,
                 "errors": errors,
                 "runtime_metrics": runtime,

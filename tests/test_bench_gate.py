@@ -122,3 +122,48 @@ def test_default_st_gate_matches_documented_threshold():
     from bench import CAL_ST_GATE_SEC
 
     assert abs(CAL_ST_GATE_SEC - 0.40) < 1e-9
+
+
+def test_end_calibration_min_of_five_absorbs_transient_wave():
+    """VERDICT r13 item 3: the end gate cannot retry (re-running later says
+    nothing about the closed window), so its one shot takes five samples.
+    A transient ambient blip that inflates four of five runs must not
+    untrust the sweep as long as ONE sample clears the unchanged gate."""
+    from bench import END_CAL_RUNS, end_calibration_trusted
+
+    assert END_CAL_RUNS == 5
+    # the r13 failure shape: 1-3 ms over the gate on a light wave — with
+    # five samples one quiet run slips through
+    assert end_calibration_trusted(
+        [0.333, 0.331, 0.329, 0.332, 0.334],
+        [0.28, 0.29, 0.30, 0.28, 0.29],
+        gate=0.33,
+        st_gate=0.40,
+    )
+
+
+def test_end_calibration_refuses_sustained_load():
+    """The refusal path: a sustained load fails ALL five samples on either
+    signal — the gate value is unchanged, so min-of-5 cannot loosen it."""
+    from bench import end_calibration_trusted
+
+    quiet_st = [0.28, 0.29, 0.30, 0.28, 0.29]
+    assert not end_calibration_trusted(
+        [0.55, 0.58, 0.61, 0.57, 0.56], quiet_st, gate=0.33, st_gate=0.40
+    )
+    # serial-only load is equally refused (r12 item 7 carried forward)
+    assert not end_calibration_trusted(
+        [0.30, 0.31, 0.29, 0.30, 0.31],
+        [0.85, 0.88, 0.90, 0.86, 0.87],
+        gate=0.33,
+        st_gate=0.40,
+    )
+
+
+def test_end_calibration_uses_min_not_mean():
+    from bench import end_calibration_trusted
+
+    assert end_calibration_trusted(
+        [0.90, 0.88, 0.31, 0.89, 0.91], [0.39, 0.85, 0.90, 0.88, 0.86],
+        gate=0.33, st_gate=0.40,
+    )

@@ -63,17 +63,23 @@ COMMENT = {
     "broadcast back), then the bucket aggregate whose partial side collapses every "
     "partition to <= 128 rows per group BEFORE the exchange — the network moves sketch "
     "cells, never values; the cumulative/readout windows are partitioned by group over "
-    "<= 128-row state, and the exact branch reuses the distributed percentile ladder",
+    "<= 128-row state, and the exact branch reuses the distributed percentile ladder.  "
+    "sketch_only=True drops the exact ladder entirely — the production tier bench.py "
+    "times alongside (bench_details.json sketch_only_queries)",
     "kmv_jaccard_langs": "one shingle-distinct shuffle feeds BOTH branches; signatures "
     "are WindowGroupLimit-capped to k=64 rows per lang, so the pair union/rank/overlap "
     "stages touch only 10 pairs x <= 128 signature rows (the whitelisted lang-pair "
     "nested loop is over the 5-row DISTINCT language dimension); the exact-Jaccard "
-    "self-join fans out per shingle by at most the language count",
+    "self-join fans out per shingle by at most the language count.  sketch_only=True "
+    "drops the exact branch — the signature-only production tier bench.py times "
+    "alongside",
     "kmv_set_difference": "same plan skeleton as kmv_jaccard_langs: one shingle-distinct "
     "shuffle feeds the signature AND exact branches; signatures are WindowGroupLimit-capped "
     "to k=64 rows per lang; the difference estimator reads only the union-signature "
     "membership flags (pairs x <= 128 rows), and the exact n_a_only/n_b_only come from the "
-    "same bounded-multiplicity shingle self-join the Jaccard query carries",
+    "same bounded-multiplicity shingle self-join the Jaccard query carries.  "
+    "sketch_only=True keeps only the signature algebra — the production tier bench.py "
+    "times alongside",
     "events_hourly_bloom_returns": "the filter aggregation's key domain is (hour, pos) — "
     "the partial aggregate caps every partition at <= 4,096 set-bit rows per hour "
     "regardless of user cardinality (the streaming twin's state-size claim, "
@@ -93,7 +99,9 @@ COMMENT = {
     "output at d^2=4,096 cells; the scaled Gram localCheckpoints once (4,096 rows of "
     "state), so the visible plan is the final readout over materialized iterates; all "
     "power iterations touch only d^2- and d-row frames with 1-row scale broadcasts "
-    "(whitelisted BNLJ class)",
+    "(whitelisted BNLJ class).  sketch_only=True runs the same plan shape in plain "
+    "double arithmetic (no int8 quantization / sign-split rescaling — the integer "
+    "regime exists for oracle replayability); bench.py times both tiers",
     "events_time_weighted_value": "one shuffle on user_id shared by the lead window "
     "and the aggregation; weights are exact integer microseconds x integer cents, so "
     "the only float is the final ratio projection",
@@ -235,7 +243,9 @@ COMMENT = {
     "mad_outlier_rate": "round 11: two DEPENDENT exact-percentile ladder passes "
     "(median, then median of absolute deviations), each fed back via a "
     "|groups|-row broadcast — the winsorization shape nested one level deeper; "
-    "every ladder window carries the group key",
+    "every ladder window carries the group key.  sketch_only=True swaps both exact "
+    "ladders for percentile_approx sketches (one aggregate pass each) — the "
+    "production tier bench.py times alongside",
     "concurrent_sessions_profile": "round 11: sweep-line interval concurrency — "
     "per-user sessionization windows, then +-1 boundary deltas with a "
     "day-partitioned running sum; replaces the quadratic range self-join with "

@@ -992,7 +992,16 @@ def state_as_of_label_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identically in both engines, no epsilon",
     tags=("agg", "percentile", "robust"),
 )
-def mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mad_outlier_rate(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` swaps BOTH exact percentile-ladder passes for
+    Spark's native ``percentile_approx`` sketch (one aggregate pass each,
+    no histogram ladder) — the production robust-stats path when the
+    median only parameterizes an outlier THRESHOLD and a relative-error
+    sketch is fine (VERDICT r13 item 6: the dependent exact ladders are
+    most of this query's wall).  Same output columns, approximate med/mad.
+    Default off; bench.py measures both tiers."""
     from ..operators.percentiles import (
         _histogram_rows_bound,
         exact_group_percentiles,
@@ -1001,6 +1010,30 @@ def mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    if sketch_only:
+        med = li.groupBy("l_returnflag").agg(
+            F.percentile_approx("l_extendedprice", 0.5).alias("med")
+        )
+        dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+            "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
+        )
+        mad = dev.groupBy("l_returnflag").agg(
+            F.percentile_approx("ad", 0.5).alias("mad")
+        )
+        out = F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+        return (
+            dev.join(F.broadcast(mad), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.max("med"), 4).alias("med"),
+                F.round(F.max("mad"), 4).alias("mad"),
+                F.sum(out).cast("long").alias("n_outliers"),
+                F.round(F.sum(out) * 1.0 / F.count(F.lit(1)), 6).alias(
+                    "outlier_rate"
+                ),
+            )
+            .orderBy("l_returnflag")
+        )
     # Probe the bound ONCE on the parquet frame and reuse it for the
     # deviation pass (valid: per group, distinct |x − median| can never
     # exceed distinct x).  Measured correction: the footer bound already

@@ -400,6 +400,68 @@ _PC_G_CAP = 1 << 30
 _PC_V_CAP = 1 << 20
 
 
+def _embedding_top_pc_float(emb: DataFrame) -> DataFrame:
+    """Double-precision twin of the integer power iteration — the
+    production tier behind ``embedding_top_pc(sketch_only=True)``.  Plan
+    shape is IDENTICAL to the exact path (one corpus-sized Gram partial
+    aggregate capped at d^2 cells per partition, dimension-sized frames
+    everywhere after, localCheckpoint fencing per iterate); only the
+    arithmetic regime differs: raw floats, plain max-abs normalization,
+    no sign-split rescaling and no replayable recurrence."""
+    cells = emb.select(
+        F.posexplode("embedding").alias("i", "xi"),
+        F.col("embedding").alias("xv"),
+    ).select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("xv").alias("j", "xj"),
+    )
+    gs = cells.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj").cast("double")).alias("g")
+    )
+    gs = gs.localCheckpoint(eager=True)
+    v = gs.select("j").distinct().withColumn("v", F.lit(1.0))
+    u = prev_v = None
+    for _ in range(_PC_ITERS):
+        u = (
+            gs.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+        )
+        u = u.localCheckpoint(eager=True)
+        mk = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        prev_v = v
+        v = u.crossJoin(F.broadcast(mk)).select(
+            F.col("i").alias("j"), (F.col("u") / F.col("m")).alias("v")
+        )
+    tr = gs.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").alias("trace")
+    )
+    vp = prev_v.select("j", F.col("v").alias("vp"))
+    un = u.select(F.col("i").alias("j"), F.col("u").alias("un"))
+    ray = (
+        vp.join(un, "j")
+        .agg(
+            (
+                F.sum(F.col("vp") * F.col("un"))
+                / F.sum(F.col("vp") * F.col("vp"))
+            ).alias("lam")
+        )
+    )
+    mm = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+    return (
+        u.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round(F.col("u") / F.col("m"), 6).alias("loading"),
+            F.round(F.col("lam") / F.col("trace"), 6).alias("pc1_share"),
+        )
+        .orderBy("dim")
+    )
+
+
 def _pc_sign_div(x: str, s: str, intdiv: str) -> str:
     """Sign-split integer division: floor == trunc on non-negatives in
     both engines, so splitting the sign removes the Spark-`div`(trunc)
@@ -510,8 +572,20 @@ def _pc_oracle() -> str:
     "intermediate below 2^56 at ANY corpus size",
     tags=("similarity", "pca", "iterative", "quantization"),
 )
-def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_top_pc(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` runs the SAME power iteration in plain double
+    arithmetic on the raw float embeddings — no int8 quantization, no
+    sign-split integer rescaling, no per-step scale aggregates (the exact-
+    INTEGER regime exists so the oracle can replay the recurrence
+    bit-for-bit; a production run doesn't need replayability, VERDICT r13
+    item 6).  Same output columns (dim, loading, pc1_share), float
+    convergence instead of the exact recurrence.  Default off; bench.py
+    measures both tiers."""
     emb = table(spark, sf_dir, "embeddings")
+    if sketch_only:
+        return _embedding_top_pc_float(emb)
     q = quantize_int8(emb).select("id", "q")
     cells = q.select(
         F.posexplode("q").alias("i", "qi"), F.col("q").alias("qv")

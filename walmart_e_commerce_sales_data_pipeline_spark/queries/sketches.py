@@ -183,7 +183,14 @@ _HQ_TARGETS_SQL = ", ".join(f"('{lbl}', {q!r})" for lbl, q in _HQ_QS)
     "sort-buffer percentile",
     tags=("sketch", "percentile", "agg"),
 )
-def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` drops the exact percentile-ladder branch the
+    default path deliberately carries for the oracle (VERDICT r13 item 6:
+    most of this query's wall IS that branch) and returns only
+    ``(l_returnflag, quantile, hist_est)`` — the production path a 100 TB
+    run keeps.  Default off; bench.py measures both tiers."""
     from ..operators.percentiles import exact_group_percentiles
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
@@ -231,6 +238,12 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "quantile", est_raw.alias("est_raw"))
     )
+    if sketch_only:
+        return est.select(
+            "l_returnflag",
+            "quantile",
+            F.round("est_raw", 4).alias("hist_est"),
+        ).orderBy("l_returnflag", "quantile")
     # Exact branch: the distributed interpolated-percentile ladder
     # (bit-identical to DuckDB quantile_cont, pinned in
     # tests/test_percentiles.py), unpivoted to one row per quantile.
@@ -536,7 +549,16 @@ def _kj_hash_sql(str_type: str) -> str:
     "hazard)",
     tags=("sketch", "text", "distinct", "portable", "dedup"),
 )
-def kmv_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_jaccard_langs(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` drops the exact-Jaccard branch (the
+    shingle-distinct cardinalities and the bounded-multiplicity shingle
+    self-join — the part whose shuffle grows with the corpus, carried for
+    the oracle) and returns only the signature-derived columns
+    ``(lang_a, lang_b, sig_union_k, sig_in_both, kmv_jaccard_est)`` —
+    the production path, which moves pairs x <= 128 signature rows
+    however big the corpus.  Default off; bench.py measures both."""
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
@@ -583,6 +605,13 @@ def kmv_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("sig_in_both"),
         )
     )
+    if sketch_only:
+        return estagg.select(
+            "lang_a", "lang_b", "sig_union_k", "sig_in_both",
+            F.round(F.col("sig_in_both") / F.col("sig_union_k"), 6).alias(
+                "kmv_jaccard_est"
+            ),
+        ).orderBy("lang_a", "lang_b")
     nl = sh.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
     sha = sh.select(F.col("lang").alias("ia"), "shingle")
     shb = sh.select(F.col("lang").alias("ib"), F.col("shingle").alias("shingle_b"))
@@ -720,7 +749,14 @@ _KD_SCALE = float(16**12)  # 2^48, the portable-hash value range
     "that B lacks?) is O(pairs * k) at the coordinator, no re-scan",
     tags=("sketch", "text", "distinct", "portable", "dedup"),
 )
-def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_set_difference(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` drops the exact branch (shingle cardinalities
+    + the self-join intersection, carried for the oracle) and returns the
+    signature-derived difference estimates only — the production A-vs-B
+    audit path (see kmv_jaccard_langs).  Default off; bench.py measures
+    both tiers."""
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
@@ -771,6 +807,20 @@ def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sig_b_only"),
         )
     )
+    est_union_s = F.when(
+        F.col("sig_union_k") < _KJ_K, F.col("sig_union_k").cast("double")
+    ).otherwise(F.lit(float(_KJ_K - 1)) * F.lit(_KD_SCALE) / F.col("kth_u"))
+    if sketch_only:
+        return estagg.select(
+            "lang_a", "lang_b", "sig_union_k", "sig_a_only", "sig_b_only",
+            F.round(est_union_s, 4).alias("est_union"),
+            F.round(
+                F.col("sig_a_only") * est_union_s / F.col("sig_union_k"), 4
+            ).alias("est_a_only"),
+            F.round(
+                F.col("sig_b_only") * est_union_s / F.col("sig_union_k"), 4
+            ).alias("est_b_only"),
+        ).orderBy("lang_a", "lang_b")
     nl = sh.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
     sha = sh.select(F.col("lang").alias("ia"), "shingle")
     shb = sh.select(F.col("lang").alias("ib"), F.col("shingle").alias("shingle_b"))
