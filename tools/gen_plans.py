@@ -85,6 +85,11 @@ COMMENT = {
     "regardless of user cardinality (the streaming twin's state-size claim, "
     "batch-visible); the probe is a (hour, pos) equi-join against that bounded set; the "
     "exact return branch is an (hour+1, user)-keyed self-join of distinct hour-user pairs",
+    "events_hourly_hll": "the register aggregation's key domain is (hour, bucket) — "
+    "the partial aggregate caps every partition at <= 256 register rows per hour "
+    "regardless of user cardinality (the streaming twin's state-size claim, "
+    "batch-visible; registers are MAX aggregates, streaming-safe by construction); "
+    "the exact branch is one per-hour distinct aggregate",
     "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "

@@ -151,6 +151,11 @@ HEAVY = [
     # hour-over-hour return self-join).
     "kmv_set_difference",
     "events_hourly_bloom_returns",
+    # round 14b: the streaming-twin HLL readout (10x events through a
+    # (hour, bucket)-capped <= 256-register aggregate + one per-hour
+    # exact distinct aggregate — both key domains bounded by the
+    # calendar, so shuffle must stay near-flat).
+    "events_hourly_hll",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

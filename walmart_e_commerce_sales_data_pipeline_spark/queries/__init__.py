@@ -41,26 +41,28 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-14 staleness histogram (registry at 161 after this round's two
-# additions): 2 never-green (``events_hourly_bloom_returns`` — the
-# streaming-Bloom batch twin — and ``kmv_set_difference`` — the last
-# piece of the KMV set algebra), 9 queries last green externally in r9
+# Round-14 staleness histogram (registry at 162 after this round's
+# three additions): 3 never-green (``events_hourly_bloom_returns`` — the
+# streaming-Bloom batch twin, ``kmv_set_difference`` — the last
+# piece of the KMV set algebra — and ``events_hourly_hll`` — the
+# streaming-HLL batch twin), 9 queries last green externally in r9
 # (the r13 window could not fit them), 50 in r10, 50 in r12, 50 in r13.
-# The window is the two never-green queries, the nine r9-stale ones
+# The window is the three never-green queries, the nine r9-stale ones
 # (``common_shingle_fraction``, ``grouped_zscore_histogram``,
 # ``events_funnel``, ``events_cohort_retention``,
 # ``mixture_sampling_plan``, ``from_json_map``,
 # ``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``), then the 39 stalest r10-green queries in
-# prior registry order; eleven r10-green queries
-# (``exists_not_exists_combo`` ... ``label_centroid_similarity``) no
-# longer fit and head the r15 window.  Every tail query is re-proven by
+# ``events_session_window``), then the 38 stalest r10-green queries in
+# prior registry order; twelve r10-green queries
+# (``exists_not_exists_combo`` ... ``label_centroid_similarity``,
+# ``min_price_per_type``) no longer fit and head the r15 window.  Every tail query is re-proven by
 # the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     "events_hourly_bloom_returns",
     "kmv_set_difference",
+    "events_hourly_hll",
     "common_shingle_fraction",
     "grouped_zscore_histogram",
     "events_funnel",
@@ -108,7 +110,6 @@ _PRIORITY = [
     "window_frames_suite",
     "grouping_sets_explicit",
     "correlated_subquery_orders",
-    "min_price_per_type",
 ]
 
 

@@ -1029,3 +1029,145 @@ def events_hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("hour_start", "quantile")
     )
+
+
+# --- per-window HLL cardinality readout (streaming twin) --------------------
+
+
+def _events_hourly_hll_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    hash_sql = portable_hex_value_sql("user_id", 12, "VARCHAR")
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id
+        FROM events
+    ),
+    h AS (SELECT hour_start, {hash_sql} AS hv FROM ev),
+    br AS (
+        SELECT hour_start, hv // {_HLL_REST_MOD} AS bucket,
+               hv % {_HLL_REST_MOD} AS rest
+        FROM h
+    ),
+    reg AS (
+        SELECT hour_start, bucket,
+               MAX(CASE WHEN rest = 0 THEN {_HLL_MAX_RHO}
+                        ELSE {_HLL_MAX_RHO} - length(bin(rest)) END) AS m_j
+        FROM br GROUP BY hour_start, bucket
+    ),
+    g AS (
+        SELECT hour_start, COUNT(*) AS cnt,
+               SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m_j))
+                   AS s_present
+        FROM reg GROUP BY hour_start
+    ),
+    raw AS (
+        SELECT hour_start,
+               CAST({_HLL_M} - cnt AS BIGINT) AS empty_registers,
+               {_HLL_ALPHA_SQL} * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                   / (s_present + ({_HLL_M} - cnt)) AS e_raw
+        FROM g
+    ),
+    fin AS (
+        SELECT hour_start, empty_registers,
+               CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND empty_registers > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / empty_registers)
+                    ELSE e_raw END AS est
+        FROM fin_src
+    ),
+    ex AS (
+        SELECT hour_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM ev GROUP BY hour_start
+    )
+    SELECT ex.hour_start, ex.n_exact, fin.empty_registers,
+           ROUND(fin.est, 4) AS hll_estimate,
+           ROUND(ABS(fin.est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN fin ON fin.hour_start = ex.hour_start
+    ORDER BY ex.hour_start
+    """.replace("FROM fin_src", "FROM raw")
+
+
+@register(
+    "events_hourly_hll",
+    oracle=_events_hourly_hll_oracle(),
+    description="per-hour HyperLogLog distinct-user readout: for every "
+    "tumbling event-time hour, the HLL estimate from THAT hour's 256-"
+    "register array (same deterministic portable-md5 geometry as "
+    "hll_distinct_sketch: top 8 hash bits address the register, the "
+    "remaining 40 feed the leading-zero rank; Flajolet et al. 2007 "
+    "small-range linear-counting branch included) next to the exact "
+    "distinct count — the batch twin of the streaming operator "
+    "streaming.events.hourly_user_hll (stream == batch pinned in "
+    "tests/test_streaming.py), completing the streaming sketch suite's "
+    "FOURTH family: CMS frequency, histogram quantiles, Bloom "
+    "membership, HLL cardinality.  Registers are MAX aggregates — "
+    "monotone and order-independent, the property that makes the sketch "
+    "streaming-safe and fleet-mergeable by elementwise max.  Scale "
+    "shape: the register aggregation's key domain is (hour, bucket) — "
+    "bounded at 256 cells per hour however many users or events arrive "
+    "(the streaming twin's state-size claim, batch-visible); the exact "
+    "branch is one per-hour distinct aggregate; everything downstream "
+    "touches <= 256-row frames per hour",
+    tags=("sketch", "event-time", "distinct", "portable", "streaming-twin"),
+)
+def events_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "user_id",
+    )
+    h = ev.select(
+        "hour_start",
+        F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv"),
+    )
+    br = h.select(
+        "hour_start",
+        F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+        (F.col("hv") % _HLL_REST_MOD).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
+    )
+    reg = (
+        br.withColumn("rho", rho)
+        .groupBy("hour_start", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    g = reg.groupBy("hour_start").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), m_j)")
+        ).alias("s_present"),
+    )
+    v = (F.lit(_HLL_M) - F.col("cnt")).cast("long")
+    s = F.col("s_present") + (F.lit(_HLL_M) - F.col("cnt"))
+    e_raw = F.expr(_HLL_ALPHA_SQL) * F.lit(float(_HLL_M * _HLL_M)) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    prof = g.select("hour_start", v.alias("empty_registers"), est.alias("est"))
+    ex = ev.groupBy("hour_start").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        ex.join(prof, "hour_start")
+        .select(
+            "hour_start",
+            "n_exact",
+            "empty_registers",
+            F.round(F.col("est"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_start")
+    )

@@ -236,6 +236,54 @@ def hourly_user_bloom(events: DataFrame, watermark: str = "25 hours") -> DataFra
     )
 
 
+def hourly_user_hll(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+    """Per-hour HyperLogLog register array of distinct user ids — batch or
+    streaming input (one logical plan, the module's standing design).
+
+    Emits ``(window_start, bucket, m_j)`` using the same deterministic
+    geometry as the batch ``hll_distinct_sketch`` query (2^8 = 256
+    registers addressed by the top 8 bits of one portable 48-bit md5, the
+    remaining 40 bits feeding the leading-zero rank — see
+    ``queries.curation``), keyed by tumbling 1-hour event-time windows.
+    The FOURTH streaming sketch family, completing the suite: CMS
+    (frequency), fixed-bounds histogram (quantiles), Bloom (membership),
+    and now HLL (cardinality) — "how many distinct users were active in
+    hour H?" from 256 registers instead of the user set.  MAX is the
+    whole trick: a register is a streaming-safe aggregate (monotone,
+    order-independent), so streaming state is bounded at 2^8 rows per
+    hour regardless of user cardinality, the watermark finalizes and
+    evicts closed hours, and emitted per-hour register arrays merge
+    downstream by elementwise max — across hours for coarser windows,
+    across shards for a fleet.  The oracle-checked batch readout (per-hour
+    estimate vs exact distinct count) is ``events_hourly_hll``; stream ==
+    batch equality and the state bound are pinned in
+    tests/test_streaming.py.
+    """
+    # Lazy imports: streaming.* must not import the queries package at
+    # module load (queries/__init__ imports streaming-facing modules).
+    from ..operators.splits import portable_hex_value_sql
+    from ..queries.curation import _HLL_MAX_RHO, _HLL_REST_MOD
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    h = src.select(
+        "ts", F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv")
+    )
+    br = h.select(
+        "ts",
+        F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+        (F.col("hv") % _HLL_REST_MOD).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
+    )
+    return (
+        br.withColumn("rho", rho)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "m_j")
+    )
+
+
 # Fixed a-priori bounds for the streaming value histogram: the events
 # generator draws value in (0, 500) (TESTDATA.md); a stream cannot
 # two-pass for min/max, so fixed bounds ARE the streaming trade —
