@@ -155,6 +155,8 @@ HEADLINE = [
     "bloom_semijoin_stats",
     "events_hourly_bloom_returns",
     "events_hourly_hll",
+    "cms_selfjoin_size",
+    "events_daily_hll_rollup",
     "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",

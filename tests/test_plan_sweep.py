@@ -59,6 +59,10 @@ BNLJ_WHITELIST = {
     # join_cross's bounded dimensions); every frame the loop touches is
     # k-row signature state, never corpus rows.
     "kmv_jaccard_langs",
+    # cms_selfjoin_size: the output row assembles a 1-row exact aggregate
+    # crossed with the 1-row sketch-estimate aggregate — the scalar
+    # broadcast class (same as bloom_semijoin_stats' five 1-row counts).
+    "cms_selfjoin_size",
     # kmv_set_difference: same plan skeleton and same justification as
     # kmv_jaccard_langs — the only nested loop is the `lang_a < lang_b`
     # pair cross over the 5-row distinct language dimension; all

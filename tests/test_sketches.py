@@ -193,3 +193,62 @@ def test_embedding_top_pc_converges_on_anisotropic_corpus(spark, tmp_path):
     assert cos >= 0.99, cos
     assert rows[0]["pc1_share"] >= 0.5, rows[0]["pc1_share"]
     assert abs(rows[0]["pc1_share"] - wv.max() / np.trace(g)) <= 0.05
+
+
+def test_cms_selfjoin_size_estimator_theory(spark):
+    """AMS/CMS F2 estimate must dominate the exact F2 (collisions only add
+    mass) and land near the predicted collision term: E[inner_product] =
+    F2 + (N^2 - F2)/width per depth row, so overest ~ (N^2 - F2)/256."""
+    r = q.REGISTRY["cms_selfjoin_size"].fn(spark, SF001).collect()[0]
+    assert r["est_f2"] >= r["exact_f2"]
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    n = li.count()
+    predicted = (n * n - r["exact_f2"]) / 256.0
+    assert 0.3 * predicted <= r["overest"] <= 2.0 * predicted, (
+        r["overest"], predicted
+    )
+
+
+def test_daily_hll_rollup_merge_equals_direct_sketch(spark):
+    """MAX-register associativity, the property the rollup query banks on:
+    merging the per-hour registers into days must equal the registers of
+    an HLL built directly over each day — and therefore the daily
+    estimates must match events_hourly_hll's machinery re-aimed at days."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.splits import (
+        portable_hex_value_sql,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _HLL_MAX_RHO,
+        _HLL_REST_MOD,
+    )
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+        F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv"),
+    )
+    rho = F.when(F.col("hv") % _HLL_REST_MOD == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO) - F.length(F.expr(f"bin(hv % {_HLL_REST_MOD})"))
+    )
+    base = ev.select(
+        "h", "d", F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"), rho.alias("rho")
+    )
+    via_hours = {
+        (r["d"], r["bucket"]): r["m"]
+        for r in base.groupBy("h", "d", "bucket")
+        .agg(F.max("rho").alias("m"))
+        .groupBy("d", "bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    direct = {
+        (r["d"], r["bucket"]): r["m"]
+        for r in base.groupBy("d", "bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    assert via_hours == direct
+    # and the registered query's estimates sit inside HLL's error band
+    rows = q.REGISTRY["events_daily_hll_rollup"].fn(spark, SF001).collect()
+    assert len(rows) == 30
+    assert all(r["rel_err"] <= 0.25 for r in rows), rows[:3]

@@ -90,6 +90,13 @@ COMMENT = {
     "regardless of user cardinality (the streaming twin's state-size claim, "
     "batch-visible; registers are MAX aggregates, streaming-safe by construction); "
     "the exact branch is one per-hour distinct aggregate",
+    "cms_selfjoin_size": "the sketch side map-side-combines every partition to "
+    "<= 1,024 counter cells before the exchange (F2 of any fact table from 4 KB of "
+    "mergeable state); the exact branch is one per-key aggregate feeding a 1-row sum; "
+    "the output assembles via whitelisted 1-row broadcasts",
+    "events_daily_hll_rollup": "both register aggregations are time-bucket-bounded — "
+    "<= 256 cells per hour, then <= 256 per day after the elementwise-max merge; the "
+    "exact branch is one per-day distinct aggregate; nothing touches raw events twice",
     "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "

@@ -156,6 +156,13 @@ HEAVY = [
     # exact distinct aggregate — both key domains bounded by the
     # calendar, so shuffle must stay near-flat).
     "events_hourly_hll",
+    # round 14c: the AMS F2 estimator (10x lineitem through the <= 1,024-
+    # cell CMS partial aggregate + one per-key exact aggregate — sketch
+    # shuffle must stay O(cells), the exact branch grows with keys) and
+    # the hour->day HLL rollup (two time-bucket-bounded register
+    # aggregations; shuffle must stay near-flat like the hourly readout).
+    "cms_selfjoin_size",
+    "events_daily_hll_rollup",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -1171,3 +1171,265 @@ def events_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+# --- CMS self-join size (F2 / second frequency moment) ----------------------
+
+
+def _cms_f2_oracle() -> str:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    cell_branches = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql('h', r)} AS b FROM h"
+        for r in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH src AS (SELECT l_partkey AS k FROM lineitem),
+    h AS (SELECT md5(CAST(k AS VARCHAR)) AS h FROM src),
+    cells AS (
+        SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ({cell_branches}) GROUP BY r, b
+    ),
+    ip AS (
+        SELECT r, CAST(SUM(c * c) AS BIGINT) AS inner_product
+        FROM cells GROUP BY r
+    ),
+    est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_f2 FROM ip),
+    ex AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(f) AS BIGINT) AS max_freq
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM src GROUP BY k)
+    )
+    SELECT ex.n_keys, ex.max_freq, ex.exact_f2, est.est_f2,
+           est.est_f2 - ex.exact_f2 AS overest,
+           ROUND(CAST(est.est_f2 - ex.exact_f2 AS DOUBLE) / ex.exact_f2, 6)
+               AS rel_overest
+    FROM ex, est
+    """
+
+
+@register(
+    "cms_selfjoin_size",
+    oracle=_cms_f2_oracle(),
+    description="self-join size (F2, the second frequency moment) of "
+    "lineitem.l_partkey estimated from the CMS counter matrix ALONE: "
+    "est = min over depth of the per-row inner product sum(c^2) — the "
+    "classic AMS/CMS join-size estimator (Alon-Matias-Szegedy '96 / "
+    "Cormode-Muthukrishnan '05 §4.2) a cost-based planner uses to size "
+    "a join or detect key skew WITHOUT touching per-key state.  est >= "
+    "exact always (hash collisions only add mass), and with the "
+    "deterministic portable-md5 slice geometry of cms_heavy_hitters the "
+    "whole estimate is exactly reproducible, so the oracle pins "
+    "estimator AND error; every quantity is an exact BIGINT until one "
+    "final rounded ratio.  The exact F2 (sum of squared per-key "
+    "frequencies) rides along from one per-key aggregate.  Scale shape: "
+    "the sketch side map-side-combines every partition to <= depth*width "
+    "= 1,024 cells before the exchange — F2 of a 100 TB fact table from "
+    "4 KB of mergeable state (cells merge by addition, inner products "
+    "recompute after the merge); the exact branch is one per-key "
+    "aggregate feeding a 1-row sum",
+    tags=("sketch", "frequency", "join", "portable"),
+)
+def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    src = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    h = src.select(F.md5(F.col("k").cast("string")).alias("h"))
+    cells = (
+        h.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cms_bucket_sql("h", r)).alias("b"),
+                        )
+                        for r in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ip = cells.groupBy("r").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("inner_product")
+    )
+    est = ip.agg(F.min("inner_product").cast("long").alias("est_f2"))
+    ex = (
+        src.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(
+            F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("f").cast("long").alias("max_freq"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_keys",
+        "max_freq",
+        "exact_f2",
+        "est_f2",
+        (F.col("est_f2") - F.col("exact_f2")).alias("overest"),
+        F.round(
+            (F.col("est_f2") - F.col("exact_f2")).cast("double")
+            / F.col("exact_f2"),
+            6,
+        ).alias("rel_overest"),
+    )
+
+
+# --- daily HLL rollup: the merge law as a query ------------------------------
+
+
+def _events_daily_hll_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    hash_sql = portable_hex_value_sql("user_id", 12, "VARCHAR")
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               STRFTIME(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d') AS day_start,
+               user_id
+        FROM events
+    ),
+    h AS (SELECT hour_start, day_start, {hash_sql} AS hv FROM ev),
+    br AS (
+        SELECT hour_start, day_start, hv // {_HLL_REST_MOD} AS bucket,
+               hv % {_HLL_REST_MOD} AS rest
+        FROM h
+    ),
+    hreg AS (
+        -- per-HOUR registers: exactly the streaming twin's emitted state
+        SELECT hour_start, day_start, bucket,
+               MAX(CASE WHEN rest = 0 THEN {_HLL_MAX_RHO}
+                        ELSE {_HLL_MAX_RHO} - length(bin(rest)) END) AS m_j
+        FROM br GROUP BY hour_start, day_start, bucket
+    ),
+    dreg AS (
+        -- the MERGE: elementwise max of the day's hourly registers
+        SELECT day_start, bucket, MAX(m_j) AS m_j
+        FROM hreg GROUP BY day_start, bucket
+    ),
+    g AS (
+        SELECT day_start, COUNT(*) AS cnt,
+               SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m_j))
+                   AS s_present
+        FROM dreg GROUP BY day_start
+    ),
+    raw AS (
+        SELECT day_start,
+               CAST({_HLL_M} - cnt AS BIGINT) AS empty_registers,
+               {_HLL_ALPHA_SQL} * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                   / (s_present + ({_HLL_M} - cnt)) AS e_raw
+        FROM g
+    ),
+    fin AS (
+        SELECT day_start, empty_registers,
+               CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND empty_registers > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / empty_registers)
+                    ELSE e_raw END AS est
+        FROM raw
+    ),
+    ex AS (
+        SELECT day_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM ev GROUP BY day_start
+    )
+    SELECT ex.day_start, ex.n_exact, fin.empty_registers,
+           ROUND(fin.est, 4) AS hll_estimate,
+           ROUND(ABS(fin.est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN fin ON fin.day_start = ex.day_start
+    ORDER BY ex.day_start
+    """
+
+
+@register(
+    "events_daily_hll_rollup",
+    oracle=_events_daily_hll_oracle(),
+    description="per-DAY distinct-user estimate computed by MERGING the "
+    "per-hour HLL register arrays (elementwise max of each day's 24 "
+    "hourly sketches — never re-reading the raw events), then reading "
+    "the merged registers out against the exact per-day distinct count — "
+    "the merge law of streaming.events.hourly_user_hll exercised as an "
+    "oracle-checked query: this is precisely how a 100 TB telemetry "
+    "store answers coarser-window cardinality questions from stored "
+    "hourly sketch state (24 x 256 register rows per day) instead of a "
+    "re-scan, and why the registers being MAX aggregates matters — max "
+    "is associative over any regrouping, so hour->day rollup equals the "
+    "sketch built directly over the day.  Scale shape: both register "
+    "aggregations are (time-bucket, register)-bounded — <= 256 cells per "
+    "hour then <= 256 per day — and the exact branch is one per-day "
+    "distinct aggregate",
+    tags=("sketch", "event-time", "distinct", "portable", "streaming-twin"),
+)
+def events_daily_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    # date_trunc, not two F.window() calls: Spark rejects multiple window
+    # expressions in one projection (cartesian hazard), and for tumbling
+    # windows date_trunc('hour'/'day') IS the window start.
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day_start"
+        ),
+        "user_id",
+    )
+    h = ev.select(
+        "hour_start",
+        "day_start",
+        F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv"),
+    )
+    br = h.select(
+        "hour_start",
+        "day_start",
+        F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+        (F.col("hv") % _HLL_REST_MOD).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
+    )
+    hreg = (
+        br.withColumn("rho", rho)
+        .groupBy("hour_start", "day_start", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    dreg = hreg.groupBy("day_start", "bucket").agg(F.max("m_j").alias("m_j"))
+    g = dreg.groupBy("day_start").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), m_j)")
+        ).alias("s_present"),
+    )
+    v = (F.lit(_HLL_M) - F.col("cnt")).cast("long")
+    s = F.col("s_present") + (F.lit(_HLL_M) - F.col("cnt"))
+    e_raw = F.expr(_HLL_ALPHA_SQL) * F.lit(float(_HLL_M * _HLL_M)) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    prof = g.select("day_start", v.alias("empty_registers"), est.alias("est"))
+    ex = ev.groupBy("day_start").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        ex.join(prof, "day_start")
+        .select(
+            "day_start",
+            "n_exact",
+            "empty_registers",
+            F.round(F.col("est"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("day_start")
+    )
