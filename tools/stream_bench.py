@@ -62,11 +62,26 @@ def main() -> None:
     n_events = src.count()
     src.repartition(N_SPLITS).write.mode("overwrite").parquet(staging)
 
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_bloom,
+        hourly_user_cms,
+        hourly_user_hll,
+        hourly_value_histogram,
+    )
+
     ops = {
         "passthrough": lambda s: s.select("event_id", "ts", "user_id"),
         "dedup_stream": dedup_stream,
         "hourly_window": hourly_window_agg,
         "session_window": session_window_agg,
+        # The four streaming sketch twins (round 14): every one keeps
+        # bounded per-hour state (CMS depth*width / histogram 64 buckets /
+        # Bloom 4,096 bits / HLL 256 registers), so their throughput cost
+        # over the plain hourly window IS the sketch-maintenance cost.
+        "hourly_user_cms": hourly_user_cms,
+        "hourly_value_histogram": hourly_value_histogram,
+        "hourly_user_bloom": hourly_user_bloom,
+        "hourly_user_hll": hourly_user_hll,
     }
 
     def drain(name, fn, conf: dict[str, str]) -> dict[str, float]:
