@@ -37,7 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_SPLITS = int(os.environ.get("STREAM_BENCH_SPLITS", "20"))
-WATERMARKS = ("40 minutes", "4 hours", "24 hours")
+# Override for focused sweeps, e.g. STREAM_JOIN_WATERMARKS="4 hours" with
+# varying STREAM_BENCH_SPLITS isolates the micro-batch-granularity state
+# floor from the watermark-proportional component.
+WATERMARKS = tuple(
+    w.strip()
+    for w in os.environ.get(
+        "STREAM_JOIN_WATERMARKS", "40 minutes,4 hours,24 hours"
+    ).split(",")
+)
 
 
 def main() -> None:
