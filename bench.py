@@ -157,6 +157,7 @@ HEADLINE = [
     "events_hourly_hll",
     "cms_selfjoin_size",
     "events_daily_hll_rollup",
+    "events_sliding_hll",
     "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",

@@ -97,6 +97,10 @@ COMMENT = {
     "events_daily_hll_rollup": "both register aggregations are time-bucket-bounded — "
     "<= 256 cells per hour, then <= 256 per day after the elementwise-max merge; the "
     "exact branch is one per-day distinct aggregate; nothing touches raw events twice",
+    "events_sliding_hll": "the 4x window explode feeds a (window, bucket)-bounded "
+    "partial aggregate — <= 4 x 256 register rows per 6-hour slide regardless of user "
+    "cardinality (the overlap factor is the ONLY state multiplier); the exact branch "
+    "is one per-window distinct aggregate over the same explode",
     "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "

@@ -163,6 +163,10 @@ HEAVY = [
     # aggregations; shuffle must stay near-flat like the hourly readout).
     "cms_selfjoin_size",
     "events_daily_hll_rollup",
+    # round 14d: the sliding-window HLL (10x events through the 4x window
+    # explode into a (window, bucket)-capped register aggregate — shuffle
+    # must stay near-flat like the tumbling readouts).
+    "events_sliding_hll",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
