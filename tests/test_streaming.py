@@ -231,6 +231,41 @@ def test_streaming_hourly_hll_equals_batch_and_bounds_state(spark, events_batch)
     assert merged == whole
 
 
+def test_streaming_sliding_hll_equals_batch_and_bounds_state(spark, events_batch):
+    """The sliding-window form (24h window / 6h slide — the rolling-actives
+    board) must emit identical registers from stream and batch, and state
+    stays <= 256 rows PER WINDOW with each event feeding exactly
+    window/slide = 4 windows (the only state multiplier)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _HLL_M,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_hll,
+    )
+
+    kw = dict(window="24 hours", slide="6 hours")
+    batch = {
+        (str(r["window_start"]), r["bucket"]): r["m_j"]
+        for r in hourly_user_hll(events_batch, **kw).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_hll(stream, **kw), "hll_sliding_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["bucket"]): r["m_j"]
+        for r in spark.sql("SELECT * FROM hll_sliding_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    per_window: dict[str, int] = {}
+    for (w, _b) in got:
+        per_window[w] = per_window.get(w, 0) + 1
+    assert len(per_window) == 123  # 30 days / 6h slide + 3 edge windows
+    assert all(v <= _HLL_M for v in per_window.values())
+
+
 def test_value_histogram_filters_null_values_keeping_invariants(spark):
     """A stream carrying NULL values must not grow a NULL bucket cell:
     nulls are filtered (quantiles over NULL are meaningless), the state

@@ -236,7 +236,12 @@ def hourly_user_bloom(events: DataFrame, watermark: str = "25 hours") -> DataFra
     )
 
 
-def hourly_user_hll(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+def hourly_user_hll(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     """Per-hour HyperLogLog register array of distinct user ids — batch or
     streaming input (one logical plan, the module's standing design).
 
@@ -258,6 +263,14 @@ def hourly_user_hll(events: DataFrame, watermark: str = "25 hours") -> DataFrame
     estimate vs exact distinct count) is ``events_hourly_hll``; stream ==
     batch equality and the state bound are pinned in
     tests/test_streaming.py.
+
+    ``window``/``slide`` generalize the key to SLIDING windows (e.g.
+    window="24 hours", slide="6 hours" — the rolling-actives board):
+    each event then feeds window/slide register arrays, so state
+    multiplies by the overlap factor and nothing else (<= overlap x 256
+    rows per slide).  The oracle-checked batch readout of the sliding
+    shape is ``events_sliding_hll``; sliding stream == batch is pinned
+    in tests/test_streaming.py too.
     """
     # Lazy imports: streaming.* must not import the queries package at
     # module load (queries/__init__ imports streaming-facing modules).
@@ -276,9 +289,10 @@ def hourly_user_hll(events: DataFrame, watermark: str = "25 hours") -> DataFrame
     rho = F.when(F.col("rest") == 0, F.lit(_HLL_MAX_RHO)).otherwise(
         F.lit(_HLL_MAX_RHO) - F.length(F.expr("bin(rest)"))
     )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         br.withColumn("rho", rho)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+        .groupBy(w.alias("w"), "bucket")
         .agg(F.max("rho").alias("m_j"))
         .select(F.col("w.start").alias("window_start"), "bucket", "m_j")
     )
