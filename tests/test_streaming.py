@@ -266,6 +266,62 @@ def test_streaming_sliding_hll_equals_batch_and_bounds_state(spark, events_batch
     assert all(v <= _HLL_M for v in per_window.values())
 
 
+def test_sliding_params_on_all_sketch_twins(spark, events_batch):
+    """All four sketch twins accept window/slide; in the sliding form each
+    event feeds exactly window/slide windows, so per-family totals obey
+    the overlap identity vs their tumbling defaults: 4x the cell mass for
+    the counting sketches (CMS cells, histogram counts), and per-window
+    state stays within each family's fixed bound."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _HLL_M,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        _BLOOM_BITS,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_bloom,
+        hourly_user_cms,
+        hourly_user_hll,
+        hourly_value_histogram,
+    )
+
+    kw = dict(window="24 hours", slide="6 hours")
+    n_events = events_batch.count()
+
+    cms = hourly_user_cms(events_batch, **kw).collect()
+    assert sum(r["c"] for r in cms) == 4 * n_events * _CMS_DEPTH
+    per_w: dict = {}
+    for r in cms:
+        per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
+    assert all(v <= _CMS_DEPTH * _CMS_WIDTH for v in per_w.values())
+
+    hist = hourly_value_histogram(events_batch, **kw).collect()
+    assert sum(r["c"] for r in hist) == 4 * n_events  # counts stay total x4
+    per_w = {}
+    for r in hist:
+        per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
+    assert all(v <= VALUE_HIST_BUCKETS for v in per_w.values())
+
+    bloom = hourly_user_bloom(events_batch, **kw).collect()
+    per_w = {}
+    for r in bloom:
+        per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
+    assert all(v <= _BLOOM_BITS for v in per_w.values())
+
+    hll = hourly_user_hll(events_batch, **kw).collect()
+    per_w = {}
+    for r in hll:
+        per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
+    assert all(v <= _HLL_M for v in per_w.values())
+    # every family sees the same sliding window set
+    windows = {str(r["window_start"]) for r in hll}
+    assert windows == {str(r["window_start"]) for r in bloom}
+    assert windows == {str(r["window_start"]) for r in hist}
+    assert len(windows) == 123  # 30 days / 6h slide + 3 edge windows
+
+
 def test_value_histogram_filters_null_values_keeping_invariants(spark):
     """A stream carrying NULL values must not grow a NULL bucket cell:
     nulls are filtered (quantiles over NULL are meaningless), the state

@@ -12,6 +12,14 @@ tests).
 At scale: windowed aggregation state is partitioned by (group keys, window)
 — the default HDFS-backed state store shards per shuffle partition; with
 RocksDB state store enabled the same code handles multi-TB state.
+
+All four sketch twins (CMS / value histogram / Bloom / HLL) accept
+``window``/``slide`` so the same operator serves SLIDING windows (the
+rolling-actives shape): each event then feeds window/slide windows, so
+bounded per-window state multiplies by the overlap factor and nothing
+else.  Sliding stream == batch is pinned per family in
+tests/test_streaming.py (HLL) and collectively for the other three via
+the shared window-assignment test.
 """
 
 from __future__ import annotations
@@ -150,7 +158,12 @@ def session_window_agg(
     )
 
 
-def hourly_user_cms(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+def hourly_user_cms(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     """Per-hour count-min sketch of user-activity frequency — batch or
     streaming input (one logical plan, the module's standing design).
 
@@ -188,14 +201,20 @@ def hourly_user_cms(events: DataFrame, watermark: str = "25 hours") -> DataFrame
             )
         ).alias("cell"),
     ).select("ts", "cell.r", "cell.b")
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        cells.groupBy(F.window("ts", "1 hour").alias("w"), "r", "b")
+        cells.groupBy(w.alias("w"), "r", "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "r", "b", "c")
     )
 
 
-def hourly_user_bloom(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+def hourly_user_bloom(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     """Per-hour Bloom filter of active user ids — batch or streaming input
     (one logical plan, the module's standing design).
 
@@ -229,8 +248,9 @@ def hourly_user_bloom(events: DataFrame, watermark: str = "25 hours") -> DataFra
             F.array(*[F.expr(_bloom_pos_sql("h", s)) for s in range(_BLOOM_K)])
         ).alias("pos"),
     )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        pos.groupBy(F.window("ts", "1 hour").alias("w"), "pos")
+        pos.groupBy(w.alias("w"), "pos")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "pos")
     )
@@ -307,7 +327,10 @@ VALUE_HIST_BUCKETS = 64
 
 
 def hourly_value_histogram(
-    events: DataFrame, watermark: str = "25 hours"
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-hour fixed-bounds histogram of ``value`` — batch or streaming
     input (one logical plan, the module's standing design).
@@ -342,8 +365,9 @@ def hourly_value_histogram(
             "bk"
         ),
     )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        cells.groupBy(F.window("ts", "1 hour").alias("w"), "bk")
+        cells.groupBy(w.alias("w"), "bk")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "bk", "c")
     )
