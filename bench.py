@@ -158,6 +158,7 @@ HEADLINE = [
     "cms_selfjoin_size",
     "events_daily_hll_rollup",
     "events_sliding_hll",
+    "cms_join_size_estimate",
     "events_hourly_value_quantiles",
     "rrf_hybrid_retrieval",
     "referential_integrity_audit",

@@ -59,6 +59,10 @@ BNLJ_WHITELIST = {
     # join_cross's bounded dimensions); every frame the loop touches is
     # k-row signature state, never corpus rows.
     "kmv_jaccard_langs",
+    # cms_join_size_estimate: same 1-row output-assembly crosses as
+    # cms_selfjoin_size; the data path is two bounded sketch aggregates,
+    # their 1,024-row estimator equi-join, and one exact hash equi-join.
+    "cms_join_size_estimate",
     # cms_selfjoin_size: the output row assembles a 1-row exact aggregate
     # crossed with the 1-row sketch-estimate aggregate — the scalar
     # broadcast class (same as bloom_semijoin_stats' five 1-row counts).

@@ -252,3 +252,12 @@ def test_daily_hll_rollup_merge_equals_direct_sketch(spark):
     rows = q.REGISTRY["events_daily_hll_rollup"].fn(spark, SF001).collect()
     assert len(rows) == 30
     assert all(r["rel_err"] <= 0.25 for r in rows), rows[:3]
+
+
+def test_cms_join_size_estimator_theory(spark):
+    """The two-relation AMS estimate must dominate the exact join size and
+    land near the collision term (n_v*n_p - exact)/width per depth row."""
+    r = q.REGISTRY["cms_join_size_estimate"].fn(spark, SF001).collect()[0]
+    assert r["est_join"] >= r["exact_join"]
+    predicted = (r["n_views"] * r["n_purchases"] - r["exact_join"]) / 256.0
+    assert r["overest"] <= 2.0 * predicted + 1e-9, (r["overest"], predicted)

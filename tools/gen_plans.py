@@ -101,6 +101,9 @@ COMMENT = {
     "partial aggregate — <= 4 x 256 register rows per 6-hour slide regardless of user "
     "cardinality (the overlap factor is the ONLY state multiplier); the exact branch "
     "is one per-window distinct aggregate over the same explode",
+    "cms_join_size_estimate": "each relation's sketch map-side-combines to <= 1,024 "
+    "cells; the estimator join touches two 1,024-row frames; the exact branch is one "
+    "hash equi-join; 1-row broadcasts assemble the output (whitelisted)",
     "rrf_hybrid_retrieval": "each pool is a TakeOrderedAndProject global top-20 (k-row "
     "per-partition state, no full sort) ranked by a window over the 20 survivors; the "
     "fusion full-outer join touches two 20-row frames; the 1-row BM25 corpus stats and "

@@ -167,6 +167,10 @@ HEAVY = [
     # explode into a (window, bucket)-capped register aggregate — shuffle
     # must stay near-flat like the tumbling readouts).
     "events_sliding_hll",
+    # round 14e: the two-relation AMS join-size estimate (10x events
+    # through two <= 1,024-cell sketch aggregates + one exact equi-join —
+    # sketch shuffle must stay O(cells), the exact join grows linearly).
+    "cms_join_size_estimate",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -41,25 +41,27 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-14 staleness histogram (registry at 165 after this round's
-# six additions): 6 never-green (``events_hourly_bloom_returns`` — the
+# Round-14 staleness histogram (registry at 166 after this round's
+# seven additions): 7 never-green (``events_hourly_bloom_returns`` — the
 # streaming-Bloom batch twin, ``kmv_set_difference`` — the last piece
 # of the KMV set algebra, ``events_hourly_hll`` — the streaming-HLL
 # batch twin, ``cms_selfjoin_size`` — the AMS F2 join-size estimator,
 # ``events_daily_hll_rollup`` — the hour->day register merge as a
-# query — and ``events_sliding_hll`` — the sliding-window HLL), 9
-# queries last green externally in r9
+# query, ``events_sliding_hll`` — the sliding-window HLL — and
+# ``cms_join_size_estimate`` — the two-relation AMS join-size
+# estimator), 9 queries last green externally in r9
 # (the r13 window could not fit them), 50 in r10, 50 in r12, 50 in r13.
-# The window is the six never-green queries, the nine r9-stale ones
+# The window is the seven never-green queries, the nine r9-stale ones
 # (``common_shingle_fraction``, ``grouped_zscore_histogram``,
 # ``events_funnel``, ``events_cohort_retention``,
 # ``mixture_sampling_plan``, ``from_json_map``,
 # ``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``), then the 35 stalest r10-green queries in
-# prior registry order; fifteen r10-green queries
+# ``events_session_window``), then the 34 stalest r10-green queries in
+# prior registry order; sixteen r10-green queries
 # (``exists_not_exists_combo`` ... ``min_price_per_type``,
 # ``correlated_subquery_orders``, ``grouping_sets_explicit``,
-# ``window_frames_suite``) no longer fit and head the r15 window.  Every tail query is re-proven by
+# ``window_frames_suite``, ``null_ordering``) no longer fit and head
+# the r15 window.  Every tail query is re-proven by
 # the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
@@ -70,6 +72,7 @@ _PRIORITY = [
     "cms_selfjoin_size",
     "events_daily_hll_rollup",
     "events_sliding_hll",
+    "cms_join_size_estimate",
     "common_shingle_fraction",
     "grouped_zscore_histogram",
     "events_funnel",
@@ -113,7 +116,6 @@ _PRIORITY = [
     "map_array_functions",
     "join_right_outer",
     "join_cross",
-    "null_ordering",
 ]
 
 

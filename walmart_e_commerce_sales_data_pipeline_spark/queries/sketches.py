@@ -1580,3 +1580,138 @@ def events_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --- CMS two-relation join-size estimate -------------------------------------
+
+
+def _cms_join_size_oracle() -> str:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    def cells(src: str) -> str:
+        branches = " UNION ALL ".join(
+            f"SELECT {r} AS r, {_cms_bucket_sql('h', r)} AS b FROM {src}"
+            for r in range(_CMS_DEPTH)
+        )
+        return (
+            f"SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM ({branches}) "
+            f"GROUP BY r, b"
+        )
+
+    return f"""
+    WITH v AS (
+        SELECT user_id AS k, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id AS k, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cv AS ({cells('v')}),
+    cp AS ({cells('p')}),
+    ip AS (
+        SELECT cv.r, CAST(SUM(cv.c * cp.c) AS BIGINT) AS inner_product
+        FROM cv JOIN cp ON cp.r = cv.r AND cp.b = cv.b
+        GROUP BY cv.r
+    ),
+    est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_join FROM ip),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_views FROM v),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+        FROM v JOIN p ON p.k = v.k
+    )
+    SELECT nv.n_views, np.n_purchases, ex.exact_join, est.est_join,
+           est.est_join - ex.exact_join AS overest,
+           ROUND(CAST(est.est_join - ex.exact_join AS DOUBLE)
+                 / ex.exact_join, 6) AS rel_overest
+    FROM nv, np, ex, est
+    """
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle=_cms_join_size_oracle(),
+    description="size of the view-purchase attribution join (views JOIN "
+    "purchases ON user_id — the equality core of streaming/joins.py's "
+    "attribution_join) estimated from TWO per-relation CMS counter "
+    "matrices alone: est = min over depth of sum(c_v * c_p) per row — "
+    "the AMS/CMS inner-product join-size estimator (Alon-Matias-Szegedy "
+    "'96; Cormode-Muthukrishnan '05 §4.2), est >= exact always.  The "
+    "planner question this answers at 100 TB: how big is R JOIN S on k "
+    "BEFORE running it, from two 4 KB mergeable sketches built "
+    "independently per relation (per-shard sketches merge by cell "
+    "addition; the inner product recomputes after the merge) — the "
+    "companion to cms_selfjoin_size's F2 (self-join) form.  Exact join "
+    "cardinality rides along from one equi-join count so the oracle "
+    "pins estimator AND error; everything is exact BIGINT until one "
+    "final rounded ratio, and the deterministic portable-md5 geometry "
+    "makes the estimate reproducible in any engine.  Scale shape: each "
+    "sketch side map-side-combines to <= depth*width = 1,024 cells; the "
+    "estimator join touches two 1,024-row frames; the exact branch is "
+    "one hash equi-join",
+    tags=("sketch", "frequency", "join", "portable"),
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _CMS_DEPTH, _cms_bucket_sql
+
+    ev = table(spark, sf_dir, "events")
+
+    def cells(df: DataFrame) -> DataFrame:
+        h = df.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        return (
+            h.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                F.expr(_cms_bucket_sql("h", r)).alias("b"),
+                            )
+                            for r in range(_CMS_DEPTH)
+                        ]
+                    )
+                ).alias("cell")
+            )
+            .groupBy("cell.r", "cell.b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    cv = cells(views)
+    cp = cells(purchases).select(
+        F.col("r").alias("r2"), F.col("b").alias("b2"), F.col("c").alias("c2")
+    )
+    ip = (
+        cv.join(cp, (F.col("r2") == F.col("r")) & (F.col("b2") == F.col("b")))
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("inner_product"))
+    )
+    est = ip.agg(F.min("inner_product").cast("long").alias("est_join"))
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+    np_ = purchases.agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    ex = (
+        views.join(
+            purchases.select(F.col("user_id").alias("p_user")),
+            F.col("p_user") == F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join"))
+    )
+    return (
+        nv.crossJoin(np_)
+        .crossJoin(ex)
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_views",
+            "n_purchases",
+            "exact_join",
+            "est_join",
+            (F.col("est_join") - F.col("exact_join")).alias("overest"),
+            F.round(
+                (F.col("est_join") - F.col("exact_join")).cast("double")
+                / F.col("exact_join"),
+                6,
+            ).alias("rel_overest"),
+        )
+    )
