@@ -250,6 +250,18 @@ HEADLINE = [
     # round 11 (queries/profiling.py): deterministic weight-proportional
     # sampling (Efraimidis-Spirakis A-ES over the portable hash)
     "weighted_sample_aes",
+    # round 14 wave 2: exact penny-allocation attribution, Theil-Sen
+    # robust trend, sparse inverted-index ANN, sketch-merged HLL cube
+    # margins, and the linear 2-D skyline
+    "multi_touch_attribution",
+    "revenue_theilsen_slope",
+    "similarity_inverted_index",
+    "cube_distinct_hll",
+    "pareto_frontier_parts",
+    # round 14 wave 3: Poisson-bootstrap CI bands and retraction-stream
+    # incremental view maintenance
+    "bootstrap_ci_revenue",
+    "incremental_rollup_maintenance",
 ]
 
 

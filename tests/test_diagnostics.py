@@ -149,3 +149,146 @@ def test_bloom_fp_rate_near_theory(spark):
         row["fp_rate"],
         theory,
     )
+
+
+def test_theilsen_slope_matches_python_reference(spark):
+    """The rank-selected median-of-pairwise-slopes must agree with an
+    independently computed Theil-Sen estimate (statistics.median over
+    all C(n,2) slopes) on the same monthly series."""
+    import statistics
+
+    rows = q.REGISTRY["revenue_theilsen_slope"].fn(spark, SF001).collect()
+    assert rows
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+        FROM '{SF001}/orders.parquet' o
+        JOIN '{SF001}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF001}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, x
+        """
+    ).fetchdf()
+    by_nation = {name: g for name, g in ref.groupby("n_name")}
+    for r in rows:
+        g = by_nation[r["n_name"]].sort_values("x")
+        xs = g["x"].tolist()
+        ys = g["y"].tolist()
+        slopes = [
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        ]
+        assert r["n_months"] == len(xs)
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["ts_slope_cpm"] - statistics.median(slopes)) <= max(
+            1e-6 * abs(statistics.median(slopes)), 1e-3
+        ), (r, statistics.median(slopes))
+
+
+def test_theilsen_robust_to_planted_spike(spark):
+    """Robustness property the OLS fit lacks: plant one absurd spike month
+    into a clean linear series and the Theil-Sen median must stay on the
+    true slope while OLS is dragged away.  Computed on a synthetic frame
+    through the SAME rank-selection arithmetic as the query."""
+    from pyspark.sql import Window
+
+    xs = list(range(24))
+    true = [100 + 7 * x for x in xs]
+    spiked = list(true)
+    spiked[12] = 100000  # one corrupted rollup month
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, spiked)], "g string, x int, y long"
+    )
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.g").alias("g"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    wp = Window.partitionBy("g")
+    rk = pairs.select(
+        "g",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "x1", "x2")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    (row,) = (
+        rk.filter(
+            (F.col("rk") >= F.expr("(cnt + 1) div 2"))
+            & (F.col("rk") <= F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("g")
+        .agg(((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("ts"))
+        .collect()
+    )
+    assert abs(row["ts"] - 7.0) < 0.5, row
+    # the OLS fit on the same spiked series is dragged far off
+    import numpy as np
+
+    ols = np.polyfit(np.array(xs, float), np.array(spiked, float), 1)[0]
+    assert abs(ols - 7.0) > 20, ols
+
+
+def test_bootstrap_ci_brackets_sample_mean_and_mult_is_poisson(spark):
+    """Two sanity laws for bootstrap_ci_revenue: (1) the rank-selected
+    band must bracket the full-sample mean for nearly every nation (the
+    bootstrap distribution centers on the sample mean); (2) the integer
+    threshold ladder must draw multiplicities with mean ~1 and the
+    Poisson(1) frequency profile (the resample is unbiased)."""
+    rows = q.REGISTRY["bootstrap_ci_revenue"].fn(spark, SF001).collect()
+    assert len(rows) == 25
+    inside = sum(1 for r in rows if r["ci_lo"] <= r["mean_value"] <= r["ci_hi"])
+    assert inside >= 23, [
+        (r["n_name"], r["ci_lo"], r["mean_value"], r["ci_hi"])
+        for r in rows
+        if not (r["ci_lo"] <= r["mean_value"] <= r["ci_hi"])
+    ]
+    for r in rows:
+        assert r["ci_lo"] < r["ci_hi"], r
+
+    import math
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        _BOOT_GROUPS,
+        _BOOT_SLICES,
+        _poisson_mult_sql,
+        _slice16_sql,
+    )
+
+    con = duckdb.connect()
+    (n_draws, mean_m, *freqs) = con.execute(
+        f"""
+        WITH h AS (
+            SELECT md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',
+                              CAST(g.g AS VARCHAR))) AS h
+            FROM '{SF001}/orders.parquet' o,
+                 (SELECT CAST(range AS INTEGER) AS g
+                  FROM range({_BOOT_GROUPS})) g
+        ),
+        d AS (
+            SELECT {_poisson_mult_sql(_slice16_sql('h', 'sl.s'))} AS m
+            FROM h, (SELECT CAST(range AS INTEGER) AS s
+                     FROM range({_BOOT_SLICES})) sl
+        )
+        SELECT COUNT(*), AVG(m),
+               SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) / COUNT(*),
+               SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) / COUNT(*),
+               SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) / COUNT(*)
+        FROM d
+        """
+    ).fetchone()
+    assert n_draws >= 100_000
+    assert abs(mean_m - 1.0) < 0.02, mean_m
+    e1 = math.exp(-1.0)
+    for got, want in zip(freqs, (e1, e1, e1 / 2)):
+        assert abs(got - want) < 0.01, (freqs, want)

@@ -103,6 +103,12 @@ BNLJ_WHITELIST = {
 # - mixture_sampling_plan: full-frame sum over the per-source doc-count
 #   table — one row per corpus source, a config-sized set.
 UNPARTITIONED_WINDOW_WHITELIST = {
+    # - pareto_frontier_parts: the prefix-max window runs over the $1
+    #   price-bucket SUMMARY table — bounded by the price domain
+    #   (p_retailprice ~[900, 2100] under the TPC-H pricing formula at any
+    #   SF ⇒ <= ~1,201 rows), never the parts; the corpus-sized running
+    #   max is bucket-partitioned (queries/skyline.py docstring).
+    "pareto_frontier_parts",
     # - rrf_hybrid_retrieval: all three rank windows sit above
     #   orderBy().limit(20) pools (TakeOrderedAndProject) or their ≤ 40-row
     #   fusion join — same bounded shape as bm25_doc_retrieval's.
@@ -133,6 +139,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 # - ngram_distribution_profile: the counts-of-counts table — ≤ √(2N) rows
 #   by construction (d distinct count values satisfy d(d+1)/2 ≤ N).
 SINGLE_PARTITION_WHITELIST = {
+    # - pareto_frontier_parts: the single-partition exchange feeds the
+    #   bucket-summary prefix-max window — a FINAL aggregate over the $1
+    #   price buckets, domain-bounded at <= ~1,201 rows (see the
+    #   unpartitioned-window entry above).
+    "pareto_frontier_parts",
     "window_running_total",
     "null_ordering",
     "window_frames_suite",

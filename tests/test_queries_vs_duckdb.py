@@ -150,25 +150,29 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-14 rotation policy: the checked window is the 50 queries with
-    # the oldest external evidence (computed by tools/rotate_window.py,
-    # which also asserts the 5-round staleness horizon).  Staleness
-    # histogram after the round-14 additions: never:7 / r9:9 / r10:50 /
-    # r12:50 / r13:50.  The window is the seven never-green round-14
-    # queries, the nine r9-stale leftovers the r13 window could not fit,
-    # then the 34 stalest r10-green queries in prior registry order;
-    # sixteen r10-green queries (exists_not_exists_combo,
-    # lateral_explode_embeddings, tfidf_top_terms, top_supplier_revenue,
-    # dormant_customer_balance, local_supplier_volume,
-    # customer_order_histogram, set_operations_all, orders_rfm_segments,
-    # quantize_embeddings, label_centroid_similarity,
-    # min_price_per_type, correlated_subquery_orders,
-    # grouping_sets_explicit, window_frames_suite, null_ordering) no
-    # longer fit and head the r15 window.
+    # Round-14 rotation policy (wave 2): the checked window is the 50
+    # queries with the oldest external evidence (computed by
+    # tools/rotate_window.py, which also asserts the 5-round staleness
+    # horizon).  Staleness histogram after the round-14 additions
+    # (fourteen new queries across three waves): never:14 / r9:9 /
+    # r10:50 / r12:50 / r13:50.  The window is the fourteen never-green
+    # round-14 queries, the nine r9-stale leftovers the r13 window could
+    # not fit, then the 27 stalest r10-green queries in prior registry
+    # order; twenty-three r10-green queries (pivot_status_by_year,
+    # price_percentiles, regex_math_functions,
+    # ship_delay_buckets, map_array_functions, join_right_outer,
+    # join_cross, exists_not_exists_combo, lateral_explode_embeddings,
+    # tfidf_top_terms, top_supplier_revenue, dormant_customer_balance,
+    # local_supplier_volume, customer_order_histogram,
+    # set_operations_all, orders_rfm_segments, quantize_embeddings,
+    # label_centroid_similarity, min_price_per_type,
+    # correlated_subquery_orders, grouping_sets_explicit,
+    # window_frames_suite, null_ordering) no longer fit and head the
+    # r15 window.
     window = set(names[:50])
     # The round-14 additions (never externally green) lead unconditionally,
     # followed by the nine r9-stale queries named in VERDICT r13 task 1.
-    assert _PRIORITY[:16] == [
+    assert _PRIORITY[:23] == [
         "events_hourly_bloom_returns",
         "kmv_set_difference",
         "events_hourly_hll",
@@ -176,6 +180,13 @@ def test_checked_window_composition():
         "events_daily_hll_rollup",
         "events_sliding_hll",
         "cms_join_size_estimate",
+        "multi_touch_attribution",
+        "revenue_theilsen_slope",
+        "similarity_inverted_index",
+        "cube_distinct_hll",
+        "pareto_frontier_parts",
+        "bootstrap_ci_revenue",
+        "incremental_rollup_maintenance",
         "common_shingle_fraction",
         "grouped_zscore_histogram",
         "events_funnel",
@@ -186,8 +197,8 @@ def test_checked_window_composition():
         "range_join_close_events",
         "events_session_window",
     ]
-    # The 34 stalest r10-green queries follow, in prior registry order.
-    assert _PRIORITY[16:50] == [
+    # The 27 stalest r10-green queries follow, in prior registry order.
+    assert _PRIORITY[23:50] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -215,13 +226,6 @@ def test_checked_window_composition():
         "shipping_priority_top10",
         "large_quantity_orders",
         "above_average_orders",
-        "pivot_status_by_year",
-        "price_percentiles",
-        "regex_math_functions",
-        "ship_delay_buckets",
-        "map_array_functions",
-        "join_right_outer",
-        "join_cross",
     ]
     # Nothing green in rounds 12 or 13 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

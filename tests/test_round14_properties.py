@@ -164,3 +164,218 @@ def test_cms_f2_estimate_dominates_exact(keys):
 
     exact = sum(f * f for f in Counter(keys).values())
     assert est >= exact, (est, exact)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # user
+            st.sampled_from(["view", "purchase"]),
+            st.integers(0, 200_000),    # seconds offset
+            st.integers(1, 10_000_000), # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@FAST
+def test_attribution_conserves_every_purchase_cent(events):
+    """multi_touch_attribution's ledger law for ANY event stream: the
+    largest-remainder split is exact integer arithmetic, so
+    sum(attributed_cents) + sum(direct_cents) == sum(purchase cents),
+    and per-purchase credits sum exactly to that purchase's value.
+    Evaluated through the SAME SQL the oracle ships (DuckDB, relation
+    built from the hypothesis rows)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev(event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(?), ?)",
+        [(i, u, t, s, c / 100.0) for i, (u, t, s, c) in enumerate(events)],
+    )
+    out = con.execute(
+        """
+        WITH p AS (
+            SELECT event_id AS p_id, user_id, epoch_ns(ts) AS p_ns,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM ev WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id AS v_id, user_id, epoch_ns(ts) AS v_ns
+            FROM ev WHERE event_type = 'view'
+        ),
+        j AS (
+            SELECT p.p_id, p.user_id, p.cents, v.v_id, v.v_ns
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND v.v_ns <= p.p_ns
+             AND v.v_ns > p.p_ns - 86400000000000
+        ),
+        credited AS (
+            SELECT user_id, p_id, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p_id ORDER BY v_ns DESC, v_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY p_id) AS n
+            FROM j WHERE v_id IS NOT NULL
+        ),
+        per_view AS (
+            SELECT user_id, p_id, cents,
+                   cents // n
+                       + CASE WHEN rk = 1 THEN cents % n ELSE 0 END AS credit
+            FROM credited
+        )
+        SELECT
+            (SELECT COALESCE(SUM(credit), 0) FROM per_view)
+              + (SELECT COALESCE(SUM(cents), 0) FROM j WHERE v_id IS NULL)
+              AS ledger,
+            (SELECT COALESCE(SUM(cents), 0) FROM p) AS total,
+            (SELECT COUNT(*) FROM (
+                SELECT p_id FROM per_view
+                GROUP BY p_id, cents HAVING SUM(credit) <> cents)) AS broken
+        """
+    ).fetchone()
+    ledger, total, broken = out
+    assert ledger == total, (ledger, total)
+    assert broken == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(89_000, 101_000), st.integers(1, 50)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@FAST
+def test_skyline_decomposition_equals_brute_force(points):
+    """pareto_frontier_parts' sort-based decomposition (running max over
+    strictly-cheaper rows, prefix-scanned across $1 buckets, plus the
+    equal-price group max) must equal definitional NOT-EXISTS dominance
+    for ANY point set — including duplicate points, equal-price chains,
+    and cross-bucket dominance.  Evaluated via the same SQL formulas in
+    DuckDB so each example costs milliseconds."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(id BIGINT, price_cents BIGINT, sz INT)")
+    con.executemany(
+        "INSERT INTO pts VALUES (?, ?, ?)",
+        [(i, p, s) for i, (p, s) in enumerate(points)],
+    )
+    brute = set(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT id FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.price_cents <= p.price_cents AND q.sz >= p.sz
+                  AND (q.price_cents < p.price_cents OR q.sz > p.sz))
+            """
+        ).fetchall()
+    )
+    decomposed = set(
+        r[0]
+        for r in con.execute(
+            """
+            WITH b AS (SELECT *, price_cents // 100 AS bucket FROM pts),
+            bmax AS (
+                SELECT bucket, MAX(sz) AS bucket_max FROM b GROUP BY bucket
+            ),
+            prev AS (
+                SELECT bucket,
+                       MAX(bucket_max) OVER (
+                           ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS prev_bucket_max
+                FROM bmax
+            ),
+            eq AS (
+                SELECT price_cents, MAX(sz) AS eq_max FROM b GROUP BY 1
+            ),
+            scanned AS (
+                SELECT b.id, b.sz, eq.eq_max,
+                       GREATEST(
+                           COALESCE(MAX(b.sz) OVER (
+                               PARTITION BY b.bucket ORDER BY b.price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1),
+                           COALESCE(prev.prev_bucket_max, -1)
+                       ) AS cheaper_max
+                FROM b
+                JOIN prev ON b.bucket = prev.bucket
+                JOIN eq ON b.price_cents = eq.price_cents
+            )
+            SELECT id FROM scanned
+            WHERE cheaper_max < sz AND eq_max = sz
+            """
+        ).fetchall()
+    )
+    assert brute == decomposed
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 12),         # month
+            st.integers(1, 10_000_00),  # cents
+            st.integers(0, 99),         # key residue driving ins/del/base
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@FAST
+def test_ivm_retraction_algebra_equals_recompute(rows):
+    """incremental_rollup_maintenance's identity for ANY base/delta split:
+    maintaining the rollup from signed-multiplicity deltas (+1 insert /
+    -1 retraction of a base row) must equal the full recompute, and
+    groups whose count reaches zero must vanish.  Evaluated through the
+    same SQL shapes the oracle ships (base = r%17<>0, insert = r%17=0,
+    delete = base AND r%23=0)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(k BIGINT, m INT, cents BIGINT)")
+    con.executemany(
+        "INSERT INTO o VALUES (?, ?, ?)",
+        [(r, m, c) for m, c, r in rows],
+    )
+    out = con.execute(
+        """
+        WITH base AS (SELECT * FROM o WHERE k % 17 <> 0),
+        delta AS (
+            SELECT m, cents, 1 AS op FROM o WHERE k % 17 = 0
+            UNION ALL
+            SELECT m, cents, -1 FROM o WHERE k % 17 <> 0 AND k % 23 = 0
+        ),
+        base_mv AS (
+            SELECT m, COUNT(*) AS n, SUM(cents) AS c FROM base GROUP BY m
+        ),
+        delta_mv AS (
+            SELECT m, SUM(op) AS dn, SUM(op * cents) AS dc
+            FROM delta GROUP BY m
+        ),
+        maintained AS (
+            SELECT COALESCE(b.m, d.m) AS m,
+                   COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n,
+                   COALESCE(b.c, 0) + COALESCE(d.dc, 0) AS c
+            FROM base_mv b FULL OUTER JOIN delta_mv d ON b.m = d.m
+        ),
+        truth AS (
+            SELECT m, COUNT(*) AS n, SUM(cents) AS c
+            FROM o WHERE k % 17 = 0 OR k % 23 <> 0 GROUP BY m
+        )
+        SELECT
+          (SELECT COUNT(*) FROM maintained mt
+           JOIN truth t ON mt.m = t.m
+           WHERE mt.n <> t.n OR mt.c <> t.c) AS mismatched,
+          (SELECT COUNT(*) FROM maintained WHERE n > 0
+             AND m NOT IN (SELECT m FROM truth)) AS ghost_groups,
+          (SELECT COUNT(*) FROM truth
+           WHERE m NOT IN (SELECT m FROM maintained WHERE n > 0))
+              AS missing_groups,
+          (SELECT COUNT(*) FROM maintained WHERE n = 0 AND c <> 0)
+              AS nonzero_dead
+        """
+    ).fetchone()
+    assert out == (0, 0, 0, 0), out

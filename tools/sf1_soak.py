@@ -171,6 +171,32 @@ HEAVY = [
     # through two <= 1,024-cell sketch aggregates + one exact equi-join —
     # sketch shuffle must stay O(cells), the exact join grows linearly).
     "cms_join_size_estimate",
+    # round 14 wave 2: penny-allocation attribution (10x events through
+    # one user-keyed range join + purchase-partitioned window — per-user
+    # view/purchase density is scale-invariant in the replica design, so
+    # join fan-out per purchase must stay flat and wall ~linear);
+    # Theil-Sen (10x orders collapse to the SAME calendar-bounded
+    # monthly rollup per replica-shifted nation set — pair count grows
+    # with nations, not lineitems); the inverted index (10x vectors ->
+    # 10x posting rows; probe set fixed at 8, so the postings join grows
+    # linearly in corpus postings); the HLL cube (10x events through the
+    # types x 7 x 256-capped register aggregate — sketch-side shuffle
+    # near-flat, exact branch grows with distinct users); the skyline
+    # (10x parts through the bucket-partitioned running max; the bucket
+    # summary stays domain-bounded, so the single-task window input may
+    # not grow).
+    "multi_touch_attribution",
+    "revenue_theilsen_slope",
+    "similarity_inverted_index",
+    "cube_distinct_hll",
+    "pareto_frontier_parts",
+    # round 14 wave 3: the bootstrap (10x orders through the fixed x32
+    # fan-out — wall must stay linear in orders x B, per-group state two
+    # BIGINTs) and IVM (10x orders through three calendar-bounded
+    # aggregates — the maintained/delta/truth frames all stay ~84 rows,
+    # so shuffle past the first aggregate must stay flat).
+    "bootstrap_ci_revenue",
+    "incremental_rollup_maintenance",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

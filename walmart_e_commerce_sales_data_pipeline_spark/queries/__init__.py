@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     retrieval,
     similarity,
     sketches,
+    skyline,
     streaming_media,
     text,
 )
@@ -41,27 +42,37 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-14 staleness histogram (registry at 166 after this round's
-# seven additions): 7 never-green (``events_hourly_bloom_returns`` — the
-# streaming-Bloom batch twin, ``kmv_set_difference`` — the last piece
-# of the KMV set algebra, ``events_hourly_hll`` — the streaming-HLL
-# batch twin, ``cms_selfjoin_size`` — the AMS F2 join-size estimator,
-# ``events_daily_hll_rollup`` — the hour->day register merge as a
-# query, ``events_sliding_hll`` — the sliding-window HLL — and
-# ``cms_join_size_estimate`` — the two-relation AMS join-size
-# estimator), 9 queries last green externally in r9
-# (the r13 window could not fit them), 50 in r10, 50 in r12, 50 in r13.
-# The window is the seven never-green queries, the nine r9-stale ones
+# Round-14 staleness histogram (registry at 173 after this round's
+# fourteen additions — seven wave-1, five wave-2, two wave-3): 14
+# never-green
+# (wave-1: ``events_hourly_bloom_returns``, ``kmv_set_difference``,
+# ``events_hourly_hll``, ``cms_selfjoin_size``,
+# ``events_daily_hll_rollup``, ``events_sliding_hll``,
+# ``cms_join_size_estimate``; wave-2: ``multi_touch_attribution`` —
+# exact penny-allocation attribution, ``revenue_theilsen_slope`` —
+# robust median-of-slopes trend, ``similarity_inverted_index`` —
+# sparse postings-join ANN, ``cube_distinct_hll`` — sketch-merged OLAP
+# margins, ``pareto_frontier_parts`` — linear skyline; wave-3:
+# ``bootstrap_ci_revenue`` — Poisson-bootstrap confidence bands,
+# ``incremental_rollup_maintenance`` — retraction-stream IVM), 9
+# queries last green externally in r9, 50 in r10, 50 in r12, 50 in
+# r13.
+# The window is the fourteen never-green queries, the nine r9-stale ones
 # (``common_shingle_fraction``, ``grouped_zscore_histogram``,
 # ``events_funnel``, ``events_cohort_retention``,
 # ``mixture_sampling_plan``, ``from_json_map``,
 # ``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``), then the 34 stalest r10-green queries in
-# prior registry order; sixteen r10-green queries
-# (``exists_not_exists_combo`` ... ``min_price_per_type``,
+# ``events_session_window``), then the 27 stalest r10-green queries in
+# prior registry order; twenty-three r10-green queries
+# (``pivot_status_by_year``, ``price_percentiles``,
+# ``regex_math_functions``, ``ship_delay_buckets``,
+# ``map_array_functions``, ``join_right_outer``, ``join_cross``,
+# ``exists_not_exists_combo`` ... ``min_price_per_type``,
 # ``correlated_subquery_orders``, ``grouping_sets_explicit``,
 # ``window_frames_suite``, ``null_ordering``) no longer fit and head
-# the r15 window.  Every tail query is re-proven by
+# the r15 window (projected staleness horizon after r14: worst 4
+# rounds, inside the 5-round limit asserted by tools/rotate_window.py).
+# Every tail query is re-proven by
 # the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
 # driver-equivalent strictness) on every pytest run.
 # ---------------------------------------------------------------------------
@@ -73,6 +84,13 @@ _PRIORITY = [
     "events_daily_hll_rollup",
     "events_sliding_hll",
     "cms_join_size_estimate",
+    "multi_touch_attribution",
+    "revenue_theilsen_slope",
+    "similarity_inverted_index",
+    "cube_distinct_hll",
+    "pareto_frontier_parts",
+    "bootstrap_ci_revenue",
+    "incremental_rollup_maintenance",
     "common_shingle_fraction",
     "grouped_zscore_histogram",
     "events_funnel",
@@ -109,13 +127,6 @@ _PRIORITY = [
     "shipping_priority_top10",
     "large_quantity_orders",
     "above_average_orders",
-    "pivot_status_by_year",
-    "price_percentiles",
-    "regex_math_functions",
-    "ship_delay_buckets",
-    "map_array_functions",
-    "join_right_outer",
-    "join_cross",
 ]
 
 

@@ -765,3 +765,371 @@ def events_hourly_bloom_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "revenue_theilsen_slope",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, x
+    ),
+    pairs AS (
+        SELECT a.n_name,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS slope,
+               a.x AS x1, b.x AS x2
+        FROM monthly a
+        JOIN monthly b ON a.n_name = b.n_name AND a.x < b.x
+    ),
+    rk AS (
+        SELECT n_name, slope,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_name ORDER BY slope, x1, x2) AS rk,
+               COUNT(*) OVER (PARTITION BY n_name) AS cnt
+        FROM pairs
+    ),
+    med AS (
+        SELECT n_name, CAST(cnt AS BIGINT) AS n_pairs,
+               ROUND((MIN(slope) + MAX(slope)) / 2.0, 4) AS ts_slope_cpm
+        FROM rk
+        WHERE rk BETWEEN (cnt + 1) // 2 AND (cnt + 2) // 2
+        GROUP BY n_name, cnt
+    )
+    SELECT m.n_name, mo.n_months, m.n_pairs, m.ts_slope_cpm
+    FROM med m
+    JOIN (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months
+          FROM monthly GROUP BY n_name) mo ON m.n_name = mo.n_name
+    ORDER BY m.n_name
+    """,
+    description="per-nation Theil-Sen trend slope of the monthly revenue "
+    "series: the MEDIAN of all pairwise slopes (y2-y1)/(x2-x1) — the "
+    "robust complement to revenue_trend_slope's OLS (one promo-spike "
+    "month drags a least-squares fit but moves at most half the "
+    "pairwise slopes, so the median shrugs; breakdown point 29%, Sen "
+    "1968).  Exactness: each slope is ONE IEEE division of exact "
+    "integers (exact cent totals over integer month deltas — "
+    "deterministic bits on any engine); the median never touches a "
+    "quantile builtin, whose interpolation arithmetic differs per "
+    "engine at the last ulp — instead both sides rank slopes with a "
+    "deterministic (slope, x1, x2) tie-break and average the two "
+    "middle ranks with the SAME (min+max)/2 expression.  Scale shape: "
+    "the fact scan collapses to the calendar-bounded monthly rollup "
+    "FIRST, so the pairwise explosion is C(n_months,2) <= ~3.5k rows "
+    "per nation (calendar^2 x nation-dimension, independent of "
+    "lineitem scale); the self-join is an equi-join on n_name and "
+    "both windows are nation-partitioned",
+    tags=("agg", "regression", "robust", "window"),
+)
+def revenue_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    x = (F.year("o_orderdate") - F.lit(1995)) * F.lit(12) + F.month(
+        "o_orderdate"
+    ) - F.lit(1)
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", x.alias("x"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    wp = Window.partitionBy("n_name")
+    rk = pairs.select(
+        "n_name",
+        "slope",
+        F.row_number()
+        .over(wp.orderBy("slope", "x1", "x2"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    med = (
+        rk.filter(
+            (F.col("rk") >= F.expr("(cnt + 1) div 2"))
+            & (F.col("rk") <= F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("n_name", "cnt")
+        .agg(
+            F.round(
+                (F.min("slope") + F.max("slope")) / F.lit(2.0), 4
+            ).alias("ts_slope_cpm")
+        )
+        .select(
+            "n_name",
+            F.col("cnt").cast("long").alias("n_pairs"),
+            "ts_slope_cpm",
+        )
+    )
+    months = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    return (
+        med.join(months, "n_name")
+        .select("n_name", "n_months", "n_pairs", "ts_slope_cpm")
+        .orderBy("n_name")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds as exact 16-bit integers:
+# t_k = floor(P(X <= k) * 2^16).  A replicate membership draw compares a
+# 16-bit slice of the portable md5 against these literals — no float CDF
+# math ever runs, so the multiplicity is a pure integer function both
+# engines compute identically.  P(X > 6) maps to the top 6/65536 of the
+# slice range (~9.2e-5 vs the true 8.3e-5): the ladder caps at 7, a
+# deterministic (and cross-engine identical) truncation both sides
+# share.  16-bit resolution quantizes each CDF step by < 1.6e-5 —
+# immaterial against bootstrap noise at B = 32.
+_POISSON1_T16 = (24109, 48218, 60273, 64291, 65296, 65497, 65530)
+
+_BOOTSTRAP_B = 32
+# One md5 serves 8 replicates: the 32-hex digest is cut into eight
+# disjoint 4-hex (16-bit) slices, so the hash fold runs B/8 = 4 times
+# per order instead of B times (measured 13.5 s -> ~2 s at sf0.1).
+_BOOT_SLICES = 8
+_BOOT_GROUPS = _BOOTSTRAP_B // _BOOT_SLICES
+
+_HEX = "0123456789abcdef"
+
+
+def _slice16_sql(md5_expr: str, s_expr: str) -> str:
+    """16-bit integer from hex chars [4s+1, 4s+4] of a 32-hex digest."""
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({md5_expr}, ({s_expr}) * 4 + {i + 1},"
+        f" 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({terms})"
+
+
+def _poisson_mult_sql(hv_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {hv_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_T16)
+    )
+    return f"CAST(CASE {cases} ELSE 7 END AS BIGINT)"
+
+
+def _bootstrap_oracle() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o.o_orderkey AS k, n.n_name,
+               CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    hashed AS (
+        SELECT o.n_name, o.cents, g.g,
+               md5(concat(CAST(o.k AS VARCHAR), ':',
+                          CAST(g.g AS VARCHAR))) AS h
+        FROM o, (SELECT CAST(range AS INTEGER) AS g
+                 FROM range({_BOOT_GROUPS})) g
+    ),
+    drawn AS (
+        SELECT n_name, cents,
+               CAST(g * {_BOOT_SLICES} + sl.s AS INTEGER) AS b,
+               {_poisson_mult_sql(_slice16_sql('h', 'sl.s'))} AS m
+        FROM hashed, (SELECT CAST(range AS INTEGER) AS s
+                      FROM range({_BOOT_SLICES})) sl
+    ),
+    rep AS (
+        SELECT n_name, b, CAST(SUM(m * cents) AS BIGINT) AS s,
+               CAST(SUM(m) AS BIGINT) AS cnt
+        FROM drawn GROUP BY n_name, b
+        HAVING SUM(m) > 0
+    ),
+    ranked AS (
+        SELECT n_name, b,
+               CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_b,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_name
+                   ORDER BY CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), b
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY n_name) AS nb
+        FROM rep
+    ),
+    ci AS (
+        SELECT n_name,
+               MAX(CASE WHEN rk = 2 THEN mean_b END) AS lo,
+               MAX(CASE WHEN rk = nb - 1 THEN mean_b END) AS hi
+        FROM ranked GROUP BY n_name
+    ),
+    point AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sc
+        FROM o GROUP BY n_name
+    )
+    SELECT p.n_name, p.n_orders,
+           ROUND(CAST(p.sc AS DOUBLE) / CAST(p.n_orders AS DOUBLE)
+                 / 100.0, 4) AS mean_value,
+           ROUND(ci.lo / 100.0, 4) AS ci_lo,
+           ROUND(ci.hi / 100.0, 4) AS ci_hi
+    FROM point p JOIN ci ON p.n_name = ci.n_name
+    ORDER BY p.n_name
+    """
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=_bootstrap_oracle(),
+    description="per-nation mean order value with a POISSON-BOOTSTRAP "
+    "confidence band: each order joins replicate b with multiplicity "
+    "Poisson(1), drawn by comparing a 16-bit slice of the portable md5 "
+    "of (orderkey, replicate-group) against exact integer inverse-CDF "
+    "thresholds — the distributed bootstrap (Chamandy et al., Google "
+    "2012): no resampling shuffle, no RNG state, multiplicities are a "
+    "map-side integer expression, so the same replicate assembles "
+    "identically on any engine, run, or partitioning and the whole "
+    "estimator is oracle-checkable bit-for-bit.  One md5 digest serves "
+    "EIGHT replicates (its eight disjoint 4-hex slices), amortizing "
+    "the hash fold to B/8 evaluations per order; replicate sums stay "
+    "exact BIGINT (cents x multiplicity); each replicate mean is ONE "
+    "IEEE division; the band is rank-selected (2nd / (B-1)th of B=32 "
+    "sorted means — a ~94% central interval), never a quantile "
+    "builtin.  Scale shape: the explode is a fixed x4-then-x8 map-side "
+    "fan-out feeding one (nation, b)-keyed aggregate — per-group state "
+    "is two BIGINTs, replicate count is a config constant, and the "
+    "rank window ranks 32 rows per nation; the P(X>6) ~ 9e-5 "
+    "multiplicity cap is a deterministic truncation both engines "
+    "share",
+    tags=("statistics", "bootstrap", "portable", "window"),
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    src = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "n_name",
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    # Spread the fan-out across tasks BEFORE the x32 multiply: the
+    # replicate explode multiplies CPU (md5 folds) without multiplying
+    # input splits, so a small scan (sf0.1 orders = one parquet file =
+    # one task) would otherwise run the whole bootstrap single-threaded.
+    # One narrow (k, nation, cents) shuffle buys core-count parallelism
+    # on the 32x downstream work — the fan-out-before-spread trap.  The
+    # partition count is EXPLICIT: AQE sizes exchanges by bytes and
+    # would coalesce this small-by-bytes/heavy-by-CPU shuffle back to
+    # one task (measured: column-only repartition stayed single-task).
+    src = src.repartition(
+        spark.sparkContext.defaultParallelism, "k"
+    )
+    # Two-level fan-out amortizes the hash: the md5 is computed once per
+    # (order, group) and its eight 16-bit slices serve replicates
+    # b = g*8 .. g*8+7 — B multiplicity draws for B/8 digest folds.
+    hashed = src.select(
+        "n_name",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_GROUPS - 1))
+        ).alias("g"),
+        "k",
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ),
+    )
+    drawn = (
+        hashed.select(
+            "n_name",
+            "cents",
+            "g",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_SLICES - 1))
+            ).alias("s"),
+        )
+        .withColumn("hv", F.expr(_slice16_sql("h", "s")))
+        .select(
+            "n_name",
+            "cents",
+            (F.col("g") * _BOOT_SLICES + F.col("s"))
+            .cast("int")
+            .alias("b"),
+            F.expr(_poisson_mult_sql("hv")).alias("m"),
+        )
+    )
+    rep = (
+        drawn.groupBy("n_name", "b")
+        .agg(
+            F.sum(F.col("m") * F.col("cents")).cast("long").alias("s"),
+            F.sum("m").cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    mean_b = F.col("s").cast("double") / F.col("cnt").cast("double")
+    wp = Window.partitionBy("n_name")
+    ranked = rep.select(
+        "n_name",
+        "b",
+        mean_b.alias("mean_b"),
+        F.row_number().over(wp.orderBy(mean_b, "b")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("nb"),
+    )
+    ci = ranked.groupBy("n_name").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_b"))
+        ).alias("hi"),
+    )
+    point = src.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    return (
+        point.join(ci, "n_name")
+        .select(
+            "n_name",
+            "n_orders",
+            F.round(
+                F.col("sc").cast("double")
+                / F.col("n_orders").cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("mean_value"),
+            F.round(F.col("lo") / F.lit(100.0), 4).alias("ci_lo"),
+            F.round(F.col("hi") / F.lit(100.0), 4).alias("ci_hi"),
+        )
+        .orderBy("n_name")
+    )

@@ -633,3 +633,147 @@ def concurrent_sessions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_sessions")
     )
     return counts.join(peaks, "day").orderBy("day")
+
+
+@register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, epoch_ns(ts) AS p_ns,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS v_id, user_id, epoch_ns(ts) AS v_ns
+        FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+        SELECT p.p_id, p.user_id, p.cents, v.v_id, v.v_ns
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.v_ns <= p.p_ns
+         AND v.v_ns > p.p_ns - 86400000000000
+    ),
+    credited AS (
+        SELECT user_id, p_id, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY v_ns DESC, v_id) AS rk,
+               COUNT(*) OVER (PARTITION BY p_id) AS n
+        FROM j WHERE v_id IS NOT NULL
+    ),
+    per_view AS (
+        SELECT user_id, p_id,
+               cents // n
+                   + CASE WHEN rk = 1 THEN cents % n ELSE 0 END AS credit
+        FROM credited
+    ),
+    touch AS (
+        SELECT user_id,
+               CAST(SUM(credit) AS BIGINT) AS attributed_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_views_credited,
+               CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched
+        FROM per_view GROUP BY user_id
+    ),
+    direct AS (
+        SELECT user_id,
+               CAST(SUM(cents) AS BIGINT) AS direct_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_direct
+        FROM j WHERE v_id IS NULL GROUP BY user_id
+    )
+    SELECT COALESCE(t.user_id, d.user_id) AS user_id,
+           COALESCE(t.attributed_cents, 0) AS attributed_cents,
+           COALESCE(t.n_views_credited, 0) AS n_views_credited,
+           COALESCE(t.n_purchases_touched, 0) AS n_purchases_touched,
+           COALESCE(d.direct_cents, 0) AS direct_cents,
+           COALESCE(d.n_direct, 0) AS n_direct
+    FROM touch t FULL OUTER JOIN direct d ON t.user_id = d.user_id
+    ORDER BY user_id
+    """,
+    description="exact multi-touch attribution: each purchase's value is "
+    "split across the SAME user's views in the preceding 24 h by "
+    "largest-remainder penny allocation — every view gets cents div n "
+    "and the most recent view absorbs cents mod n, so credits are pure "
+    "BIGINT, order-independent, and sum EXACTLY to the purchase total "
+    "(the conservation law a float split violates and finance teams "
+    "reject; purchases with no qualifying view fall into a per-user "
+    "direct bucket, so the whole ledger balances — pinned in "
+    "tests/test_round14_properties.py).  Scale shape: one equi-join on "
+    "user_id with the 24 h range predicate as the join filter (never a "
+    "time cross-join), one purchase-partitioned rank window, then a "
+    "user-keyed aggregate — every shuffle is keyed on user or purchase "
+    "id; the 24 h horizon bounds the per-purchase fan-out by the user's "
+    "daily view rate, independent of history length",
+    tags=("event-time", "join", "window", "attribution"),
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts_ns").alias("p_ns"),
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_ns").alias("v_ns"),
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ns") <= F.col("p_ns"))
+        & (F.col("v_ns") > F.col("p_ns") - F.lit(86400000000000)),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    credited = (
+        j.filter(F.col("v_id").isNotNull())
+        .select(
+            "user_id",
+            "p_id",
+            "cents",
+            F.row_number()
+            .over(wp.orderBy(F.col("v_ns").desc(), "v_id"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .select(
+            "user_id",
+            "p_id",
+            (
+                F.expr("cents div n")
+                + F.when(F.col("rk") == 1, F.col("cents") % F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("credit"),
+        )
+    )
+    touch = credited.groupBy("user_id").agg(
+        F.sum("credit").cast("long").alias("attributed_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_views_credited"),
+        F.countDistinct("p_id").cast("long").alias("n_purchases_touched"),
+    )
+    direct = (
+        j.filter(F.col("v_id").isNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum("cents").cast("long").alias("direct_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_direct"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        touch.join(direct, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("attributed_cents", zero).alias("attributed_cents"),
+            F.coalesce("n_views_credited", zero).alias("n_views_credited"),
+            F.coalesce("n_purchases_touched", zero).alias(
+                "n_purchases_touched"
+            ),
+            F.coalesce("direct_cents", zero).alias("direct_cents"),
+            F.coalesce("n_direct", zero).alias("n_direct"),
+        )
+        .orderBy("user_id")
+    )

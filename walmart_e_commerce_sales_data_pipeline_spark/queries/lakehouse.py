@@ -150,3 +150,139 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+               CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE k % 17 <> 0),
+    delta AS (
+        SELECT y, m, cents, CAST(1 AS BIGINT) AS op
+        FROM o WHERE k % 17 = 0
+        UNION ALL
+        SELECT y, m, cents, CAST(-1 AS BIGINT) AS op
+        FROM o WHERE k % 17 <> 0 AND k % 23 = 0
+    ),
+    base_mv AS (
+        SELECT y, m, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM base GROUP BY y, m
+    ),
+    delta_mv AS (
+        SELECT y, m, CAST(SUM(op) AS BIGINT) AS dn,
+               CAST(SUM(op * cents) AS BIGINT) AS dc
+        FROM delta GROUP BY y, m
+    ),
+    maintained AS (
+        SELECT COALESCE(b.y, d.y) AS y, COALESCE(b.m, d.m) AS m,
+               COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n_orders,
+               COALESCE(b.c, 0) + COALESCE(d.dc, 0) AS revenue_cents
+        FROM base_mv b FULL OUTER JOIN delta_mv d
+          ON b.y = d.y AND b.m = d.m
+    ),
+    truth AS (
+        SELECT y, m, CAST(COUNT(*) AS BIGINT) AS n_recomputed,
+               CAST(SUM(cents) AS BIGINT) AS revenue_recomputed_cents
+        FROM o WHERE k % 17 = 0 OR k % 23 <> 0
+        GROUP BY y, m
+    )
+    SELECT mt.y AS o_year, mt.m AS o_month, mt.n_orders, mt.revenue_cents,
+           t.n_recomputed, t.revenue_recomputed_cents
+    FROM maintained mt
+    JOIN truth t ON mt.y = t.y AND mt.m = t.m
+    WHERE mt.n_orders > 0
+    ORDER BY o_year, o_month
+    """,
+    description="incremental materialized-view maintenance with "
+    "RETRACTIONS: a monthly (count, cent-sum) rollup is maintained from "
+    "a CDC delta carrying inserts (+1) AND deletes (-1) as signed "
+    "multiplicities — the Flink-style retract-stream algebra — by "
+    "aggregating ONLY the delta and full-outer-merging it into the "
+    "stored rollup (groups whose count reaches zero drop out); the "
+    "delta derivation is deterministic from orders (every 17th key "
+    "arrives late, every 23rd surviving key is retracted), and the "
+    "full recompute rides along so the oracle pins the IVM identity "
+    "maintained == recomputed per group, exact BIGINT throughout.  "
+    "Only works because count and sum are RETRACTABLE (invertible "
+    "under negation); min/max are not and would force a per-group "
+    "recompute on delete — the algebraic boundary every IVM engine "
+    "documents.  Scale shape: the base table is touched once to seed "
+    "the stored rollup (in production it is ALREADY stored — "
+    "calendar-bounded, ~84 rows); per-batch cost is one delta-sized "
+    "aggregate plus a rollup-sized outer join, independent of base "
+    "history — the reference pipeline's full-recompute-per-run "
+    "(wallmart_pipeline.py:140-143) replaced by O(delta) maintenance",
+    tags=("lakehouse", "incremental", "agg", "cdc"),
+)
+def incremental_rollup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = o.filter(F.col("k") % 17 != 0)
+    one = F.lit(1).cast("long")
+    delta = (
+        o.filter(F.col("k") % 17 == 0)
+        .select("y", "m", "cents", one.alias("op"))
+        .unionAll(
+            o.filter((F.col("k") % 17 != 0) & (F.col("k") % 23 == 0)).select(
+                "y", "m", "cents", (-one).alias("op")
+            )
+        )
+    )
+    base_mv = base.groupBy("y", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    delta_mv = delta.groupBy("y", "m").agg(
+        F.sum("op").cast("long").alias("dn"),
+        F.sum(F.col("op") * F.col("cents")).cast("long").alias("dc"),
+    )
+    zero = F.lit(0).cast("long")
+    maintained = (
+        base_mv.join(delta_mv, ["y", "m"], "full_outer")
+        .select(
+            "y",
+            "m",
+            (F.coalesce("n", zero) + F.coalesce("dn", zero)).alias(
+                "n_orders"
+            ),
+            (F.coalesce("c", zero) + F.coalesce("dc", zero)).alias(
+                "revenue_cents"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    truth = (
+        o.filter((F.col("k") % 17 == 0) | (F.col("k") % 23 != 0))
+        .groupBy("y", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recomputed"),
+            F.sum("cents").cast("long").alias("revenue_recomputed_cents"),
+        )
+    )
+    return (
+        maintained.join(truth, ["y", "m"])
+        .select(
+            F.col("y").alias("o_year"),
+            F.col("m").alias("o_month"),
+            "n_orders",
+            "revenue_cents",
+            "n_recomputed",
+            "revenue_recomputed_cents",
+        )
+        .orderBy("o_year", "o_month")
+    )

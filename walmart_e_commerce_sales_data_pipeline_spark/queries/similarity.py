@@ -672,3 +672,145 @@ def embedding_top_pc(
         )
         .orderBy("dim")
     )
+
+
+# --- sparse inverted-index retrieval ----------------------------------------
+
+INVIDX_TOP_DIMS = 8    # dims kept per vector (by |q|, tie-break dim asc)
+INVIDX_N_PROBES = 8    # probe vectors: vec_id < 8
+INVIDX_K = 5           # neighbors returned per probe
+
+
+@register(
+    "similarity_inverted_index",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id AS id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS scale,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT id,
+               list_transform(v, x -> CAST(floor(x * 127.0 / scale)
+                                           AS BIGINT)) AS q
+        FROM qz WHERE scale > 0
+    ),
+    entries AS (
+        SELECT id, CAST(i - 1 AS INTEGER) AS dim, q[i] AS qv
+        FROM (SELECT id, q, generate_subscripts(q, 1) AS i FROM qq)
+        WHERE q[i] <> 0
+    ),
+    ranked AS (
+        SELECT id, dim, qv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY abs(qv) DESC, dim) AS rk
+        FROM entries
+    ),
+    sparse AS (SELECT id, dim, qv FROM ranked
+               WHERE rk <= {INVIDX_TOP_DIMS}),
+    probes AS (SELECT id AS probe_id, dim, qv AS qp FROM sparse
+               WHERE id < {INVIDX_N_PROBES}),
+    scored AS (
+        SELECT p.probe_id, s.id AS candidate_id,
+               CAST(SUM(p.qp * s.qv) AS BIGINT) AS pruned_dot,
+               CAST(COUNT(*) AS BIGINT) AS n_common_dims
+        FROM probes p
+        JOIN sparse s ON p.dim = s.dim AND s.id <> p.probe_id
+        GROUP BY p.probe_id, s.id
+    ),
+    topk AS (
+        SELECT probe_id, candidate_id, pruned_dot, n_common_dims,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY pruned_dot DESC, candidate_id) AS rk
+        FROM scored
+    )
+    SELECT t.probe_id, CAST(t.rk AS INTEGER) AS rk, t.candidate_id,
+           t.n_common_dims, t.pruned_dot,
+           CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS full_dot
+    FROM topk t
+    JOIN qq qa ON qa.id = t.probe_id
+    JOIN qq qb ON qb.id = t.candidate_id
+    WHERE t.rk <= {INVIDX_K}
+    ORDER BY t.probe_id, t.rk
+    """,
+    description="sparse inverted-index retrieval — the third ANN path "
+    "beside IVF (cell-partitioned) and LSH (hash-bucketed): each int8 "
+    "vector keeps only its 8 heaviest dims (|q| desc, dim tie-break — "
+    "deterministic, so the approximation itself is oracle-checkable), "
+    "the kept (dim, weight) entries form posting lists, and scoring is "
+    "a postings EQUI-JOIN on dim + one hash aggregate — candidates "
+    "surface only through shared heavy dimensions, never an all-pairs "
+    "scan; the exact int8 dot product of each returned pair rides "
+    "along (zip_with fold, BIGINT-exact) so the pruning error is "
+    "visible per row.  This is the sparse-retrieval shape (SPLADE/"
+    "term-index family) that web-scale engines run partitioned by "
+    "term: posting lists shard on dim, scores shuffle on (probe, "
+    "candidate), per-pair state is one accumulator.  Quantization is "
+    "the shared operators.similarity.quantize_int8 (floor, not round "
+    "— tie-free cross-engine).  Top-k per probe is a rank window above "
+    "the pair aggregate (WindowGroupLimit), k and the probe set are "
+    "config constants",
+    tags=("similarity", "topk", "sparse", "inverted-index"),
+)
+def similarity_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(emb).select("id", "q")
+    entries = (
+        qz.select("id", F.posexplode("q").alias("dim", "qv"))
+        .filter(F.col("qv") != 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.abs(F.col("qv")).desc(), "dim"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= INVIDX_TOP_DIMS)
+        .select("id", "dim", "qv")
+    )
+    probes = entries.filter(F.col("id") < INVIDX_N_PROBES).select(
+        F.col("id").alias("probe_id"), "dim", F.col("qv").alias("qp")
+    )
+    scored = (
+        probes.join(entries, "dim")
+        .filter(F.col("id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("id").alias("candidate_id"))
+        .agg(
+            F.sum(F.col("qp") * F.col("qv")).cast("long").alias("pruned_dot"),
+            F.count(F.lit(1)).cast("long").alias("n_common_dims"),
+        )
+    )
+    topk = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("probe_id").orderBy(
+                F.col("pruned_dot").desc(), "candidate_id"
+            )
+        ),
+    ).filter(F.col("rk") <= INVIDX_K)
+    qa = qz.select(F.col("id").alias("probe_id"), F.col("q").alias("qa"))
+    qb = qz.select(F.col("id").alias("candidate_id"), F.col("q").alias("qb"))
+    full_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        topk.join(qa, "probe_id")
+        .join(qb, "candidate_id")
+        .select(
+            "probe_id",
+            "rk",
+            "candidate_id",
+            "n_common_dims",
+            "pruned_dot",
+            full_dot.alias("full_dot"),
+        )
+        .orderBy("probe_id", "rk")
+    )

@@ -1715,3 +1715,181 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overest"),
         )
     )
+
+
+# --- sketch-powered OLAP cube: HLL distinct through grouping sets -----------
+
+
+def _cube_distinct_hll_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    hash_sql = portable_hex_value_sql("user_id", 12, "VARCHAR")
+    return f"""
+    WITH ev AS (
+        SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER)
+                   AS dow,
+               user_id, {hash_sql} AS hv
+        FROM events
+    ),
+    fine AS (
+        SELECT event_type, dow, hv // {_HLL_REST_MOD} AS bucket,
+               MAX(CASE WHEN hv % {_HLL_REST_MOD} = 0 THEN {_HLL_MAX_RHO}
+                        ELSE {_HLL_MAX_RHO}
+                             - length(bin(hv % {_HLL_REST_MOD})) END) AS m_j
+        FROM ev GROUP BY event_type, dow, bucket
+    ),
+    margins AS (
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(dow, -1) AS dow, bucket, MAX(m_j) AS m_j
+        FROM fine
+        GROUP BY GROUPING SETS ((event_type, dow, bucket),
+                                (event_type, bucket), (dow, bucket),
+                                (bucket))
+    ),
+    g AS (
+        SELECT event_type, dow, COUNT(*) AS cnt,
+               SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m_j))
+                   AS s_present
+        FROM margins GROUP BY event_type, dow
+    ),
+    raw AS (
+        SELECT event_type, dow,
+               CAST({_HLL_M} - cnt AS BIGINT) AS empty_registers,
+               {_HLL_ALPHA_SQL} * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+                   / (s_present + ({_HLL_M} - cnt)) AS e_raw
+        FROM g
+    ),
+    fin AS (
+        SELECT event_type, dow, empty_registers,
+               CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND empty_registers > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / empty_registers)
+                    ELSE e_raw END AS est
+        FROM raw
+    ),
+    ex AS (
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(dow, -1) AS dow,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM ev
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+    )
+    SELECT ex.event_type, ex.dow, ex.n_exact, fin.empty_registers,
+           ROUND(fin.est, 4) AS hll_estimate,
+           ROUND(ABS(fin.est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN fin
+      ON fin.event_type = ex.event_type AND fin.dow = ex.dow
+    ORDER BY ex.event_type, ex.dow
+    """
+
+
+@register(
+    "cube_distinct_hll",
+    oracle=_cube_distinct_hll_oracle(),
+    description="sketch-powered OLAP cube: distinct users per "
+    "(event_type, weekday) WITH all rollup margins — (type), (weekday), "
+    "and grand total — where every margin is computed by MERGING the "
+    "fine-grain HLL register table (elementwise MAX through GROUPING "
+    "SETS), not by re-scanning events: the raw stream is hashed ONCE "
+    "into (type, dow, bucket, m_j) cells and all 4 margin levels read "
+    "<= 256-register state per group — the events_daily_hll_rollup "
+    "merge law promoted to the OLAP-cube shape, which is how a 100 TB "
+    "fleet serves every drill-down from stored per-shard sketches.  "
+    "Exact distincts per margin ride along (same grouping sets over "
+    "raw rows) so the oracle pins estimate AND error per cube cell.  "
+    "Weekday is Monday-based weekday() mirrored as DuckDB isodow()-1; "
+    "margin markers are COALESCE('ALL'/-1) on both engines.  Scale "
+    "shape: one corpus-sized hash aggregate (the fine register table, "
+    "key domain types x 7 x 256); every downstream stage touches "
+    "register-table-sized frames; the exact branch is the deliberate "
+    "oracle-side truth (production drops it and serves sketches alone)",
+    tags=("sketch", "distinct", "cube", "portable", "event-time"),
+)
+def cube_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_hex_value_sql
+    from .curation import _HLL_ALPHA_SQL, _HLL_M, _HLL_MAX_RHO, _HLL_REST_MOD
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.weekday("ts").cast("int").alias("dow"),
+        "user_id",
+        F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv"),
+    )
+    rho = F.when(F.col("hv") % _HLL_REST_MOD == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.lit(_HLL_MAX_RHO)
+        - F.length(F.expr(f"bin(hv % {_HLL_REST_MOD})"))
+    )
+    fine = (
+        ev.select(
+            "event_type",
+            "dow",
+            F.expr(f"hv DIV {_HLL_REST_MOD}").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "dow", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    margins = (
+        fine.groupingSets(
+            [
+                ["event_type", "dow", "bucket"],
+                ["event_type", "bucket"],
+                ["dow", "bucket"],
+                ["bucket"],
+            ],
+            "event_type",
+            "dow",
+            "bucket",
+        )
+        .agg(F.max("m_j").alias("m_j"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "bucket",
+            "m_j",
+        )
+    )
+    g = margins.groupBy("event_type", "dow").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), m_j)")
+        ).alias("s_present"),
+    )
+    v = (F.lit(_HLL_M) - F.col("cnt")).cast("long")
+    s = F.col("s_present") + (F.lit(_HLL_M) - F.col("cnt"))
+    e_raw = F.expr(_HLL_ALPHA_SQL) * F.lit(float(_HLL_M * _HLL_M)) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    prof = g.select(
+        "event_type", "dow", v.alias("empty_registers"), est.alias("est")
+    )
+    ex = (
+        ev.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n_exact",
+        )
+    )
+    return (
+        ex.join(prof, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            "n_exact",
+            "empty_registers",
+            F.round(F.col("est"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type", "dow")
+    )
