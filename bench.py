@@ -262,6 +262,7 @@ HEADLINE = [
     # incremental view maintenance
     "bootstrap_ci_revenue",
     "incremental_rollup_maintenance",
+    "jaccard_prefix_filter",
 ]
 
 

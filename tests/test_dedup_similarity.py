@@ -766,3 +766,75 @@ def test_rerank_pandas_udf_scorer_parity(spark):
         abs(expr_sim[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
         for r in udf_rows
     )
+
+
+def test_prefix_filter_matches_shared_shingle_join_and_prunes(spark):
+    """The prefix-filter join must return EXACTLY the pairs the
+    all-shared-shingle path returns at the same threshold, while
+    generating strictly fewer candidate pairs — the measured point of
+    prefix filtering (frequent shingles stop generating candidates)."""
+    from pyspark.sql import functions as F
+
+    from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_from_docs,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import table
+
+    from tests.conftest import SF001
+
+    got = {
+        (r["x"], r["y"]): r["jacc_r"]
+        for r in q.REGISTRY["jaccard_prefix_filter"].fn(spark, SF001).collect()
+    }
+    docs = table(spark, SF001, "documents")
+    want = {
+        (r["x"], r["y"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs_from_docs(docs, 0.5).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+
+    # candidate-stream reduction: prefix-entry join vs all-entry join
+    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    sh = (
+        docs.select(F.col("doc_id").alias("id"), tokenize("text").alias("t"))
+        .select("id", F.explode(word_shingles(F.col("t"), 3)).alias("s"))
+        .distinct()
+    )
+    all_pairs = (
+        sh.select(F.col("id").alias("x"), "s")
+        .join(sh.select(F.col("id").alias("y"), "s"), "s")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .count()
+    )
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    prefix = (
+        sh.join(freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "s")),
+        )
+        .join(sizes, "id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1)
+        .select("id", "s")
+    )
+    pf_pairs = (
+        prefix.select(F.col("id").alias("x"), "s")
+        .join(prefix.select(F.col("id").alias("y"), "s"), "s")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .count()
+    )
+    assert pf_pairs < all_pairs, (pf_pairs, all_pairs)
+    # the reduction should be substantial, not marginal
+    assert pf_pairs <= all_pairs * 0.8, (pf_pairs, all_pairs)

@@ -379,3 +379,55 @@ def test_ivm_retraction_algebra_equals_recompute(rows):
         """
     ).fetchone()
     assert out == (0, 0, 0, 0), out
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=14,
+    )
+)
+@FAST
+def test_prefix_filter_is_complete_for_any_sets(sets):
+    """jaccard_prefix_filter's pruning law for ANY set collection: with
+    a global (df, token) rarity order and per-set prefix length
+    |s| - ceil(t*|s|) + 1, every pair with J >= t shares a token inside
+    BOTH prefixes — so prefix-only candidate generation loses nothing.
+    Independent pure-python evaluation of the same integer formulas
+    (t = 1/2 like the registered query)."""
+    num, den = 1, 2
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        for tok in s:
+            df[tok] += 1
+    order = {tok: (df[tok], tok) for tok in df}
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda tok: order[tok])
+        plen = len(s) - (num * len(s) + den - 1) // den + 1
+        return set(ordered[:plen])
+
+    brute = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            if inter * den >= num * (len(a) + len(b) - inter):
+                brute.add((i, j))
+    candidates = {
+        (i, j)
+        for i in range(len(sets))
+        for j in range(i + 1, len(sets))
+        if prefix(sets[i]) & prefix(sets[j])
+    }
+    assert brute <= candidates, (brute - candidates, sets)
+    verified = {
+        (i, j)
+        for (i, j) in candidates
+        if (lambda a, b: len(a & b) * den
+            >= num * (len(a) + len(b) - len(a & b)))(sets[i], sets[j])
+    }
+    assert verified == brute

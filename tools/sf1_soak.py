@@ -197,6 +197,11 @@ HEAVY = [
     # so shuffle past the first aggregate must stay flat).
     "bootstrap_ci_revenue",
     "incremental_rollup_maintenance",
+    # round 14 wave 3b: the prefix-filter join (10x docs; within-replica
+    # shingle structure preserved and cross-replica shingles disjoint, so
+    # verified pairs must be exactly 10x sf0.1 and the candidate stream
+    # must scale with per-replica prefix collisions, never cross-replica).
+    "jaccard_prefix_filter",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -1231,3 +1231,115 @@ def containment_pairs(
     finally:
         shingles.unpersist()
     return out
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06; Xiao et al. WWW'08 "PPJoin") — the classic exact
+    set-similarity join, as the deterministic alternative to both the
+    probabilistic MinHash-LSH path and the all-shared-shingle join:
+
+    Sort each document's shingles by a GLOBAL rarity order (document
+    frequency asc, shingle asc).  For Jaccard >= t, a qualifying pair
+    must share a token inside each side's first
+    ``|s| - ceil(t*|s|) + 1`` tokens (if all of A's rarest prefix misses
+    B, the intersection fits in A's suffix of size ceil(t*|A|) - 1 <
+    t*|A| <= |A-int-B| — contradiction), so candidate generation joins
+    only PREFIX entries: the frequent shingles that dominate the
+    shared-shingle join's fan-out never generate candidates.
+    Verification then computes the exact intersection for the candidate
+    set only.  Completeness (output == brute force for ANY input) is
+    hypothesis-pinned in tests/test_round14_properties.py; the measured
+    candidate reduction vs the all-shared-shingle generator is pinned
+    in tests/test_dedup_similarity.py.
+
+    The threshold is an exact RATIONAL (``threshold_num/threshold_den``)
+    so the prefix length and the final filter are pure integer
+    arithmetic — ceil(t*|s|) = (num*|s| + den - 1) div den — identical
+    on any engine; the only float emitted is the rounded jaccard
+    readout.  Shingles stay STRINGS here (unlike the xxhash64 fast
+    path): the global order must compare identically on the oracle
+    engine, and (df, shingle) over strings does.
+
+    Scale shape: one distinct + one df aggregate + one per-doc rank
+    window (all keyed on id or shingle), a prefix-only equi-join on
+    shingle, and a candidate-bounded verification join — every stage is
+    keyed, nothing is all-pairs, and the candidate stream is the one
+    the prefix bound provably minimizes per set size.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize, word_shingles
+
+    sh = (
+        _spread_narrow(df, by=id_col)
+        .select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+        .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # prefix_len = n_sh - ceil(t * n_sh) + 1, all-integer
+    ceil_t = F.expr(
+        f"({threshold_num} * n_sh + {threshold_den - 1}) div {threshold_den}"
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - ceil_t + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("x"), "shingle")
+        .join(prefix.select(F.col("id").alias("y"), "shingle"), "shingle")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n_prefix_shared"))
+    )
+    a = sh.select(F.col("id").alias("x"), "shingle")
+    b = sh.select(F.col("id").alias("y"), "shingle")
+    inter = (
+        cand.join(a, "x")
+        .join(b, ["y", "shingle"])
+        .groupBy("x", "y", "n_prefix_shared")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
+    sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
+    num, den = threshold_num, threshold_den
+    return (
+        inter.join(sx, "x")
+        .join(sy, "y")
+        .filter(
+            F.col("inter") * F.lit(den)
+            >= F.lit(num) * (F.col("nx") + F.col("ny") - F.col("inter"))
+        )
+        .select(
+            "x",
+            "y",
+            "n_prefix_shared",
+            "inter",
+            F.col("nx").cast("long").alias("nx"),
+            F.col("ny").cast("long").alias("ny"),
+            F.round(
+                F.col("inter")
+                / (F.col("nx") + F.col("ny") - F.col("inter")),
+                4,
+            ).alias("jacc_r"),
+        )
+        .orderBy("x", "y")
+    )

@@ -373,3 +373,80 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+# Exact rational threshold for the prefix-filter join: 1/2 == the float
+# JACCARD_THRESHOLD above, but num/den keeps the prefix-length and final
+# filter in pure integer arithmetic on both engines.
+_PF_NUM, _PF_DEN = 1, 2
+
+_PREFIX_FILTER_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+        SELECT sh.id, sh.shingle, sizes.n_sh,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sh.id ORDER BY freq.df, sh.shingle) AS rk
+        FROM sh
+        JOIN freq ON sh.shingle = freq.shingle
+        JOIN sizes ON sh.id = sizes.id
+    ),
+    prefix AS (
+        SELECT id, shingle FROM ranked
+        WHERE rk <= n_sh
+                    - ({_PF_NUM} * n_sh + {_PF_DEN - 1}) // {_PF_DEN} + 1
+    ),
+    cand AS (
+        SELECT a.id AS x, b.id AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_prefix_shared
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    inter AS (
+        SELECT c.x, c.y, c.n_prefix_shared,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh a ON a.id = c.x
+        JOIN sh b ON b.id = c.y AND b.shingle = a.shingle
+        GROUP BY c.x, c.y, c.n_prefix_shared
+    )
+    SELECT i.x, i.y, i.n_prefix_shared, i.inter,
+           CAST(sa.n_sh AS BIGINT) AS nx, CAST(sb.n_sh AS BIGINT) AS ny,
+           ROUND(CAST(i.inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.inter), 4) AS jacc_r
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.x
+    JOIN sizes sb ON sb.id = i.y
+    WHERE i.inter * {_PF_DEN} >= {_PF_NUM} * (sa.n_sh + sb.n_sh - i.inter)
+    ORDER BY i.x, i.y
+"""
+
+
+@register(
+    "jaccard_prefix_filter",
+    oracle=_PREFIX_FILTER_SQL,
+    description="exact all-pairs 3-gram Jaccard at J >= 1/2 via PREFIX "
+    "FILTERING (Chaudhuri ICDE'06 / PPJoin WWW'08) — the classic exact "
+    "set-similarity join beside the probabilistic MinHash-LSH path and "
+    "the all-shared-shingle join: shingles sort by global rarity "
+    "(document frequency asc, shingle asc — strings on both engines so "
+    "the order ties break identically), candidates come ONLY from each "
+    "set's rarest |s| - ceil(t|s|) + 1 prefix tokens (a qualifying "
+    "pair must collide there — the frequent shingles that dominate the "
+    "shared-shingle join's fan-out generate nothing), and exact "
+    "verification runs on the candidate set alone.  The threshold is "
+    "an exact rational, so prefix lengths and the final filter are "
+    "pure integer arithmetic; same verified pairs as "
+    "dedup_ngram_jaccard (completeness hypothesis-pinned for ANY "
+    "input; measured candidate reduction pinned in "
+    "tests/test_dedup_similarity.py).  Scale shape: df aggregate + "
+    "per-doc rank window (id/shingle-keyed), prefix-only equi-join, "
+    "candidate-bounded verification — nothing all-pairs",
+    tags=("dedup", "similarity", "join", "window"),
+)
+def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, _PF_NUM, _PF_DEN)
