@@ -263,6 +263,10 @@ HEADLINE = [
     "bootstrap_ci_revenue",
     "incremental_rollup_maintenance",
     "jaccard_prefix_filter",
+    # round 14 wave 4: Cramer-solved seasonal regression and the
+    # one-pass Pearson correlation matrix
+    "revenue_seasonality_regression",
+    "corr_matrix_lineitem",
 ]
 
 

@@ -292,3 +292,38 @@ def test_bootstrap_ci_brackets_sample_mean_and_mult_is_poisson(spark):
     e1 = math.exp(-1.0)
     for got, want in zip(freqs, (e1, e1, e1 / 2)):
         assert abs(got - want) < 0.01, (freqs, want)
+
+
+def test_seasonality_regression_matches_numpy_lstsq(spark):
+    """The Cramer-solved (intercept, trend, q4_lift) must agree with an
+    independently computed least-squares fit of the same design matrix."""
+    rows = q.REGISTRY["revenue_seasonality_regression"].fn(spark, SF001).collect()
+    assert rows
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS t,
+               CASE WHEN EXTRACT(month FROM o.o_orderdate) >= 10
+                    THEN 1 ELSE 0 END AS q4,
+               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+        FROM '{SF001}/orders.parquet' o
+        JOIN '{SF001}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF001}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+        """
+    ).fetchdf()
+    for r in rows:
+        g = ref[ref["n_name"] == r["n_name"]]
+        X = np.column_stack(
+            [np.ones(len(g)), g["t"].to_numpy(float), g["q4"].to_numpy(float)]
+        )
+        beta, *_ = np.linalg.lstsq(X, g["y"].to_numpy(float), rcond=None)
+        assert r["n_months"] == len(g)
+        for got, want, tol in (
+            (r["intercept_cents"], beta[0], 1e-2),
+            (r["trend_cpm"], beta[1], 1e-3),
+            (r["q4_lift_cents"], beta[2], 1e-2),
+        ):
+            assert abs(got - want) <= max(1e-6 * abs(want), tol), (r, beta)

@@ -154,11 +154,12 @@ def test_checked_window_composition():
     # queries with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
     # horizon).  Staleness histogram after the round-14 additions
-    # (fifteen new queries across three waves): never:15 / r9:9 /
-    # r10:50 / r12:50 / r13:50.  The window is the fifteen never-green
+    # (seventeen new queries across four waves): never:17 / r9:9 /
+    # r10:50 / r12:50 / r13:50.  The window is the seventeen never-green
     # round-14 queries, the nine r9-stale leftovers the r13 window could
-    # not fit, then the 26 stalest r10-green queries in prior registry
-    # order; twenty-four r10-green queries (above_average_orders,
+    # not fit, then the 24 stalest r10-green queries in prior registry
+    # order; twenty-six r10-green queries (shipping_priority_top10,
+    # large_quantity_orders, above_average_orders,
     # pivot_status_by_year, price_percentiles, regex_math_functions,
     # ship_delay_buckets, map_array_functions, join_right_outer,
     # join_cross, exists_not_exists_combo, lateral_explode_embeddings,
@@ -172,7 +173,7 @@ def test_checked_window_composition():
     window = set(names[:50])
     # The round-14 additions (never externally green) lead unconditionally,
     # followed by the nine r9-stale queries named in VERDICT r13 task 1.
-    assert _PRIORITY[:24] == [
+    assert _PRIORITY[:26] == [
         "events_hourly_bloom_returns",
         "kmv_set_difference",
         "events_hourly_hll",
@@ -188,6 +189,8 @@ def test_checked_window_composition():
         "bootstrap_ci_revenue",
         "incremental_rollup_maintenance",
         "jaccard_prefix_filter",
+        "revenue_seasonality_regression",
+        "corr_matrix_lineitem",
         "common_shingle_fraction",
         "grouped_zscore_histogram",
         "events_funnel",
@@ -198,8 +201,8 @@ def test_checked_window_composition():
         "range_join_close_events",
         "events_session_window",
     ]
-    # The 26 stalest r10-green queries follow, in prior registry order.
-    assert _PRIORITY[24:50] == [
+    # The 24 stalest r10-green queries follow, in prior registry order.
+    assert _PRIORITY[26:50] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -224,8 +227,6 @@ def test_checked_window_composition():
         "train_val_test_split",
         "embedding_dim_profile",
         "forecast_revenue",
-        "shipping_priority_top10",
-        "large_quantity_orders",
     ]
     # Nothing green in rounds 12 or 13 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

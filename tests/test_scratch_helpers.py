@@ -60,3 +60,31 @@ def test_scratch_dir_is_user_scoped_and_keyed():
     if hasattr(os, "getuid"):
         assert f"u{os.getuid()}" in os.path.basename(base)
         assert (os.stat(base).st_mode & 0o777) == 0o700
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The one-pass integer-sufficient-statistics Pearson r must agree
+    with numpy.corrcoef on the same scaled columns."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF001
+    from walmart_e_commerce_sales_data_pipeline_spark import queries as q
+
+    rows = {
+        (r["col_x"], r["col_y"]): r["r"]
+        for r in q.REGISTRY["corr_matrix_lineitem"].fn(spark, SF001).collect()
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        f"""
+        SELECT CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price,
+               CAST(ROUND(l_discount * 100.0) AS BIGINT) AS disc,
+               CAST(ROUND(l_tax * 100.0) AS BIGINT) AS tax
+        FROM '{SF001}/lineitem.parquet'
+        """
+    ).fetchdf()
+    for (x, y), got in rows.items():
+        want = np.corrcoef(df[x].to_numpy(float), df[y].to_numpy(float))[0, 1]
+        assert abs(got - want) < 1e-6, (x, y, got, want)

@@ -202,6 +202,13 @@ HEAVY = [
     # verified pairs must be exactly 10x sf0.1 and the candidate stream
     # must scale with per-replica prefix collisions, never cross-replica).
     "jaccard_prefix_filter",
+    # round 14 wave 4: the seasonal regression (10x orders through the
+    # same calendar-bounded monthly rollup as the slope queries —
+    # everything past the rollup is nation-sized) and the correlation
+    # matrix (10x lineitem through ONE map-side-combining aggregate to a
+    # 1-row frame — shuffle must be flat, wall must track the scan).
+    "revenue_seasonality_regression",
+    "corr_matrix_lineitem",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

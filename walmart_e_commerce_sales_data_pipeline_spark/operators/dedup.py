@@ -1251,7 +1251,7 @@ def prefix_filter_jaccard_pairs(
     must share a token inside each side's first
     ``|s| - ceil(t*|s|) + 1`` tokens (if all of A's rarest prefix misses
     B, the intersection fits in A's suffix of size ceil(t*|A|) - 1 <
-    t*|A| <= |A-int-B| — contradiction), so candidate generation joins
+    t*|A| <= |A∩B| — contradiction), so candidate generation joins
     only PREFIX entries: the frequent shingles that dominate the
     shared-shingle join's fan-out never generate candidates.
     Verification then computes the exact intersection for the candidate
@@ -1264,9 +1264,12 @@ def prefix_filter_jaccard_pairs(
     so the prefix length and the final filter are pure integer
     arithmetic — ceil(t*|s|) = (num*|s| + den - 1) div den — identical
     on any engine; the only float emitted is the rounded jaccard
-    readout.  Shingles stay STRINGS here (unlike the xxhash64 fast
-    path): the global order must compare identically on the oracle
-    engine, and (df, shingle) over strings does.
+    readout.  Shingles ride the house xxhash64 fast path
+    (``shingle_sets``): completeness holds for ANY total order, so the
+    candidate set is engine-local (ties break on the hash here, on the
+    string in the DuckDB oracle) while the OUTPUT — the verified pairs —
+    is order-invariant and compares exactly.  That is also why no
+    candidate-stage statistic appears in the result columns.
 
     Scale shape: one distinct + one df aggregate + one per-doc rank
     window (all keyed on id or shingle), a prefix-only equi-join on
@@ -1276,14 +1279,7 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import tokenize, word_shingles
-
-    sh = (
-        _spread_narrow(df, by=id_col)
-        .select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
-        .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
-        .distinct()
-    )
+    sh = shingle_sets(df, id_col, text_col, n)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     ranked = (
@@ -1307,15 +1303,15 @@ def prefix_filter_jaccard_pairs(
         prefix.select(F.col("id").alias("x"), "shingle")
         .join(prefix.select(F.col("id").alias("y"), "shingle"), "shingle")
         .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").cast("long").alias("n_prefix_shared"))
+        .select("x", "y")
+        .distinct()
     )
     a = sh.select(F.col("id").alias("x"), "shingle")
     b = sh.select(F.col("id").alias("y"), "shingle")
     inter = (
         cand.join(a, "x")
         .join(b, ["y", "shingle"])
-        .groupBy("x", "y", "n_prefix_shared")
+        .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("inter"))
     )
     sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
@@ -1331,7 +1327,6 @@ def prefix_filter_jaccard_pairs(
         .select(
             "x",
             "y",
-            "n_prefix_shared",
             "inter",
             F.col("nx").cast("long").alias("nx"),
             F.col("ny").cast("long").alias("ny"),

@@ -42,9 +42,9 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-14 staleness histogram (registry at 174 after this round's
-# fifteen additions — seven wave-1, five wave-2, three wave-3): 15
-# never-green
+# Round-14 staleness histogram (registry at 176 after this round's
+# seventeen additions — seven wave-1, five wave-2, three wave-3, two
+# wave-4): 17 never-green
 # (wave-1: ``events_hourly_bloom_returns``, ``kmv_set_difference``,
 # ``events_hourly_hll``, ``cms_selfjoin_size``,
 # ``events_daily_hll_rollup``, ``events_sliding_hll``,
@@ -55,17 +55,20 @@ from . import (  # noqa: F401
 # margins, ``pareto_frontier_parts`` — linear skyline; wave-3:
 # ``bootstrap_ci_revenue`` — Poisson-bootstrap confidence bands,
 # ``incremental_rollup_maintenance`` — retraction-stream IVM,
-# ``jaccard_prefix_filter`` — exact PPJoin-style set-similarity join), 9
+# ``jaccard_prefix_filter`` — exact PPJoin-style set-similarity join;
+# wave-4: ``revenue_seasonality_regression`` — two-regressor OLS by
+# Cramer's rule, ``corr_matrix_lineitem`` — one-pass Pearson matrix), 9
 # queries last green externally in r9, 50 in r10, 50 in r12, 50 in
 # r13.
-# The window is the fifteen never-green queries, the nine r9-stale ones
+# The window is the seventeen never-green queries, the nine r9-stale ones
 # (``common_shingle_fraction``, ``grouped_zscore_histogram``,
 # ``events_funnel``, ``events_cohort_retention``,
 # ``mixture_sampling_plan``, ``from_json_map``,
 # ``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``), then the 26 stalest r10-green queries in
-# prior registry order; twenty-four r10-green queries
-# (``above_average_orders``, ``pivot_status_by_year``, ``price_percentiles``,
+# ``events_session_window``), then the 24 stalest r10-green queries in
+# prior registry order; twenty-six r10-green queries
+# (``shipping_priority_top10``, ``large_quantity_orders``,
+# ``above_average_orders``, ``pivot_status_by_year``, ``price_percentiles``,
 # ``regex_math_functions``, ``ship_delay_buckets``,
 # ``map_array_functions``, ``join_right_outer``, ``join_cross``,
 # ``exists_not_exists_combo`` ... ``min_price_per_type``,
@@ -93,6 +96,8 @@ _PRIORITY = [
     "bootstrap_ci_revenue",
     "incremental_rollup_maintenance",
     "jaccard_prefix_filter",
+    "revenue_seasonality_regression",
+    "corr_matrix_lineitem",
     "common_shingle_fraction",
     "grouped_zscore_histogram",
     "events_funnel",
@@ -126,8 +131,6 @@ _PRIORITY = [
     "train_val_test_split",
     "embedding_dim_profile",
     "forecast_revenue",
-    "shipping_priority_top10",
-    "large_quantity_orders",
 ]
 
 

@@ -397,21 +397,18 @@ _PREFIX_FILTER_SQL = f"""
                     - ({_PF_NUM} * n_sh + {_PF_DEN - 1}) // {_PF_DEN} + 1
     ),
     cand AS (
-        SELECT a.id AS x, b.id AS y,
-               CAST(COUNT(*) AS BIGINT) AS n_prefix_shared
+        SELECT DISTINCT a.id AS x, b.id AS y
         FROM prefix a JOIN prefix b
           ON a.shingle = b.shingle AND a.id < b.id
-        GROUP BY a.id, b.id
     ),
     inter AS (
-        SELECT c.x, c.y, c.n_prefix_shared,
-               CAST(COUNT(*) AS BIGINT) AS inter
+        SELECT c.x, c.y, CAST(COUNT(*) AS BIGINT) AS inter
         FROM cand c
         JOIN sh a ON a.id = c.x
         JOIN sh b ON b.id = c.y AND b.shingle = a.shingle
-        GROUP BY c.x, c.y, c.n_prefix_shared
+        GROUP BY c.x, c.y
     )
-    SELECT i.x, i.y, i.n_prefix_shared, i.inter,
+    SELECT i.x, i.y, i.inter,
            CAST(sa.n_sh AS BIGINT) AS nx, CAST(sb.n_sh AS BIGINT) AS ny,
            ROUND(CAST(i.inter AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - i.inter), 4) AS jacc_r
@@ -430,8 +427,11 @@ _PREFIX_FILTER_SQL = f"""
     "FILTERING (Chaudhuri ICDE'06 / PPJoin WWW'08) — the classic exact "
     "set-similarity join beside the probabilistic MinHash-LSH path and "
     "the all-shared-shingle join: shingles sort by global rarity "
-    "(document frequency asc, shingle asc — strings on both engines so "
-    "the order ties break identically), candidates come ONLY from each "
+    "(document frequency asc, shingle asc — completeness holds for ANY "
+    "total order, so the Spark side rides the hashed-shingle fast path "
+    "with hash tie-breaks while the oracle orders strings: candidate "
+    "sets are engine-local, the verified OUTPUT is order-invariant and "
+    "compares exactly), candidates come ONLY from each "
     "set's rarest |s| - ceil(t|s|) + 1 prefix tokens (a qualifying "
     "pair must collide there — the frequent shingles that dominate the "
     "shared-shingle join's fan-out generate nothing), and exact "

@@ -1133,3 +1133,143 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- two-regressor OLS: trend + Q4 seasonality via Cramer's rule ------------
+
+def _det3_sql(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant with a FIXED expansion order (first-row cofactors),
+    written once and reused verbatim on both engines so the double
+    arithmetic is bit-identical: a(ei-fh) - b(di-fg) + c(dh-eg)."""
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+_SEAS_CAST = {
+    k: f"CAST({k} AS DOUBLE)"
+    for k in ("n", "st", "sq", "stt", "stq", "sqq", "sy", "sty", "sqy")
+}
+
+
+def _seasonality_dets() -> dict[str, str]:
+    c = _SEAS_CAST
+    return {
+        "det": _det3_sql(c["n"], c["st"], c["sq"],
+                         c["st"], c["stt"], c["stq"],
+                         c["sq"], c["stq"], c["sqq"]),
+        "det0": _det3_sql(c["sy"], c["st"], c["sq"],
+                          c["sty"], c["stt"], c["stq"],
+                          c["sqy"], c["stq"], c["sqq"]),
+        "dett": _det3_sql(c["n"], c["sy"], c["sq"],
+                          c["st"], c["sty"], c["stq"],
+                          c["sq"], c["sqy"], c["sqq"]),
+        "detq": _det3_sql(c["n"], c["st"], c["sy"],
+                          c["st"], c["stt"], c["sty"],
+                          c["sq"], c["stq"], c["sqy"]),
+    }
+
+
+def _seasonality_oracle() -> str:
+    d = _seasonality_dets()
+    return f"""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS t,
+               CASE WHEN EXTRACT(month FROM o.o_orderdate) >= 10
+                    THEN 1 ELSE 0 END AS q4,
+               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(q4) AS BIGINT) AS sq,
+               CAST(SUM(t * t) AS BIGINT) AS stt,
+               CAST(SUM(t * q4) AS BIGINT) AS stq,
+               CAST(SUM(q4 * q4) AS BIGINT) AS sqq,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(t * y) AS BIGINT) AS sty,
+               CAST(SUM(q4 * y) AS BIGINT) AS sqy
+        FROM monthly GROUP BY n_name
+    )
+    SELECT n_name, n AS n_months,
+           ROUND({d['det0']} / {d['det']}, 2) AS intercept_cents,
+           ROUND({d['dett']} / {d['det']}, 4) AS trend_cpm,
+           ROUND({d['detq']} / {d['det']}, 2) AS q4_lift_cents
+    FROM stats ORDER BY n_name
+    """
+
+
+@register(
+    "revenue_seasonality_regression",
+    oracle=_seasonality_oracle(),
+    description="per-nation TWO-regressor least squares on the monthly "
+    "revenue series — y ~ intercept + trend*t + q4_lift*is_Q4 — solved "
+    "in closed form by Cramer's rule over the 3x3 normal equations: "
+    "the multivariate extension of revenue_trend_slope that separates "
+    "secular drift from the holiday-quarter lift (a plain slope "
+    "conflates them whenever Q4 months cluster late in a partial "
+    "year).  Exactness: all nine sufficient statistics are exact "
+    "BIGINTs (integer month index, 0/1 Q4 indicator, exact cent "
+    "totals); the four 3x3 determinants expand in ONE fixed cofactor "
+    "order shared verbatim by both engines (_det3_sql), so every "
+    "double is deterministic IEEE on identical integers — a matrix "
+    "solve with a bit-exact oracle and no linear-algebra library.  "
+    "Pinned against numpy lstsq in tests/test_diagnostics.py.  Scale "
+    "shape: identical to the OLS slope — two stacked hash aggregates "
+    "behind broadcast dimension joins, no iteration, series length "
+    "calendar-bounded; adding a regressor adds sufficient-statistic "
+    "columns, never a pass",
+    tags=("agg", "regression", "seasonality"),
+)
+def revenue_seasonality_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    t = (F.year("o_orderdate") - F.lit(1995)) * F.lit(12) + F.month(
+        "o_orderdate"
+    ) - F.lit(1)
+    q4 = F.when(F.month("o_orderdate") >= 10, F.lit(1)).otherwise(F.lit(0))
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", t.alias("t"), q4.alias("q4"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    stats = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("q4").cast("long").alias("sq"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("q4")).cast("long").alias("stq"),
+        F.sum(F.col("q4") * F.col("q4")).cast("long").alias("sqq"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("q4") * F.col("y")).cast("long").alias("sqy"),
+    )
+    d = _seasonality_dets()
+    return stats.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        F.round(F.expr(f"{d['det0']} / {d['det']}"), 2).alias(
+            "intercept_cents"
+        ),
+        F.round(F.expr(f"{d['dett']} / {d['det']}"), 4).alias("trend_cpm"),
+        F.round(F.expr(f"{d['detq']} / {d['det']}"), 2).alias(
+            "q4_lift_cents"
+        ),
+    ).orderBy("n_name")

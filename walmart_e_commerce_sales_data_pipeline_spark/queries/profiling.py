@@ -333,3 +333,143 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+# --- pairwise Pearson correlation matrix ------------------------------------
+
+_CORR_COLS = ("qty", "price", "disc", "tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_matrix_oracle() -> str:
+    # Squared/cross sums ride DECIMAL(38,0): SUM(price_cents^2) passes
+    # 2^63 already at ~6e5 rows (price_cents^2 ~ 1e14/row), so BIGINT
+    # accumulators overflow at sf0.1 — caught by the sf1 soak under ANSI
+    # mode.  Per-row products stay < 2^63 (safe BIGINT multiply); only
+    # the accumulator widens.  Both engines sum the same exact integers
+    # in DECIMAL(38,0) and convert to double once, deterministically.
+    sums = ",\n               ".join(
+        f"CAST(SUM({c}) AS BIGINT) AS s_{c},\n               "
+        f"SUM(CAST({c} * {c} AS DECIMAL(38,0))) AS ss_{c}"
+        for c in _CORR_COLS
+    )
+    prods = ",\n               ".join(
+        f"SUM(CAST({x} * {y} AS DECIMAL(38,0))) AS sp_{x}_{y}"
+        for x, y in _CORR_PAIRS
+    )
+    branches = ",\n".join(
+        f"        ('{x}', '{y}',\n"
+        f"         (CAST(n AS DOUBLE) * CAST(sp_{x}_{y} AS DOUBLE)\n"
+        f"          - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))\n"
+        f"         / sqrt((CAST(n AS DOUBLE) * CAST(ss_{x} AS DOUBLE)\n"
+        f"                 - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))\n"
+        f"                * (CAST(n AS DOUBLE) * CAST(ss_{y} AS DOUBLE)\n"
+        f"                   - CAST(s_{y} AS DOUBLE)"
+        f" * CAST(s_{y} AS DOUBLE))))"
+        for x, y in _CORR_PAIRS
+    )
+    return f"""
+    WITH src AS (
+        SELECT CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price,
+               CAST(ROUND(l_discount * 100.0) AS BIGINT) AS disc,
+               CAST(ROUND(l_tax * 100.0) AS BIGINT) AS tax
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sums},
+               {prods}
+        FROM src
+    ),
+    pairs AS (
+        SELECT t.col_x, t.col_y, stats.n, t.r
+        FROM stats, (VALUES
+{branches}
+        ) AS t(col_x, col_y, r)
+    )
+    SELECT col_x, col_y, n, ROUND(r, 6) AS r
+    FROM pairs
+    ORDER BY col_x, col_y
+    """
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=_corr_matrix_oracle(),
+    description="pairwise Pearson correlation matrix over lineitem's four "
+    "numeric measures (quantity, extendedprice, discount, tax) from ONE "
+    "pass of exact-integer sufficient statistics: every input is scaled "
+    "to exact cents/hundredths, so n, the four sums, four sums of "
+    "squares, and six cross-products are all exact BIGINTs out of a "
+    "single map-side-combining aggregate; each r then assembles in "
+    "mirrored term-by-term double arithmetic (deterministic IEEE on "
+    "identical integers).  The data-profiling primitive a feature-"
+    "engineering pass runs before trusting a column pair.  Scale shape: "
+    "one hash-aggregate pass over the fact table producing a 1-row "
+    "frame (15 BIGINT cells) however many rows feed it; the 6-row "
+    "matrix assembles from that single row (stack/VALUES, no second "
+    "scan).  overflow posture: per-row products are safe BIGINT "
+    "(< 2^63), but their SUMS ride DECIMAL(38,0) — SUM(price_cents^2) "
+    "passes 2^63 at ~6e5 rows, i.e. already at sf0.1 (caught by the "
+    "sf1 soak under ANSI mode) — giving exact integer accumulation to "
+    "10^38 (~sf10^12) with one deterministic decimal->double "
+    "conversion at readout",
+    tags=("statistics", "agg", "profiling"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("qty"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("price"),
+        F.round(F.col("l_discount") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("disc"),
+        F.round(F.col("l_tax") * F.lit(100.0), 0).cast("long").alias("tax"),
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(c).cast("long").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"ss_{c}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast(dec)).alias(f"sp_{x}_{y}")
+        )
+    stats = li.agg(*aggs)
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    rows = []
+    for x, y in _CORR_PAIRS:
+        num = d("n") * d(f"sp_{x}_{y}") - d(f"s_{x}") * d(f"s_{y}")
+        den = F.sqrt(
+            (d("n") * d(f"ss_{x}") - d(f"s_{x}") * d(f"s_{x}"))
+            * (d("n") * d(f"ss_{y}") - d(f"s_{y}") * d(f"s_{y}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                (num / den).alias("r"),
+            )
+        )
+    return (
+        stats.select(
+            "n", F.explode(F.array(*rows)).alias("p")
+        )
+        .select(
+            F.col("p.col_x").alias("col_x"),
+            F.col("p.col_y").alias("col_y"),
+            "n",
+            F.round(F.col("p.r"), 6).alias("r"),
+        )
+        .orderBy("col_x", "col_y")
+    )
