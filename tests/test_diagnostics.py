@@ -27,7 +27,7 @@ def test_trend_slope_matches_numpy_polyfit(spark):
         SELECT n.n_name,
                (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM '{SF001}/orders.parquet' o
         JOIN '{SF001}/customer.parquet' c ON o.o_custkey = c.c_custkey
         JOIN '{SF001}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
@@ -165,7 +165,7 @@ def test_theilsen_slope_matches_python_reference(spark):
         SELECT n.n_name,
                (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM '{SF001}/orders.parquet' o
         JOIN '{SF001}/customer.parquet' c ON o.o_custkey = c.c_custkey
         JOIN '{SF001}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
@@ -307,7 +307,7 @@ def test_seasonality_regression_matches_numpy_lstsq(spark):
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS t,
                CASE WHEN EXTRACT(month FROM o.o_orderdate) >= 10
                     THEN 1 ELSE 0 END AS q4,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM '{SF001}/orders.parquet' o
         JOIN '{SF001}/customer.parquet' c ON o.o_custkey = c.c_custkey
         JOIN '{SF001}/nation.parquet' n ON c.c_nationkey = n.n_nationkey

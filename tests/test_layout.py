@@ -171,36 +171,16 @@ def test_hilbert_prunes_both_dimensions(spark, tmp_path):
     px = _band(li, "l_extendedprice", 0.45, 0.55)
     py = _band(li, "l_partkey", 0.45, 0.55)
     hdir = str(tmp_path / "hilbert")
-    # repartitionByRange draws its boundary sample with a
-    # NON-deterministic seed, so file envelopes jitter run to run and
-    # the skip fraction occasionally dips under the bar (observed once
-    # in-suite, passing in isolation).  Tighten the boundary sample and
-    # allow one re-write before calling the layout claim false.
-    prev = spark.conf.get(
-        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "100"
-    )
-    spark.conf.set(
-        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "2000"
-    )
-    try:
-        for attempt in range(2):
-            hilbert_write(
-                li, hdir, "l_extendedprice", "l_partkey", n_files=N_FILES
-            )
-            h_x = files_pruned_by_minmax(hdir, {"l_extendedprice": px})
-            h_y = files_pruned_by_minmax(hdir, {"l_partkey": py})
-            ok = (
-                h_x["skipped"] >= h_x["total"] * 0.25
-                and h_y["skipped"] >= h_y["total"] * 0.25
-            )
-            if ok or attempt == 1:
-                break
-        assert h_x["skipped"] >= h_x["total"] * 0.25, h_x
-        assert h_y["skipped"] >= h_y["total"] * 0.25, h_y
-    finally:
-        spark.conf.set(
-            "spark.sql.execution.rangeExchange.sampleSizePerPartition", prev
-        )
+    # hilbert_write routes buckets deterministically (sketch boundaries +
+    # hive partitionBy — ADVICE r14 replaced the old repartitionByRange
+    # whose random boundary sample made this skip fraction jitter), so
+    # ONE write is asserted directly: a dip below the bar is a genuine
+    # layout-quality regression, not sampling noise.
+    hilbert_write(li, hdir, "l_extendedprice", "l_partkey", n_files=N_FILES)
+    h_x = files_pruned_by_minmax(hdir, {"l_extendedprice": px})
+    h_y = files_pruned_by_minmax(hdir, {"l_partkey": py})
+    assert h_x["skipped"] >= h_x["total"] * 0.25, h_x
+    assert h_y["skipped"] >= h_y["total"] * 0.25, h_y
     back = spark.read.parquet(hdir)
     assert back.count() == li.count()
 

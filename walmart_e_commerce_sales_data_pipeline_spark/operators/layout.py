@@ -139,6 +139,20 @@ def zorder_write(
     )
 
 
+def _parquet_files(path: str) -> list[str]:
+    """All data files under ``path``, recursing into hive-style
+    ``key=value`` partition directories (``hilbert_write`` routes each
+    curve bucket to its own directory), sorted for determinism."""
+    import os
+
+    out: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        out.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    return sorted(out)
+
+
 def files_pruned_by_minmax(
     path: str, predicates: dict[str, tuple[float, float]]
 ) -> dict[str, int]:
@@ -146,16 +160,12 @@ def files_pruned_by_minmax(
     makes it: a file is skippable when, for ANY predicate column, its
     [min, max] envelope does not intersect the predicate's
     [lo, hi] interval.  Returns {"total": N, "skipped": M}."""
-    import os
-
     import pyarrow.parquet as pq
 
     total = skipped = 0
-    for name in os.listdir(path):
-        if not name.endswith(".parquet"):
-            continue
+    for fpath in _parquet_files(path):
         total += 1
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        md = pq.ParquetFile(fpath).metadata
         cols = {
             md.schema.column(i).name: i for i in range(md.num_columns)
         }
@@ -244,19 +254,42 @@ def hilbert_write(
     """``zorder_write`` with the Hilbert curve instead of Morton: the
     Hilbert traversal has no long diagonal jumps, so file envelopes are
     typically tighter for the same file count (measured in SCALE.md
-    §10)."""
+    §10).
+
+    Routing is DETERMINISTIC (ADVICE r14): ``repartitionByRange`` draws
+    its boundary sample with a non-deterministic seed, so file envelopes
+    — and the measured skip fraction — jittered run to run.  Instead the
+    bucket boundaries come from the same Greenwald-Khanna sketch the
+    coordinate normalization already uses (``approxQuantile`` is a
+    deterministic aggregate of the input), each row's curve bucket is a
+    broadcast-literal comparison chain, and ``partitionBy`` routes every
+    bucket to its own hive directory — one file per bucket because the
+    hash repartition puts each whole bucket in one task.  Same scale
+    shape as before (sketch pass + one shuffle, no global sort)."""
     keyed = hilbert_d(
         df.withColumn("_hx", _rank01(df, col_x, bits)).withColumn(
             "_hy", _rank01(df, col_y, bits)
         ),
         bits,
     )
+    probs = [i / n_files for i in range(1, n_files)]
+    edges = keyed.select(
+        F.col("_hd").cast("double").alias("_q")
+    ).approxQuantile("_q", probs, max(1e-6, 0.1 / n_files))
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
     (
-        keyed.repartitionByRange(n_files, "_hd")
-        .sortWithinPartitions("_hd")
+        keyed.withColumn(
+            "_hb", _bucket_expr(F.col("_hd").cast("double"), uniq)
+        )
+        .repartition(max(n_files, 1), "_hb")
+        .sortWithinPartitions("_hb", "_hd")
         .drop("_hd")
         .write.mode("overwrite")
         .options(**(writer_options or {}))
+        .partitionBy("_hb")
         .parquet(path)
     )
 
@@ -271,15 +304,11 @@ def row_groups_pruned_by_minmax(
     curve-sorted, which is exactly what ``sortWithinPartitions`` on the
     clustering key buys).  Returns {"total": N, "skipped": M} over all
     row groups under ``path``."""
-    import os
-
     import pyarrow.parquet as pq
 
     total = skipped = 0
-    for name in os.listdir(path):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+    for fpath in _parquet_files(path):
+        md = pq.ParquetFile(fpath).metadata
         cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for rg in range(md.num_row_groups):
             total += 1

@@ -182,7 +182,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name,
                (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -239,9 +239,13 @@ def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", x.alias("x"))
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
-            .cast("long")
-            .alias("y")
+            # cents are rounded PER ORDER, then summed as exact BIGINTs
+            # (the bootstrap/IVM/attribution pattern): rounding a float
+            # SUM instead would depend on partition-order accumulation
+            # near .5-cent boundaries (ADVICE r14).
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("y")
         )
     )
     stats = monthly.groupBy("n_name").agg(
@@ -341,7 +345,7 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name,
                (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -402,9 +406,13 @@ def revenue_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", x.alias("x"))
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
-            .cast("long")
-            .alias("y")
+            # cents are rounded PER ORDER, then summed as exact BIGINTs
+            # (the bootstrap/IVM/attribution pattern): rounding a float
+            # SUM instead would depend on partition-order accumulation
+            # near .5-cent boundaries (ADVICE r14).
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("y")
         )
     )
     w = Window.partitionBy("n_name").orderBy("x")
@@ -774,7 +782,7 @@ def events_hourly_bloom_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name,
                (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -841,9 +849,13 @@ def revenue_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", x.alias("x"))
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
-            .cast("long")
-            .alias("y")
+            # cents are rounded PER ORDER, then summed as exact BIGINTs
+            # (the bootstrap/IVM/attribution pattern): rounding a float
+            # SUM instead would depend on partition-order accumulation
+            # near .5-cent boundaries (ADVICE r14).
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("y")
         )
     )
     a = monthly.alias("a")
@@ -1181,7 +1193,7 @@ def _seasonality_oracle() -> str:
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS t,
                CASE WHEN EXTRACT(month FROM o.o_orderdate) >= 10
                     THEN 1 ELSE 0 END AS q4,
-               CAST(ROUND(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS y
+               SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS y
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -1245,9 +1257,13 @@ def revenue_seasonality_regression(
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", t.alias("t"), q4.alias("q4"))
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * F.lit(100.0)), 0)
-            .cast("long")
-            .alias("y")
+            # cents are rounded PER ORDER, then summed as exact BIGINTs
+            # (the bootstrap/IVM/attribution pattern): rounding a float
+            # SUM instead would depend on partition-order accumulation
+            # near .5-cent boundaries (ADVICE r14).
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("y")
         )
     )
     stats = monthly.groupBy("n_name").agg(
