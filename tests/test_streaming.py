@@ -266,6 +266,80 @@ def test_streaming_sliding_hll_equals_batch_and_bounds_state(spark, events_batch
     assert all(v <= _HLL_M for v in per_window.values())
 
 
+def test_streaming_hourly_kmv_equals_batch_and_bounds_state(spark, events_batch):
+    """The per-hour KMV minimum signature (cardinality with set algebra —
+    the fifth and final streaming sketch family) must emit identical
+    signatures from stream and batch, keep at most 64 rows of state per
+    hour, and merge across hours by elementwise MIN into exactly the
+    whole-window signature (the HLL MAX-register argument with the order
+    flipped)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        KMV_BUCKETS,
+        hourly_user_kmv,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["bucket"]): r["min_rest"]
+        for r in hourly_user_kmv(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_kmv(stream), "kmv_hourly_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["bucket"]): r["min_rest"]
+        for r in spark.sql("SELECT * FROM kmv_hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    for (w, _b) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= KMV_BUCKETS for v in per_hour.values())
+    # Merge law: elementwise min of the per-hour signatures == the
+    # signature of the SAME sketch built over the whole feed.
+    merged: dict[int, int] = {}
+    for (_w, b), m in got.items():
+        merged[b] = min(merged.get(b, m), m)
+    whole = {
+        r["bucket"]: r["min_rest"]
+        for r in hourly_user_kmv(
+            events_batch.withColumn(
+                "ts", F.lit("2024-01-01 00:30:00").cast("timestamp")
+            )
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_kmv_estimator_branch_on_dense_synthetic_hour(spark):
+    """The sf0.001 feed's 4-28 users/hour always lands in the linear-
+    counting branch, so the k(k-1)/sum(min) estimator branch is pinned
+    here on a synthetic hour dense enough to fill all 64 buckets: the
+    estimate must land within the order-statistics error band
+    (~2/sqrt(k) = 25 %) of the true cardinality."""
+    import math
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        KMV_BUCKETS,
+        KMV_REST_MOD,
+        hourly_user_kmv,
+    )
+
+    n = 5000
+    ev = spark.range(n).select(
+        F.lit("2024-01-01 00:30:00").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user_"), F.col("id")).alias("user_id"),
+    )
+    sig = hourly_user_kmv(ev).collect()
+    assert len(sig) == KMV_BUCKETS  # n >> k ln k: every bucket occupied
+    s_min = sum((r["min_rest"] + 1) / KMV_REST_MOD for r in sig)
+    est = KMV_BUCKETS * (KMV_BUCKETS - 1) / s_min
+    assert abs(est - n) / n <= 2.0 / math.sqrt(KMV_BUCKETS), (est, n)
+
+
 def test_sliding_params_on_all_sketch_twins(spark, events_batch):
     """All four sketch twins accept window/slide; in the sliding form each
     event feeds exactly window/slide windows, so per-family totals obey
@@ -315,10 +389,22 @@ def test_sliding_params_on_all_sketch_twins(spark, events_batch):
     for r in hll:
         per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
     assert all(v <= _HLL_M for v in per_w.values())
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        KMV_BUCKETS,
+        hourly_user_kmv,
+    )
+
+    kmv = hourly_user_kmv(events_batch, **kw).collect()
+    per_w = {}
+    for r in kmv:
+        per_w[str(r["window_start"])] = per_w.get(str(r["window_start"]), 0) + 1
+    assert all(v <= KMV_BUCKETS for v in per_w.values())
     # every family sees the same sliding window set
     windows = {str(r["window_start"]) for r in hll}
     assert windows == {str(r["window_start"]) for r in bloom}
     assert windows == {str(r["window_start"]) for r in hist}
+    assert windows == {str(r["window_start"]) for r in kmv}
     assert len(windows) == 123  # 30 days / 6h slide + 3 edge windows
 
 

@@ -1173,6 +1173,138 @@ def events_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-window KMV cardinality readout (streaming twin) --------------------
+
+
+def _events_hourly_kmv_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+    from ..streaming.events import KMV_BUCKETS, KMV_REST_MOD
+
+    hash_sql = portable_hex_value_sql("user_id", 12, "VARCHAR")
+    k = KMV_BUCKETS
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id
+        FROM events
+    ),
+    h AS (SELECT hour_start, {hash_sql} AS hv FROM ev),
+    br AS (
+        SELECT hour_start, hv // {KMV_REST_MOD} AS bucket,
+               hv % {KMV_REST_MOD} AS rest
+        FROM h
+    ),
+    sig AS (
+        SELECT hour_start, bucket, MIN(rest) AS min_rest
+        FROM br GROUP BY hour_start, bucket
+    ),
+    g AS (
+        SELECT hour_start, COUNT(*) AS cnt,
+               SUM(CAST(min_rest + 1 AS DOUBLE)
+                   / CAST({KMV_REST_MOD} AS DOUBLE)) AS s_min
+        FROM sig GROUP BY hour_start
+    ),
+    fin AS (
+        SELECT hour_start,
+               CAST({k} - cnt AS BIGINT) AS empty_buckets,
+               CASE WHEN cnt < {k}
+                    THEN CAST({k} AS DOUBLE)
+                         * ln(CAST({k} AS DOUBLE) / ({k} - cnt))
+                    ELSE CAST({k * (k - 1)} AS DOUBLE) / s_min END AS est
+        FROM g
+    ),
+    ex AS (
+        SELECT hour_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM ev GROUP BY hour_start
+    )
+    SELECT ex.hour_start, ex.n_exact, fin.empty_buckets,
+           ROUND(fin.est, 4) AS kmv_estimate,
+           ROUND(ABS(fin.est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN fin ON fin.hour_start = ex.hour_start
+    ORDER BY ex.hour_start
+    """
+
+
+@register(
+    "events_hourly_kmv",
+    oracle=_events_hourly_kmv_oracle(),
+    description="per-hour KMV (stochastic-averaging k-minimum-values) "
+    "distinct-user readout: for every tumbling event-time hour, the "
+    "cardinality estimate from THAT hour's 64-bucket minimum signature "
+    "(top 6 bits of the portable 48-bit md5 address the bucket, the "
+    "remaining 42 feed a per-bucket MIN — Giroire 2009 / Lumbroso 2010 "
+    "order-statistics estimators, n-hat = k(k-1)/sum((min_j+1)/2^42), "
+    "with the linear-counting branch k*ln(k/empty) when buckets are "
+    "empty) next to the exact distinct count — the batch twin of the "
+    "streaming operator streaming.events.hourly_user_kmv, closing the "
+    "FIFTH and final streaming sketch family (CMS frequency, histogram "
+    "quantiles, Bloom membership, HLL cardinality, KMV cardinality-with-"
+    "set-algebra).  MIN is monotone and order-independent — the HLL MAX-"
+    "register streaming-safety argument verbatim — so streaming state "
+    "is bounded at 64 rows per hour and signatures merge by elementwise "
+    "min (stream == batch, state bound, and the merge law pinned in "
+    "tests/test_streaming.py).  Exactness: (min_rest+1)/2^42 is a "
+    "dyadic double with 42 significand bits, so the 64-term readout sum "
+    "is ORDER-INDEPENDENT in IEEE double — a float sum with a bit-exact "
+    "cross-engine oracle.  Scale shape: one keyed aggregate to <= 64 "
+    "cells per hour however many events arrive; the exact branch is "
+    "one per-hour distinct aggregate; downstream touches <= 64-row "
+    "frames per hour",
+    tags=("sketch", "event-time", "distinct", "portable", "streaming-twin"),
+)
+def events_hourly_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_hex_value_sql
+    from ..streaming.events import KMV_BUCKETS, KMV_REST_MOD, hourly_user_kmv
+
+    k = KMV_BUCKETS
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "user_id",
+    )
+    # The signature comes from the STREAMING operator itself (one logical
+    # plan for both execution modes — the module's standing design), keyed
+    # back to the formatted hour label.
+    sig = hourly_user_kmv(table(spark, sf_dir, "events")).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "bucket",
+        "min_rest",
+    )
+    g = sig.groupBy("hour_start").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            (F.col("min_rest") + F.lit(1)).cast("double")
+            / F.lit(float(KMV_REST_MOD))
+        ).alias("s_min"),
+    )
+    e = (F.lit(k) - F.col("cnt")).cast("long")
+    est = F.when(
+        F.col("cnt") < k,
+        F.lit(float(k)) * F.log(F.lit(float(k)) / (F.lit(k) - F.col("cnt"))),
+    ).otherwise(F.lit(float(k * (k - 1))) / F.col("s_min"))
+    prof = g.select("hour_start", e.alias("empty_buckets"), est.alias("est"))
+    ex = ev.groupBy("hour_start").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        ex.join(prof, "hour_start")
+        .select(
+            "hour_start",
+            "n_exact",
+            "empty_buckets",
+            F.round(F.col("est"), 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_start")
+    )
+
+
 # --- CMS self-join size (F2 / second frequency moment) ----------------------
 
 

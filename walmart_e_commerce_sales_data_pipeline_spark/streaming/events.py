@@ -318,6 +318,66 @@ def hourly_user_hll(
     )
 
 
+# Stochastic-averaging KMV geometry: k = 64 buckets addressed by the top
+# 6 bits of the portable 48-bit md5, per-bucket state is ONE minimum of
+# the remaining 42 bits.  (min_rest + 1) / 2^42 is an exact dyadic double
+# (42 significand bits), so the k-term readout sum is order-independent
+# and bit-exact across engines — the property every sketch readout in
+# this repo leans on for its exact oracle.
+KMV_BUCKETS = 64
+KMV_BUCKET_BITS = 6
+KMV_REST_MOD = 1 << (48 - KMV_BUCKET_BITS)  # 2^42
+
+
+def hourly_user_kmv(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-hour k-minimum-values signature of distinct user ids — batch or
+    streaming input (one logical plan), the FIFTH and final streaming
+    sketch family twin (CMS frequency, histogram quantiles, Bloom
+    membership, HLL cardinality, and now KMV cardinality-with-set-algebra).
+
+    Emits ``(window_start, bucket, min_rest)``: the hash space of the
+    portable 48-bit md5 splits into k = 64 bucket substreams (stochastic
+    averaging — Giroire 2009, Lumbroso 2010 order-statistics estimators),
+    and each bucket keeps the MINIMUM of its 42 low bits.  MIN is the
+    whole trick, mirroring the HLL twin's MAX registers: a minimum is a
+    monotone, order-independent, streaming-safe aggregate, so state is
+    bounded at k = 64 rows per hour regardless of user cardinality, the
+    watermark finalizes and evicts closed hours, and emitted signatures
+    merge downstream by elementwise min — across hours for coarser
+    windows, across shards for a fleet (the batch KMV set algebra:
+    kmv_sketch_union / kmv_jaccard_langs / kmv_set_difference).
+
+    The oracle-checked batch readout (per-hour estimate vs exact distinct
+    count) is ``events_hourly_kmv``; stream == batch equality, the 64-row
+    state bound, and the elementwise-min merge law are pinned in
+    tests/test_streaming.py.  ``window``/``slide`` generalize to sliding
+    windows exactly as in ``hourly_user_hll`` (state multiplies by the
+    overlap factor only).
+    """
+    from ..operators.splits import portable_hex_value_sql
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    h = src.select(
+        "ts", F.expr(portable_hex_value_sql("user_id", 12, "STRING")).alias("hv")
+    )
+    br = h.select(
+        "ts",
+        F.expr(f"hv DIV {KMV_REST_MOD}").alias("bucket"),
+        (F.col("hv") % KMV_REST_MOD).alias("rest"),
+    )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        br.groupBy(w.alias("w"), "bucket")
+        .agg(F.min("rest").alias("min_rest"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "min_rest")
+    )
+
+
 # Fixed a-priori bounds for the streaming value histogram: the events
 # generator draws value in (0, 500) (TESTDATA.md); a stream cannot
 # two-pass for min/max, so fixed bounds ARE the streaming trade —
