@@ -2025,3 +2025,110 @@ def cube_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --- Misra-Gries deterministic heavy hitters ---------------------------------
+
+# Summary size: k counters give additive error <= N/(k+1) — the classic
+# Misra-Gries guarantee.  32 keeps the summary a broadcast-sized frame
+# while the corpus 3-gram stream still produces a non-trivial survivor
+# set (threshold 5, ~30 retained items at sf0.01).
+_MG_K = 32
+
+
+@register(
+    "mg_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    occ AS (
+        SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM occ GROUP BY shingle
+    ),
+    tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt),
+    thr AS (
+        SELECT CAST(COALESCE(
+            (SELECT n_exact FROM cnt
+             ORDER BY n_exact DESC, shingle
+             LIMIT 1 OFFSET {_MG_K}), 0) AS BIGINT) AS t
+    )
+    SELECT c.shingle,
+           CAST(c.n_exact - thr.t AS BIGINT) AS mg_count,
+           c.n_exact,
+           thr.t AS deficit,
+           CAST(tot.n_total // {_MG_K + 1} AS BIGINT) AS apriori_bound,
+           CAST(CASE WHEN c.n_exact * {_MG_K + 1} > tot.n_total
+                     THEN 1 ELSE 0 END AS INTEGER) AS guaranteed
+    FROM cnt c, thr, tot
+    WHERE c.n_exact > thr.t
+    ORDER BY c.n_exact DESC, c.shingle
+    """,
+    description="Misra-Gries deterministic heavy-hitter summary (k=32 "
+    "counters) over the corpus 3-gram occurrence stream — the "
+    "DETERMINISTIC counterpart to cms_heavy_hitters: CMS bounds the "
+    "frequency OVERestimate probabilistically, Misra-Gries bounds the "
+    "UNDERestimate absolutely (deficit <= N/(k+1) a priori, carried as "
+    "the apriori_bound column and pinned >= deficit by both engines).  "
+    "Built in the order-independent mergeable-summaries form (Agarwal "
+    "et al., PODS'12): exact per-item counts map-side-combine, then ONE "
+    "compress subtracts the (k+1)-th largest count from every counter "
+    "and keeps the positive ones — at most k survive, each undercounted "
+    "by exactly that threshold, and every item with true frequency "
+    "above N/(k+1) is GUARANTEED to survive (the guaranteed column).  "
+    "Per-shard summaries merge by counter addition followed by the same "
+    "compress, with the decrements telescoping to <= N/(k+1) total — "
+    "the merge law pinned Spark-side in tests/test_round15_properties.py "
+    "and over arbitrary hypothesis streams.  Scale shape: one hash "
+    "aggregate over the occurrence stream, a TakeOrdered top-(k+1) for "
+    "the threshold (no unpartitioned window), two broadcast scalars; "
+    "the summary itself is <= k rows",
+    tags=("sketch", "text", "frequency", "deterministic", "mergeable"),
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread_narrow
+
+    docs = table(spark, sf_dir, "documents")
+    occ = (
+        _spread_narrow(docs)
+        .select(tokenize("text").alias("_t"))
+        .select(F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
+    )
+    cnt = occ.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    tot = cnt.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    # (k+1)-th largest count = min over the sorted top-(k+1): a
+    # TakeOrderedAndProject, never a global sort or single-task window.
+    thr = (
+        cnt.orderBy(F.col("n_exact").desc(), "shingle")
+        .limit(_MG_K + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) == _MG_K + 1, F.min("n_exact"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("t")
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_exact") > F.col("t"))
+        .select(
+            "shingle",
+            (F.col("n_exact") - F.col("t")).cast("long").alias("mg_count"),
+            "n_exact",
+            F.col("t").alias("deficit"),
+            F.expr(f"n_total div {_MG_K + 1}").cast("long").alias(
+                "apriori_bound"
+            ),
+            (F.col("n_exact") * F.lit(_MG_K + 1) > F.col("n_total"))
+            .cast("int")
+            .alias("guaranteed"),
+        )
+        .orderBy(F.col("n_exact").desc(), "shingle")
+    )
