@@ -794,47 +794,29 @@ def test_prefix_filter_matches_shared_shingle_join_and_prunes(spark):
     }
     assert got == want and got, (len(got), len(want))
 
-    # candidate-stream reduction: prefix-entry join vs all-entry join
-    from walmart_e_commerce_sales_data_pipeline_spark.functions.text import (
-        tokenize,
-        word_shingles,
+    # candidate-stream funnel, measured on the operator's own stages:
+    # all-shared-shingle join -> prefix-entry join -> + positional filter
+    # (measured at sf0.001: 12,025 -> 1,126 -> 32 candidates for the 28
+    # verified pairs — each stage must stay a substantial cut, and the
+    # positional stage must never drop below the verified-pair count).
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
+        _prefix_candidates,
+        shingle_sets,
     )
 
-    sh = (
-        docs.select(F.col("doc_id").alias("id"), tokenize("text").alias("t"))
-        .select("id", F.explode(word_shingles(F.col("t"), 3)).alias("s"))
-        .distinct()
-    )
+    sh = shingle_sets(docs, "doc_id", "text", 3)
     all_pairs = (
-        sh.select(F.col("id").alias("x"), "s")
-        .join(sh.select(F.col("id").alias("y"), "s"), "s")
+        sh.select(F.col("id").alias("x"), "shingle")
+        .join(sh.select(F.col("id").alias("y"), "shingle"), "shingle")
         .filter(F.col("x") < F.col("y"))
         .select("x", "y")
         .distinct()
         .count()
     )
-    from pyspark.sql import Window
-
-    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    prefix = (
-        sh.join(freq, "s")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "s")),
-        )
-        .join(sizes, "id")
-        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1)
-        .select("id", "s")
-    )
-    pf_pairs = (
-        prefix.select(F.col("id").alias("x"), "s")
-        .join(prefix.select(F.col("id").alias("y"), "s"), "s")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-        .count()
-    )
-    assert pf_pairs < all_pairs, (pf_pairs, all_pairs)
-    # the reduction should be substantial, not marginal
+    pf_pairs = _prefix_candidates(sh, 1, 2, positional=False).count()
+    pos_pairs = _prefix_candidates(sh, 1, 2, positional=True).count()
     assert pf_pairs <= all_pairs * 0.8, (pf_pairs, all_pairs)
+    # PPJoin positional filter: another order-of-magnitude cut on top of
+    # the prefix filter, while staying a superset of the true pair set
+    assert pos_pairs <= pf_pairs * 0.5, (pos_pairs, pf_pairs)
+    assert pos_pairs >= len(got), (pos_pairs, len(got))

@@ -1233,6 +1233,88 @@ def containment_pairs(
     return out
 
 
+def _prefix_candidates(
+    sh: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (x, y) pairs of ``prefix_filter_jaccard_pairs``'s
+    generation stage: the prefix-entry equi-join, optionally pruned by
+    the PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2).
+
+    Positional filter soundness: both sides sort their shingles by the
+    SAME global (df, shingle) order, so shared tokens appear in the same
+    relative order in both documents, and for a QUALIFYING pair the
+    globally smallest shared token u* sits in both prefixes (if u* were
+    prefix-in-x but suffix-in-y, any both-prefix shared token w > u*
+    would precede u* in y — contradicting sortedness — so none could
+    exist, contradicting prefix-filter completeness).  Hence
+    ``min(rk_x)`` and ``min(rk_y)`` over the pair's shared prefix tokens
+    are BOTH attained at u*, every other shared token lies strictly
+    after u* on both sides, and
+
+        |x ∩ y| <= 1 + min(|x| - i, |y| - j),   (i, j) = positions of u*.
+
+    J(x,y) >= num/den is equivalent to the overlap bound
+    |x ∩ y| * (num + den) >= num * (|x| + |y|), so candidates whose
+    positional upper bound cannot reach it are pruned BEFORE the
+    verification join — all-integer arithmetic, same completeness
+    guarantee (hypothesis-pinned for ANY input in
+    tests/test_round14_properties.py), measured candidate reduction in
+    tests/test_dedup_similarity.py.  ``positional=False`` keeps the
+    plain prefix join for that measurement."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # prefix_len = n_sh - ceil(t * n_sh) + 1, all-integer
+    ceil_t = F.expr(
+        f"({threshold_num} * n_sh + {threshold_den - 1}) div {threshold_den}"
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("n_sh") - ceil_t + 1).select(
+        "id", "shingle", "rk", "n_sh"
+    )
+    px = prefix.select(
+        F.col("id").alias("x"),
+        "shingle",
+        F.col("rk").alias("ix"),
+        F.col("n_sh").alias("snx"),
+    )
+    py = prefix.select(
+        F.col("id").alias("y"),
+        "shingle",
+        F.col("rk").alias("iy"),
+        F.col("n_sh").alias("sny"),
+    )
+    joined = px.join(py, "shingle").filter(F.col("x") < F.col("y"))
+    if not positional:
+        return joined.select("x", "y").distinct()
+    num, den = threshold_num, threshold_den
+    cand = joined.groupBy("x", "y").agg(
+        F.min("ix").alias("i"),
+        F.min("iy").alias("j"),
+        F.min("snx").alias("snx"),  # constant per id: min == the value
+        F.min("sny").alias("sny"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("snx") - F.col("i"), F.col("sny") - F.col("j")
+    )
+    return cand.filter(
+        ub * F.lit(num + den) >= F.lit(num) * (F.col("snx") + F.col("sny"))
+    ).select("x", "y")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     threshold_num: int,
@@ -1271,41 +1353,23 @@ def prefix_filter_jaccard_pairs(
     is order-invariant and compares exactly.  That is also why no
     candidate-stage statistic appears in the result columns.
 
+    On top of the prefix bound, the PPJoin POSITIONAL filter
+    (``_prefix_candidates``) prunes candidates the prefix filter alone
+    admits: the first shared prefix token's positions (i, j) cap the
+    achievable overlap at 1 + min(|x|-i, |y|-j), and candidates whose
+    cap cannot reach the Jaccard-equivalent overlap requirement never
+    enter the verification join (soundness argument on the helper).
+
     Scale shape: one distinct + one df aggregate + one per-doc rank
     window (all keyed on id or shingle), a prefix-only equi-join on
-    shingle, and a candidate-bounded verification join — every stage is
-    keyed, nothing is all-pairs, and the candidate stream is the one
-    the prefix bound provably minimizes per set size.
+    shingle with a per-pair positional cap, and a candidate-bounded
+    verification join — every stage is keyed, nothing is all-pairs, and
+    the candidate stream is the one the prefix + positional bounds
+    provably minimize per set size.
     """
-    from pyspark.sql import Window
-
     sh = shingle_sets(df, id_col, text_col, n)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("df", "shingle")
-            ),
-        )
-        .join(sizes, "id")
-    )
-    # prefix_len = n_sh - ceil(t * n_sh) + 1, all-integer
-    ceil_t = F.expr(
-        f"({threshold_num} * n_sh + {threshold_den - 1}) div {threshold_den}"
-    )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - ceil_t + 1
-    ).select("id", "shingle")
-    cand = (
-        prefix.select(F.col("id").alias("x"), "shingle")
-        .join(prefix.select(F.col("id").alias("y"), "shingle"), "shingle")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-    )
+    cand = _prefix_candidates(sh, threshold_num, threshold_den)
     a = sh.select(F.col("id").alias("x"), "shingle")
     b = sh.select(F.col("id").alias("y"), "shingle")
     inter = (
