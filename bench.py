@@ -61,6 +61,48 @@ CAL_GATE_SLEEP_SEC = float(os.environ.get("SPARK_GRAFT_CAL_SLEEP", "45"))
 END_CAL_RUNS = int(os.environ.get("SPARK_GRAFT_END_CAL_RUNS", "5"))
 
 
+# Interleaved single-thread probes (VERDICT r14 item 1): the two-ended
+# gate samples host health only at the endpoints of a ~40-minute sweep,
+# so a co-tenant wave arriving mid-run was stamped trusted in r14 while
+# common queries ran 1.68x r13 (judge-verified: dedup_canonical_keep
+# [25.2, 19.2, 10.2] s in-bench vs 2.58 s idle).  The fix is sampling,
+# not a new threshold: the cheap single-thread probe (same workload and
+# the SAME st gate value) runs between every PROBE_EVERY_N headline
+# queries, each query's wall is trusted only when BOTH probes bracketing
+# its segment cleared the gate, and the run-level flag now requires the
+# whole probe sequence quiet — a mid-sweep wave can no longer hide
+# behind quiet endpoints.
+PROBE_EVERY_N = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "10"))
+PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+
+
+def per_query_trusted(
+    names: list[str],
+    probe_mins: list[float],
+    every_n: int = PROBE_EVERY_N,
+    st_gate: float = CAL_ST_GATE_SEC,
+) -> dict[str, bool]:
+    """Per-query trust verdicts from the interleaved probe minima.
+
+    ``probe_mins[s]`` is the min single-thread probe taken just BEFORE
+    the s-th segment of ``every_n`` queries (``probe_mins[0]`` precedes
+    the sweep) and ``probe_mins[s+1]`` just after it, so query p in
+    segment ``p // every_n`` is trusted iff both its bracketing probes
+    cleared the same single-thread gate the start/end calibrations use
+    — gate VALUE unchanged, only the sampling is finer.  Pure function
+    so the trust logic is unit-testable without a loaded machine
+    (tests/test_bench_gate.py)."""
+    n_segments = max(1, -(-len(names) // every_n)) if names else 0
+    assert len(probe_mins) >= n_segments + 1 or not names, (
+        f"{len(probe_mins)} probes cannot bracket {n_segments} segments"
+    )
+    out: dict[str, bool] = {}
+    for p, name in enumerate(names):
+        s = p // every_n
+        out[name] = probe_mins[s] <= st_gate and probe_mins[s + 1] <= st_gate
+    return out
+
+
 def end_calibration_trusted(
     cal_end_runs: list[float],
     st_end_runs: list[float],
@@ -119,6 +161,11 @@ SKETCH_ONLY_TIER = [
     "kmv_set_difference",
     "mad_outlier_rate",
     "embedding_top_pc",
+    # VERDICT r14 item 8: the two remaining exact-branch-dominated
+    # queries — production keeps the counter matrix / the sketch-only
+    # estimates; the exact truth exists for the oracle.
+    "cms_heavy_hitters",
+    "kmv_sketch_union",
 ]
 
 # Headline set: one representative per operator family (scan+agg, star join,
@@ -267,6 +314,10 @@ HEADLINE = [
     # one-pass Pearson correlation matrix
     "revenue_seasonality_regression",
     "corr_matrix_lineitem",
+    # round 15: the streaming-KMV batch readout (fifth sketch family)
+    # and the Misra-Gries deterministic heavy-hitter summary
+    "events_hourly_kmv",
+    "mg_heavy_hitters",
 ]
 
 
@@ -357,7 +408,26 @@ def main() -> None:
     runtime: dict[str, dict[str, int]] = {}
     all_runs: dict[str, list[float]] = {}
     loadavgs: dict[str, float] = {}
-    for name in HEADLINE:
+    # Interleaved probes (VERDICT r14 item 1): one cheap single-thread
+    # probe before each PROBE_EVERY_N-query segment and one after the
+    # last, so every query wall is bracketed by two host-health samples.
+    probes: list[dict] = []
+
+    def _probe(at_query: int) -> None:
+        runs = _calibrate_single_thread(PROBE_RUNS)
+        probes.append(
+            {
+                "at_query": at_query,
+                "runs": runs,
+                "min": min(runs),
+                "loadavg_1m": _loadavg(),
+                "trusted": min(runs) <= CAL_ST_GATE_SEC,
+            }
+        )
+
+    for idx, name in enumerate(HEADLINE):
+        if idx % PROBE_EVERY_N == 0:
+            _probe(idx)
         fn = q.REGISTRY[name].fn
         loadavgs[name] = _loadavg()
         runs: list[float] = []
@@ -383,6 +453,14 @@ def main() -> None:
         # Result cardinality rides along so round-over-round result drift
         # (a correctness smell the wall clock can't see) is visible too.
         runtime[name] = {**metrics_since(spark, mark), "rows": len(rows)}
+
+    _probe(len(HEADLINE))  # closing bracket for the final segment
+    probe_mins = [p["min"] for p in probes]
+    query_trusted = per_query_trusted(list(HEADLINE), probe_mins)
+    untrusted_queries = sorted(
+        n for n, ok in query_trusted.items() if not ok and n in timings
+    )
+    all_probes_trusted = all(p["trusted"] for p in probes)
 
     # Production-tier twin measurements (VERDICT r13 item 6): four of the
     # five slowest headline queries spend most of their wall on the exact-
@@ -497,7 +575,12 @@ def main() -> None:
     cal_end_runs = _calibrate(END_CAL_RUNS)
     cal_st_end_runs = _calibrate_single_thread(END_CAL_RUNS)
     cal_end_trusted = end_calibration_trusted(cal_end_runs, cal_st_end_runs)
-    cal_trusted = cal_start_trusted and cal_end_trusted
+    # The run-level flag now covers the INTERIOR of the window too
+    # (VERDICT r14 item 1): endpoints quiet + every interleaved probe
+    # quiet.  A partially-noisy run still names its clean queries via
+    # query_trusted, so one bad segment no longer poisons — or hides
+    # behind — the whole artifact.
+    cal_trusted = cal_start_trusted and cal_end_trusted and all_probes_trusted
 
     total = round(sum(timings.values()), 3)
     # Coverage marker: when a query errors it drops out of `total`, which
@@ -522,6 +605,11 @@ def main() -> None:
                 "calibration_trusted": cal_trusted,
                 "calibration_start_trusted": cal_start_trusted,
                 "calibration_end_trusted": cal_end_trusted,
+                "all_probes_trusted": all_probes_trusted,
+                "probe_every_n": PROBE_EVERY_N,
+                "interleaved_st_probes": probes,
+                "query_trusted": query_trusted,
+                "untrusted_queries": untrusted_queries,
                 "calibration_gate_sec": CAL_GATE_SEC,
                 "calibration_st_gate_sec": CAL_ST_GATE_SEC,
                 "calibration_gate_attempts": len(cal_history),
@@ -557,6 +645,7 @@ def main() -> None:
             "n_measured": n_measured,
             "calibration_sec": calibration,
             "calibration_trusted": cal_trusted,
+            "n_untrusted": len(untrusted_queries),
             "queries": timings,
             **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,
@@ -575,6 +664,7 @@ def main() -> None:
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
                 "calibration_trusted": cal_trusted,
+                "n_untrusted": len(untrusted_queries),
                 "queries": slim,
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,
@@ -594,6 +684,7 @@ def main() -> None:
                 "n_measured": n_measured,
                 "calibration_sec": calibration,
                 "calibration_trusted": cal_trusted,
+                "n_untrusted": len(untrusted_queries),
                 "queries": {n: round(t, 2) for n, t in slowest.items()},
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,

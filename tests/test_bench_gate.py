@@ -167,3 +167,62 @@ def test_end_calibration_uses_min_not_mean():
         [0.90, 0.88, 0.31, 0.89, 0.91], [0.39, 0.85, 0.90, 0.88, 0.86],
         gate=0.33, st_gate=0.40,
     )
+
+
+def test_per_query_trust_brackets_each_segment():
+    """VERDICT r14 item 1: a query's wall is trusted only when BOTH
+    interleaved probes bracketing its 10-query segment cleared the
+    single-thread gate — a mid-sweep wave marks exactly the queries it
+    straddled, not the whole run and not nothing."""
+    from bench import per_query_trusted
+
+    names = [f"q{i}" for i in range(25)]  # 3 segments of 10/10/5
+    # the probe BETWEEN segments 1 and 2 spikes: it brackets both, so
+    # queries 10-24 lose trust while segment 0 (queries 0-9, bracketed
+    # by the two quiet probes) keeps it
+    got = per_query_trusted(
+        names, [0.28, 0.30, 0.95, 0.29], every_n=10, st_gate=0.40
+    )
+    assert all(got[f"q{i}"] is True for i in range(10))
+    assert all(got[f"q{i}"] is False for i in range(10, 25))
+
+
+def test_per_query_trust_all_quiet_and_all_loaded():
+    from bench import per_query_trusted
+
+    names = [f"q{i}" for i in range(12)]
+    quiet = per_query_trusted(names, [0.30, 0.29, 0.31], every_n=10, st_gate=0.40)
+    assert all(quiet.values()) and len(quiet) == 12
+    loaded = per_query_trusted(names, [0.90, 0.85, 0.88], every_n=10, st_gate=0.40)
+    assert not any(loaded.values())
+
+
+def test_per_query_trust_requires_enough_probes():
+    """The probe list must bracket every segment — a short list is a
+    harness bug, not a trust verdict, and fails loudly."""
+    import pytest
+
+    from bench import per_query_trusted
+
+    with pytest.raises(AssertionError):
+        per_query_trusted([f"q{i}" for i in range(25)], [0.3, 0.3], every_n=10)
+
+
+def test_run_level_flag_requires_all_probes_quiet():
+    """The r14 blind spot closed: quiet endpoints + one loaded interior
+    probe must NOT stamp the run trusted.  Mirrors bench.main's
+    composition: start AND end AND all interleaved probes."""
+    from bench import CAL_ST_GATE_SEC, end_calibration_trusted
+
+    start_trusted = True
+    end_trusted = end_calibration_trusted(
+        [0.30, 0.31, 0.29, 0.30, 0.31], [0.28, 0.29, 0.30, 0.28, 0.29]
+    )
+    probes = [
+        {"min": 0.28, "trusted": 0.28 <= CAL_ST_GATE_SEC},
+        {"min": 0.95, "trusted": 0.95 <= CAL_ST_GATE_SEC},  # mid-run wave
+        {"min": 0.29, "trusted": 0.29 <= CAL_ST_GATE_SEC},
+    ]
+    all_probes = all(p["trusted"] for p in probes)
+    assert end_trusted and start_trusted and not all_probes
+    assert (start_trusted and end_trusted and all_probes) is False

@@ -131,3 +131,41 @@ def test_bench_tier_list_names_registered_queries_accepting_the_kwarg():
         sig = inspect.signature(q.REGISTRY[name].fn)
         assert "sketch_only" in sig.parameters, name
         assert sig.parameters["sketch_only"].default is False, name
+
+
+def test_cms_heavy_hitters_tier_returns_the_maintained_counter_matrix(spark):
+    """sketch_only=True returns the depth x width counter matrix itself —
+    total cell mass = depth x occurrences, and probing the matrix for
+    the default path's top items reproduces its cms_est exactly (the
+    tier drops the exact-truth branch, never sketch information)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+    )
+
+    default = q.REGISTRY["cms_heavy_hitters"].fn(spark, SF001).collect()
+    cells = (
+        q.REGISTRY["cms_heavy_hitters"].fn(spark, SF001, sketch_only=True).collect()
+    )
+    assert len(cells) <= _CMS_DEPTH * _CMS_WIDTH
+    assert {r["r"] for r in cells} == set(range(_CMS_DEPTH))
+    import hashlib
+
+    mat = {(r["r"], r["b"]): r["c"] for r in cells}
+    n_occ = sum(c for (r, _b), c in mat.items() if r == 0)
+    assert sum(mat.values()) == _CMS_DEPTH * n_occ
+    for row in default:
+        h = hashlib.md5(row["shingle"].encode()).hexdigest()
+        est = min(
+            mat.get((r, int(h[2 * r : 2 * r + 2], 16)), 0)
+            for r in range(_CMS_DEPTH)
+        )
+        assert est == row["cms_est"], (row, est)
+
+
+def test_kmv_sketch_union_tier_matches_default_estimates(spark):
+    d = q.REGISTRY["kmv_sketch_union"].fn(spark, SF001).collect()[0]
+    s = q.REGISTRY["kmv_sketch_union"].fn(spark, SF001, sketch_only=True).collect()[0]
+    for col in ("est_a", "est_b", "est_union", "est_inter"):
+        assert s[col] == d[col], (col, s[col], d[col])
+    assert list(s.asDict()) == ["est_a", "est_b", "est_union", "est_inter"]

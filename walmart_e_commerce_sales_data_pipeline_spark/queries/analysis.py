@@ -115,7 +115,14 @@ def _est_sql(m: str, kth: str) -> str:
     "merge works on sketch rows only — never the full hash sets",
     tags=("sketch", "text", "distinct", "portable"),
 )
-def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_sketch_union(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` drops the exact branch (the four exact
+    distinct/intersection counts over the full flag table, carried for
+    the oracle) and returns the sketch-derived estimates only — the
+    production path, where each shard keeps its <= k-row sketch and only
+    sketches travel.  Default off; bench.py measures both tiers."""
     from ..functions.text import word_shingles
     from ..operators.dedup import _spread_narrow
 
@@ -191,6 +198,22 @@ def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sk_b, "hv", "left_semi")
         .agg(F.count("*").cast("long").alias("m_both"))
     )
+    if sketch_only:
+        return (
+            a_stats.crossJoin(F.broadcast(b_stats))
+            .crossJoin(F.broadcast(u_stats))
+            .crossJoin(F.broadcast(both))
+            .select(
+                F.round(_est("m_a", "kth_a"), 4).alias("est_a"),
+                F.round(_est("m_b", "kth_b"), 4).alias("est_b"),
+                F.round(_est("m_u", "kth_u"), 4).alias("est_union"),
+                F.round(
+                    (F.col("m_both").cast("double") / F.col("m_u"))
+                    * _est("m_u", "kth_u"),
+                    4,
+                ).alias("est_inter"),
+            )
+        )
     exact = flags.agg(
         F.sum("ia").cast("long").alias("n_a"),
         F.sum("ib").cast("long").alias("n_b"),

@@ -1039,7 +1039,15 @@ def cms_cells(occ: DataFrame, item_col: str = "shingle") -> DataFrame:
     "lets every shard keep one and union them",
     tags=("sketch", "text", "frequency", "portable"),
 )
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+) -> DataFrame:
+    """``sketch_only=True`` returns the maintained production artifact —
+    the depth x width counter matrix itself — and skips the exact-truth
+    branch (full per-shingle count + top-k + probe join) that exists for
+    the oracle readout.  A production shard only ever pays the one
+    map-side-combining cells aggregate; estimates are probed on demand.
+    Default off; bench.py measures both tiers."""
     from ..functions.text import word_shingles
     from ..operators.dedup import _spread_narrow
 
@@ -1050,6 +1058,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
     )
     cells = cms_cells(occ)
+    if sketch_only:
+        return cells.orderBy("r", "b")
     ex = (
         occ.groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
