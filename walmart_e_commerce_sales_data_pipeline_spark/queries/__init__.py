@@ -42,95 +42,83 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-14 staleness histogram (registry at 176 after this round's
-# seventeen additions — seven wave-1, five wave-2, three wave-3, two
-# wave-4): 17 never-green
-# (wave-1: ``events_hourly_bloom_returns``, ``kmv_set_difference``,
-# ``events_hourly_hll``, ``cms_selfjoin_size``,
-# ``events_daily_hll_rollup``, ``events_sliding_hll``,
-# ``cms_join_size_estimate``; wave-2: ``multi_touch_attribution`` —
-# exact penny-allocation attribution, ``revenue_theilsen_slope`` —
-# robust median-of-slopes trend, ``similarity_inverted_index`` —
-# sparse postings-join ANN, ``cube_distinct_hll`` — sketch-merged OLAP
-# margins, ``pareto_frontier_parts`` — linear skyline; wave-3:
-# ``bootstrap_ci_revenue`` — Poisson-bootstrap confidence bands,
-# ``incremental_rollup_maintenance`` — retraction-stream IVM,
-# ``jaccard_prefix_filter`` — exact PPJoin-style set-similarity join;
-# wave-4: ``revenue_seasonality_regression`` — two-regressor OLS by
-# Cramer's rule, ``corr_matrix_lineitem`` — one-pass Pearson matrix), 9
-# queries last green externally in r9, 50 in r10, 50 in r12, 50 in
-# r13.
-# The window is the seventeen never-green queries, the nine r9-stale ones
-# (``common_shingle_fraction``, ``grouped_zscore_histogram``,
-# ``events_funnel``, ``events_cohort_retention``,
-# ``mixture_sampling_plan``, ``from_json_map``,
-# ``asof_join_latest_order``, ``range_join_close_events``,
-# ``events_session_window``), then the 24 stalest r10-green queries in
-# prior registry order; twenty-six r10-green queries
-# (``shipping_priority_top10``, ``large_quantity_orders``,
-# ``above_average_orders``, ``pivot_status_by_year``, ``price_percentiles``,
+# Round-15 staleness histogram (registry at 178 after this round's two
+# additions — ``events_hourly_kmv``, the batch readout of the fifth and
+# final streaming sketch family twin, and ``mg_heavy_hitters``, the
+# Misra-Gries deterministic heavy-hitter summary): 2 never-green, 26
+# last green externally in r10, 50 in r12, 50 in r13, 50 in r14.
+# The window, computed and staleness-asserted by tools/rotate_window.py,
+# is exactly the r14 VERDICT prescription: the two never-green queries,
+# then ALL twenty-six r10-stale ones (``shipping_priority_top10``,
+# ``large_quantity_orders``, ``above_average_orders``,
+# ``pivot_status_by_year``, ``price_percentiles``,
 # ``regex_math_functions``, ``ship_delay_buckets``,
 # ``map_array_functions``, ``join_right_outer``, ``join_cross``,
-# ``exists_not_exists_combo`` ... ``min_price_per_type``,
-# ``correlated_subquery_orders``, ``grouping_sets_explicit``,
-# ``window_frames_suite``, ``null_ordering``) no longer fit and head
-# the r15 window (projected staleness horizon after r14: worst 4
-# rounds, inside the 5-round limit asserted by tools/rotate_window.py).
-# Every tail query is re-proven by
-# the local DuckDB mirror (tests/test_queries_vs_duckdb.py,
-# driver-equivalent strictness) on every pytest run.
+# ``null_ordering``, ``window_frames_suite``, ``grouping_sets_explicit``,
+# ``correlated_subquery_orders``, ``min_price_per_type``,
+# ``exists_not_exists_combo``, ``lateral_explode_embeddings``,
+# ``tfidf_top_terms``, ``top_supplier_revenue``,
+# ``dormant_customer_balance``, ``local_supplier_volume``,
+# ``customer_order_histogram``, ``set_operations_all``,
+# ``orders_rfm_segments``, ``quantize_embeddings``,
+# ``label_centroid_similarity``), then the 22 stalest r12-green queries
+# in prior registry order (projected staleness horizon after r15: worst
+# 3 rounds — mad_outlier_rate — inside the 5-round limit the tool
+# asserts).  Every tail query is re-proven by the local DuckDB mirror
+# (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
+# every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "events_hourly_bloom_returns",
-    "kmv_set_difference",
-    "events_hourly_hll",
-    "cms_selfjoin_size",
-    "events_daily_hll_rollup",
-    "events_sliding_hll",
-    "cms_join_size_estimate",
-    "multi_touch_attribution",
-    "revenue_theilsen_slope",
-    "similarity_inverted_index",
-    "cube_distinct_hll",
-    "pareto_frontier_parts",
-    "bootstrap_ci_revenue",
-    "incremental_rollup_maintenance",
-    "jaccard_prefix_filter",
-    "revenue_seasonality_regression",
-    "corr_matrix_lineitem",
-    "common_shingle_fraction",
-    "grouped_zscore_histogram",
-    "events_funnel",
-    "events_cohort_retention",
-    "mixture_sampling_plan",
-    "from_json_map",
-    "asof_join_latest_order",
-    "range_join_close_events",
-    "events_session_window",
-    "monthly_avg_value",
-    "events_hourly_window",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_json_extract",
-    "user_event_paths",
-    "time_series_gap_fill",
-    "key_skew_profile",
-    "latest_record_compaction",
-    "events_dow_hour_heatmap",
-    "event_interarrival_profile",
-    "scalar_means",
-    "impute_group_avg",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_semi",
-    "warc_curation_by_day",
-    "vocab_oov_rate",
-    "prefix_dup_groups",
-    "profile_documents",
-    "stratified_sample_stats",
-    "train_val_test_split",
-    "embedding_dim_profile",
-    "forecast_revenue",
+    "events_hourly_kmv",
+    "mg_heavy_hitters",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    "above_average_orders",
+    "pivot_status_by_year",
+    "price_percentiles",
+    "regex_math_functions",
+    "ship_delay_buckets",
+    "map_array_functions",
+    "join_right_outer",
+    "join_cross",
+    "null_ordering",
+    "window_frames_suite",
+    "grouping_sets_explicit",
+    "correlated_subquery_orders",
+    "min_price_per_type",
+    "exists_not_exists_combo",
+    "lateral_explode_embeddings",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "dormant_customer_balance",
+    "local_supplier_volume",
+    "customer_order_histogram",
+    "set_operations_all",
+    "orders_rfm_segments",
+    "quantize_embeddings",
+    "label_centroid_similarity",
+    "concurrent_sessions_profile",
+    "pricing_summary",
+    "join_anti",
+    "join_full_outer",
+    "regional_revenue",
+    "window_topk_orders",
+    "window_running_total",
+    "top10_expensive_items",
+    "set_operations",
+    "distinct_counts",
+    "rollup_customer_geo",
+    "cube_order_status",
+    "string_functions",
+    "kmv_sketch_union",
+    "sliding_chunk_windows",
+    "bigram_pmi",
+    "dup_graph_degree_hist",
+    "winsorized_price_stats",
+    "ngram_distribution_profile",
+    "cross_source_dup_matrix",
+    "scd2_user_state_history",
+    "state_as_of_label_time",
 ]
 
 
