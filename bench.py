@@ -314,10 +314,13 @@ HEADLINE = [
     # one-pass Pearson correlation matrix
     "revenue_seasonality_regression",
     "corr_matrix_lineitem",
-    # round 15: the streaming-KMV batch readout (fifth sketch family)
-    # and the Misra-Gries deterministic heavy-hitter summary
+    # round 15: the streaming-KMV batch readout (fifth sketch family),
+    # the Misra-Gries deterministic heavy-hitter summary, and the
+    # signed Count-Sketch pair (unbiased frequency + AMS F2)
     "events_hourly_kmv",
     "mg_heavy_hitters",
+    "countsketch_user_freq",
+    "countsketch_f2",
 ]
 
 

@@ -2132,3 +2132,263 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "shingle")
     )
+
+
+# --- Count-Sketch: the unbiased two-sided frequency estimator ----------------
+
+# Depth 5 (odd, so the median needs no interpolation) x width 256; buckets
+# ride hex chars 1-10 of ONE portable md5 and signs hex chars 11-15, so
+# the whole geometry is deterministic and engine-identical like CMS.
+_CS_DEPTH = 5
+_CS_WIDTH = 256
+_CS_HEXD = "0123456789abcdef"
+
+
+def _cs_bucket_sql(h_expr: str, r: int) -> str:
+    p = 2 * r + 1
+    return (
+        f"((instr('{_CS_HEXD}', substring({h_expr}, {p}, 1)) - 1) * 16"
+        f" + (instr('{_CS_HEXD}', substring({h_expr}, {p + 1}, 1)) - 1))"
+    )
+
+
+def _cs_sign_sql(h_expr: str, r: int) -> str:
+    p = 11 + r
+    return (
+        f"(1 - 2 * ((instr('{_CS_HEXD}', substring({h_expr}, {p}, 1)) - 1)"
+        f" % 2))"
+    )
+
+
+def _countsketch_oracle() -> str:
+    cell_branches = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cs_bucket_sql('h', r)} AS b,"
+        f" CAST(SUM({_cs_sign_sql('h', r)}) AS BIGINT) AS c"
+        " FROM hashed GROUP BY 1, 2"
+        for r in range(_CS_DEPTH)
+    )
+    eh = "md5(CAST(e.user_id AS VARCHAR))"
+    bucket_case = " ".join(
+        f"WHEN {r} THEN {_cs_bucket_sql(eh, r)}" for r in range(_CS_DEPTH)
+    )
+    sign_case = " ".join(
+        f"WHEN {r} THEN {_cs_sign_sql(eh, r)}" for r in range(_CS_DEPTH)
+    )
+    return f"""
+    WITH src AS (SELECT user_id FROM events),
+    hashed AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM src),
+    cells AS ({cell_branches}),
+    ex AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM src GROUP BY user_id
+    ),
+    probes AS (
+        SELECT e.user_id, e.n_exact, cells.r,
+               (CASE cells.r {sign_case} END) * MAX(cells.c) AS est
+        FROM ex e
+        JOIN cells ON cells.b = CASE cells.r {bucket_case} END
+        GROUP BY e.user_id, e.n_exact, cells.r
+    )
+    SELECT user_id, n_exact,
+           CAST(list_sort(list(est))[{_CS_DEPTH // 2 + 1}] AS BIGINT)
+               AS cs_est,
+           CAST(list_sort(list(est))[{_CS_DEPTH // 2 + 1}] - n_exact
+                AS BIGINT) AS err
+    FROM probes
+    GROUP BY user_id, n_exact
+    ORDER BY user_id
+    """
+
+
+@register(
+    "countsketch_user_freq",
+    oracle=_countsketch_oracle(),
+    description="Count-Sketch (Charikar/Chen/Farach-Colton, ICALP'02) "
+    "per-user event-frequency readout, depth 5 x width 256 over ONE "
+    "portable md5 (buckets from hex chars 1-10, Rademacher signs from "
+    "chars 11-15) — the UNBIASED frequency estimator that completes the "
+    "frequency-sketch triangle: CMS only ever OVERestimates (collision "
+    "mass adds), Misra-Gries only ever UNDERestimates (bounded "
+    "decrement), Count-Sketch's signed cells cancel collision mass in "
+    "expectation so its error is TWO-SIDED and centered (visible in the "
+    "signed err column; this corpus's 150 users in 256 buckets leave "
+    "~56% of rows collision-free per user, so the median-of-5 readout "
+    "is exact for most users and perturbed both ways for the rest).  "
+    "est(x) = median over rows of s_r(x) * C[r][b_r(x)], exact integer "
+    "arithmetic end-to-end (signed cells are integer sums, the median "
+    "of five integers is an integer — no float anywhere), so the oracle "
+    "pins the estimator cell-for-cell like the CMS/KMV/HLL families.  "
+    "Cells merge by elementwise ADDITION exactly like CMS — per-shard "
+    "sketches union at a coordinator.  Scale shape: the counter matrix "
+    "is <= 5 x 256 signed cells, map-side-combined per partition before "
+    "a tiny shuffle; the probe set is the bounded user dimension; the "
+    "exact branch is one keyed count carried for the oracle",
+    tags=("sketch", "frequency", "portable", "mergeable"),
+)
+def countsketch_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "events").select("user_id")
+    hashed = src.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                            F.expr(_cs_sign_sql("h", r)).alias("s"),
+                        )
+                        for r in range(_CS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b", "cell.s")
+        .groupBy("r", "b")
+        .agg(F.sum("s").cast("long").alias("c"))
+    )
+    ex = (
+        src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    )
+    probes = ex.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                        F.expr(_cs_sign_sql("h", r)).alias("s"),
+                    )
+                    for r in range(_CS_DEPTH)
+                ]
+            )
+        ).alias("probe"),
+    ).select("user_id", "n_exact", "probe.r", "probe.b", "probe.s")
+    ests = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .select(
+            "user_id", "n_exact", (F.col("s") * F.col("c")).alias("est")
+        )
+        .groupBy("user_id", "n_exact")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("est")), _CS_DEPTH // 2 + 1
+            )
+            .cast("long")
+            .alias("cs_est")
+        )
+    )
+    return ests.select(
+        "user_id",
+        "n_exact",
+        "cs_est",
+        (F.col("cs_est") - F.col("n_exact")).cast("long").alias("err"),
+    ).orderBy("user_id")
+
+
+def _countsketch_f2_oracle() -> str:
+    cell_branches = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cs_bucket_sql('h', r)} AS b,"
+        f" CAST(SUM({_cs_sign_sql('h', r)}) AS BIGINT) AS c"
+        " FROM hashed GROUP BY 1, 2"
+        for r in range(_CS_DEPTH)
+    )
+    return f"""
+    WITH src AS (SELECT user_id FROM events),
+    hashed AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM src),
+    cells AS ({cell_branches}),
+    rows_ AS (
+        SELECT r, CAST(SUM(c * c) AS BIGINT) AS f2_row
+        FROM cells GROUP BY r
+    ),
+    med AS (
+        SELECT CAST(list_sort(list(f2_row))[{_CS_DEPTH // 2 + 1}] AS BIGINT)
+                   AS est_f2
+        FROM rows_
+    ),
+    ex AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM src
+              GROUP BY user_id)
+    )
+    SELECT ex.n_keys, ex.exact_f2, med.est_f2,
+           ROUND(ABS(CAST(med.est_f2 AS DOUBLE) - ex.exact_f2)
+                 / ex.exact_f2, 4) AS rel_err
+    FROM ex CROSS JOIN med
+    """
+
+
+@register(
+    "countsketch_f2",
+    oracle=_countsketch_f2_oracle(),
+    description="AMS tug-of-war second frequency moment from the SAME "
+    "signed Count-Sketch cells as countsketch_user_freq: per row, the "
+    "sum of squared signed cells is an UNBIASED F2 estimator (Alon-"
+    "Matias-Szegedy, STOC'96 — the sign cancellation kills the cross "
+    "terms in expectation), and the median over the 5 rows tames the "
+    "variance — the unbiased counterpart to cms_selfjoin_size, whose "
+    "unsigned CMS inner product can only ever OVERestimate F2.  Exact "
+    "integer arithmetic end-to-end (signed cells are integer sums, "
+    "row sums of squares and their 5-element median are BIGINTs), so "
+    "the estimator shares an exact oracle; the true F2 and key count "
+    "ride alongside with the relative error.  Scale shape: ONE map-"
+    "side-combining pass to <= 5 x 256 signed cells, a <= 5-row median, "
+    "and one keyed count for the exact branch — the self-join-size "
+    "planner primitive at fixed width",
+    tags=("sketch", "frequency", "portable", "join-size"),
+)
+def countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "events").select("user_id")
+    hashed = src.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                            F.expr(_cs_sign_sql("h", r)).alias("s"),
+                        )
+                        for r in range(_CS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b", "cell.s")
+        .groupBy("r", "b")
+        .agg(F.sum("s").cast("long").alias("c"))
+    )
+    rows_ = cells.groupBy("r").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_row")
+    )
+    med = rows_.agg(
+        F.element_at(
+            F.sort_array(F.collect_list("f2_row")), _CS_DEPTH // 2 + 1
+        )
+        .cast("long")
+        .alias("est_f2")
+    )
+    ex = (
+        src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(med)).select(
+        "n_keys",
+        "exact_f2",
+        "est_f2",
+        F.round(
+            F.abs(F.col("est_f2").cast("double") - F.col("exact_f2"))
+            / F.col("exact_f2"),
+            4,
+        ).alias("rel_err"),
+    )
