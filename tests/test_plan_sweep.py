@@ -72,6 +72,15 @@ BNLJ_WHITELIST = {
     # pair cross over the 5-row distinct language dimension; all
     # downstream frames are k=64-row signatures.
     "kmv_set_difference",
+    # mg_heavy_hitters (round 15): the two crosses broadcast a 1-row
+    # threshold aggregate (the (k+1)-th largest count from a TakeOrdered
+    # top-33) and the 1-row stream total onto the per-item counts — the
+    # scalar-broadcast class.
+    "mg_heavy_hitters",
+    # countsketch_f2 (round 15): the single cross joins the 1-row exact
+    # F2 aggregate with the 1-row median-of-5-row-sums sketch estimate —
+    # two scalar frames, output is one row.
+    "countsketch_f2",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the
