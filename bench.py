@@ -321,6 +321,8 @@ HEADLINE = [
     "mg_heavy_hitters",
     "countsketch_user_freq",
     "countsketch_f2",
+    # round 15: dyadic-exact landmark-decay engagement counter
+    "time_decayed_engagement",
 ]
 
 

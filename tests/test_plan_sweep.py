@@ -81,6 +81,10 @@ BNLJ_WHITELIST = {
     # F2 aggregate with the 1-row median-of-5-row-sums sketch estimate —
     # two scalar frames, output is one row.
     "countsketch_f2",
+    # time_decayed_engagement (round 15): one cross broadcasts the 1-row
+    # anchor date (MAX event date) onto the stream before the keyed
+    # aggregate — the scalar-broadcast class.
+    "time_decayed_engagement",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the

@@ -272,6 +272,25 @@ COMMENT = {
     "pii_redaction_stats": "round 11: the PII scrub — chained regexp_replace "
     "(email -> phone -> ip) entirely inside whole-stage codegen, zero Python, "
     "one shuffle (the per-source aggregate); counts ride the same projection",
+    "jaccard_prefix_filter": "round 14/15: exact set-similarity join — "
+    "shingle distinct, df aggregate, per-doc rank window (keyed), the "
+    "prefix-entry equi-join now aggregated per pair to the FIRST shared "
+    "prefix token's positions for the PPJoin positional filter (round 15: "
+    "candidates 1,126 -> 32 at sf0.001), then the candidate-bounded "
+    "verification join; nothing all-pairs anywhere",
+    "events_hourly_kmv": "round 15: streaming-KMV batch readout — one keyed "
+    "aggregate to <= 64 MIN cells per hour (the streaming operator's own "
+    "plan), a per-hour readout over <= 64-row frames, one distinct "
+    "aggregate for the exact branch; state bound IS the plan shape",
+    "mg_heavy_hitters": "round 15: Misra-Gries summary — one hash aggregate "
+    "over the occurrence stream, TakeOrderedAndProject top-33 for the "
+    "threshold (no global sort), two 1-row broadcasts (threshold + total), "
+    "final filter+project; summary <= k rows",
+    "countsketch_user_freq": "round 15: signed Count-Sketch — explode to "
+    "5 (r,b,sign) cells per row, map-side-combining SUM to <= 1,280 signed "
+    "cells, broadcast cells onto the bounded user-dimension probes, "
+    "median-of-5 via sort_array on a per-user collect_list (keyed, "
+    "5 elements)",
 }
 
 

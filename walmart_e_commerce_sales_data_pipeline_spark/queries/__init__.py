@@ -42,15 +42,17 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-15 staleness histogram (registry at 180 after this round's four
+# Round-15 staleness histogram (registry at 181 after this round's five
 # additions — ``events_hourly_kmv``, the batch readout of the fifth and
 # final streaming sketch family twin; ``mg_heavy_hitters``, the
 # Misra-Gries deterministic heavy-hitter summary; and the signed
 # Count-Sketch pair ``countsketch_user_freq`` / ``countsketch_f2``,
-# the unbiased frequency and AMS-F2 estimators): 4 never-green, 26
+# the unbiased frequency and AMS-F2 estimators; plus
+# ``time_decayed_engagement``, the dyadic-exact landmark-decay
+# counter): 5 never-green, 26
 # last green externally in r10, 50 in r12, 50 in r13, 50 in r14.
 # The window, computed and staleness-asserted by tools/rotate_window.py,
-# is exactly the r14 VERDICT prescription: the four never-green queries,
+# is exactly the r14 VERDICT prescription: the five never-green queries,
 # then ALL twenty-six r10-stale ones (``shipping_priority_top10``,
 # ``large_quantity_orders``, ``above_average_orders``,
 # ``pivot_status_by_year``, ``price_percentiles``,
@@ -63,9 +65,9 @@ from . import (  # noqa: F401
 # ``dormant_customer_balance``, ``local_supplier_volume``,
 # ``customer_order_histogram``, ``set_operations_all``,
 # ``orders_rfm_segments``, ``quantize_embeddings``,
-# ``label_centroid_similarity``), then the 20 stalest r12-green queries
+# ``label_centroid_similarity``), then the 19 stalest r12-green queries
 # in prior registry order (projected staleness horizon after r15: worst
-# 3 rounds — scd2_user_state_history — inside the 5-round limit the tool
+# 3 rounds — cross_source_dup_matrix — inside the 5-round limit the tool
 # asserts).  Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -75,6 +77,7 @@ _PRIORITY = [
     "mg_heavy_hitters",
     "countsketch_user_freq",
     "countsketch_f2",
+    "time_decayed_engagement",
     "shipping_priority_top10",
     "large_quantity_orders",
     "above_average_orders",
@@ -120,7 +123,6 @@ _PRIORITY = [
     "dup_graph_degree_hist",
     "winsorized_price_stats",
     "ngram_distribution_profile",
-    "cross_source_dup_matrix",
 ]
 
 

@@ -777,3 +777,86 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- exponentially time-decayed engagement ----------------------------------
+
+# Half-life = 1 day over the feed's 30-day window: weight(event) =
+# 2^-(days before the newest event).  The dyadic base is the exactness
+# trick — the weighted term is cents << (30 - delta_days), a pure BIGINT,
+# so the whole decayed accumulator is exact integer arithmetic and the
+# single readout division by 2^30 is one deterministic conversion.
+_DECAY_SHIFT = 30
+
+
+@register(
+    "time_decayed_engagement",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    a AS (SELECT MAX(d) AS anchor FROM ev),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS raw_cents,
+               CAST(SUM(cents * (CAST(1 AS BIGINT)
+                    << ({_DECAY_SHIFT} - datediff('day', d, a.anchor))))
+                    AS BIGINT) AS acc
+        FROM ev, a GROUP BY user_id
+    )
+    SELECT user_id, n_events, raw_cents,
+           ROUND(CAST(acc AS DOUBLE)
+                 / CAST({1 << _DECAY_SHIFT} AS DOUBLE), 4)
+               AS decayed_cents
+    FROM g ORDER BY user_id
+    """,
+    description="per-user exponentially TIME-DECAYED engagement value "
+    "(half-life 1 day, landmark/backward decay anchored at the feed's "
+    "newest event date — the recency-weighted counter a ranking or "
+    "abuse system keeps instead of a lifetime sum; Cormode et al., "
+    "ICDE'09 'forward decay' is the same estimator reorganized for "
+    "moving anchors on unbounded streams).  Exactness: the decay base "
+    "is DYADIC, so each term is cents << (30 - age_days) — pure BIGINT, "
+    "order-independent, exact in both engines; the one float op is the "
+    "final readout division by 2^30.  Overflow headroom documented like "
+    "corr_matrix_lineitem's: the accumulator is PER USER, bounded by "
+    "user_events x max_cents x 2^30 < 2^56 even at 1,000x this feed "
+    "(only a global total would approach 2^63; shrink the shift or go "
+    "DECIMAL(38) there).  Distinct from events_time_weighted_value, "
+    "which weights by holding DURATION, not recency.  Scale shape: one "
+    "keyed aggregate behind a 1-row anchor broadcast; no window, no "
+    "second pass",
+    tags=("event-time", "agg", "decay", "exact-cents"),
+)
+def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+    )
+    anchor = ev.agg(F.max("d").alias("anchor"))
+    term = F.col("cents") * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_SHIFT} - datediff(anchor, d))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum(term).cast("long").alias("acc"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "raw_cents",
+            F.round(
+                F.col("acc").cast("double") / F.lit(float(1 << _DECAY_SHIFT)),
+                4,
+            ).alias("decayed_cents"),
+        )
+        .orderBy("user_id")
+    )
