@@ -150,102 +150,96 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-14 rotation policy (wave 2): the checked window is the 50
-    # queries with the oldest external evidence (computed by
+    # Round-15 rotation policy: the checked window is the 50 queries
+    # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Staleness histogram after the round-14 additions
-    # (seventeen new queries across four waves): never:17 / r9:9 /
-    # r10:50 / r12:50 / r13:50.  The window is the seventeen never-green
-    # round-14 queries, the nine r9-stale leftovers the r13 window could
-    # not fit, then the 24 stalest r10-green queries in prior registry
-    # order; twenty-six r10-green queries (shipping_priority_top10,
-    # large_quantity_orders, above_average_orders,
-    # pivot_status_by_year, price_percentiles, regex_math_functions,
-    # ship_delay_buckets, map_array_functions, join_right_outer,
-    # join_cross, exists_not_exists_combo, lateral_explode_embeddings,
-    # tfidf_top_terms, top_supplier_revenue, dormant_customer_balance,
-    # local_supplier_volume, customer_order_histogram,
-    # set_operations_all, orders_rfm_segments, quantize_embeddings,
-    # label_centroid_similarity, min_price_per_type,
-    # correlated_subquery_orders, grouping_sets_explicit,
-    # window_frames_suite, null_ordering) no longer fit and head the
-    # r15 window.
+    # horizon).  Staleness histogram after the round-15 additions (five
+    # new queries): never:5 / r10:26 / r12:50 / r13:50 / r14:50.  The
+    # window is the five never-green round-15 queries, ALL twenty-six
+    # r10-stale queries the r14 VERDICT item 2 prescribed, then the 19
+    # stalest r12-green queries in prior registry order.
     window = set(names[:50])
-    # The round-14 additions (never externally green) lead unconditionally,
-    # followed by the nine r9-stale queries named in VERDICT r13 task 1.
-    assert _PRIORITY[:26] == [
-        "events_hourly_bloom_returns",
-        "kmv_set_difference",
-        "events_hourly_hll",
-        "cms_selfjoin_size",
-        "events_daily_hll_rollup",
-        "events_sliding_hll",
-        "cms_join_size_estimate",
-        "multi_touch_attribution",
-        "revenue_theilsen_slope",
-        "similarity_inverted_index",
-        "cube_distinct_hll",
-        "pareto_frontier_parts",
-        "bootstrap_ci_revenue",
-        "incremental_rollup_maintenance",
-        "jaccard_prefix_filter",
-        "revenue_seasonality_regression",
-        "corr_matrix_lineitem",
-        "common_shingle_fraction",
-        "grouped_zscore_histogram",
-        "events_funnel",
-        "events_cohort_retention",
-        "mixture_sampling_plan",
-        "from_json_map",
-        "asof_join_latest_order",
-        "range_join_close_events",
-        "events_session_window",
+    # The round-15 additions (never externally green) lead
+    # unconditionally, followed by the twenty-six r10-stale queries.
+    assert _PRIORITY[:31] == [
+        "events_hourly_kmv",
+        "mg_heavy_hitters",
+        "countsketch_user_freq",
+        "countsketch_f2",
+        "time_decayed_engagement",
+        "shipping_priority_top10",
+        "large_quantity_orders",
+        "above_average_orders",
+        "pivot_status_by_year",
+        "price_percentiles",
+        "regex_math_functions",
+        "ship_delay_buckets",
+        "map_array_functions",
+        "join_right_outer",
+        "join_cross",
+        "null_ordering",
+        "window_frames_suite",
+        "grouping_sets_explicit",
+        "correlated_subquery_orders",
+        "min_price_per_type",
+        "exists_not_exists_combo",
+        "lateral_explode_embeddings",
+        "tfidf_top_terms",
+        "top_supplier_revenue",
+        "dormant_customer_balance",
+        "local_supplier_volume",
+        "customer_order_histogram",
+        "set_operations_all",
+        "orders_rfm_segments",
+        "quantize_embeddings",
+        "label_centroid_similarity",
     ]
-    # The 24 stalest r10-green queries follow, in prior registry order.
-    assert _PRIORITY[26:50] == [
-        "monthly_avg_value",
-        "events_hourly_window",
-        "events_sessionization",
-        "events_sliding_window",
-        "events_json_extract",
-        "user_event_paths",
-        "time_series_gap_fill",
-        "key_skew_profile",
-        "latest_record_compaction",
-        "events_dow_hour_heatmap",
-        "event_interarrival_profile",
-        "scalar_means",
-        "impute_group_avg",
-        "join_customer_orders",
-        "join_left_outer",
-        "join_semi",
-        "warc_curation_by_day",
-        "vocab_oov_rate",
-        "prefix_dup_groups",
-        "profile_documents",
-        "stratified_sample_stats",
-        "train_val_test_split",
-        "embedding_dim_profile",
-        "forecast_revenue",
+    # The 19 stalest r12-green queries follow, in prior registry order.
+    assert _PRIORITY[31:50] == [
+        "concurrent_sessions_profile",
+        "pricing_summary",
+        "join_anti",
+        "join_full_outer",
+        "regional_revenue",
+        "window_topk_orders",
+        "window_running_total",
+        "top10_expensive_items",
+        "set_operations",
+        "distinct_counts",
+        "rollup_customer_geo",
+        "cube_order_status",
+        "string_functions",
+        "kmv_sketch_union",
+        "sliding_chunk_windows",
+        "bigram_pmi",
+        "dup_graph_degree_hist",
+        "winsorized_price_stats",
+        "ngram_distribution_profile",
     ]
-    # Nothing green in rounds 12 or 13 re-occupies a window slot — the
+    # Nothing green in rounds 13 or 14 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
-    r12_r13_green_sample = {
-        "dup_cluster_size_dist_star", "merge_upsert_orders",
-        "concurrent_sessions_profile", "mad_outlier_rate",
-        "pii_redaction_stats", "hll_distinct_sketch",
-        "weighted_sample_aes", "join_anti", "join_full_outer",
-        "kmv_sketch_union", "scd2_user_state_history",
-        "pricing_summary", "regional_revenue", "string_functions",
+    r13_r14_green_sample = {
+        "events_hourly_bloom_returns", "kmv_set_difference",
+        "events_hourly_hll", "cms_selfjoin_size",
+        "events_daily_hll_rollup", "events_sliding_hll",
+        "cms_join_size_estimate", "multi_touch_attribution",
+        "revenue_theilsen_slope", "similarity_inverted_index",
+        "cube_distinct_hll", "pareto_frontier_parts",
+        "bootstrap_ci_revenue", "incremental_rollup_maintenance",
+        "jaccard_prefix_filter", "revenue_seasonality_regression",
+        "corr_matrix_lineitem", "common_shingle_fraction",
+        "grouped_zscore_histogram", "events_funnel",
+        "events_cohort_retention", "mixture_sampling_plan",
+        "from_json_map", "asof_join_latest_order",
+        "range_join_close_events", "events_session_window",
         "substring_dup_coverage", "retrieve_rerank_topk",
         "dup_graph_pagerank", "cms_heavy_hitters",
         "histogram_quantile_sketch", "kmv_jaccard_langs",
         "events_hourly_cms", "embedding_top_pc", "bloom_semijoin_stats",
-        "events_hourly_value_quantiles", "date_functions", "agg_suite",
-        "dedup_exact", "dedup_minhash_lsh", "text_stats",
-        "vocab_top_ngrams", "events_hourly_anomaly",
+        "events_hourly_value_quantiles", "dedup_exact",
+        "dedup_minhash_lsh", "vocab_top_ngrams", "events_hourly_anomaly",
     }
-    assert not (r12_r13_green_sample & window)
+    assert not (r13_r14_green_sample & window)
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
 
