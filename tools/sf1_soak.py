@@ -209,6 +209,20 @@ HEAVY = [
     # 1-row frame — shuffle must be flat, wall must track the scan).
     "revenue_seasonality_regression",
     "corr_matrix_lineitem",
+    # round 15: the streaming-KMV batch readout (10x events but replica-
+    # disjoint user key spaces, so per-hour register domains and the
+    # linear-counting branch shape hold; the aggregate's key domain is
+    # (hour, bucket) — bounded), the Misra-Gries summary (10x occurrence
+    # stream, threshold scales with N, summary stays <= k rows), the
+    # signed Count-Sketch pair (cells stay <= 5 x 256 however many
+    # events; probe dimension is the 10x user set), and the decayed
+    # engagement counter (one keyed aggregate behind a 1-row broadcast —
+    # wall must track the scan, shuffle must track the user dimension).
+    "events_hourly_kmv",
+    "mg_heavy_hitters",
+    "countsketch_user_freq",
+    "countsketch_f2",
+    "time_decayed_engagement",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
