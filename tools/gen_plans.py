@@ -272,6 +272,15 @@ COMMENT = {
     "pii_redaction_stats": "round 11: the PII scrub — chained regexp_replace "
     "(email -> phone -> ip) entirely inside whole-stage codegen, zero Python, "
     "one shuffle (the per-source aggregate); counts ride the same projection",
+    "multi_touch_attribution": 'round 14 wave 2: exact penny-allocation attribution — one user-keyed equi-join (24 h range predicate rides as the join filter, no time cross-join), one purchase-partitioned rank window, user-keyed aggregates; every shuffle keyed on user or purchase id',
+    "revenue_theilsen_slope": 'round 14 wave 2: Theil-Sen — the fact scan collapses to the calendar-bounded monthly rollup BEFORE the pairwise self-join, so the explosion is C(n_months,2) per nation; both windows nation-partitioned; the median is rank-selected, no quantile builtin',
+    "similarity_inverted_index": 'round 14 wave 2: sparse posting-list ANN — per-vector top-8 sparsification windows partition by vec id; candidate generation is a dim equi-join + hash aggregate (SortMergeJoin/shuffled hash on dim — the posting-list intersection), never an all-pairs nested loop; top-k per probe is a rank window above the pair aggregate',
+    "cube_distinct_hll": 'round 14 wave 2: the only corpus-sized stage is the fine-grain register HashAggregate (key domain types x 7 x 256); the Expand for grouping sets runs over register-table-sized frames on both the sketch and the exact branch',
+    "pareto_frontier_parts": 'round 14 wave 2: linear skyline — bucket-partitioned running max (RANGE frame to -1 on integer cents), equal-price groupBy, and ONE domain-bounded unpartitioned window over the <= ~1,201-row $1-bucket summary (whitelisted in test_plan_sweep.py); the quadratic NOT-EXISTS lives only in the oracle',
+    "bootstrap_ci_revenue": 'round 14 wave 3: Poisson bootstrap — the x32 replicate fan-out is a map-side explode (no resampling shuffle); one (nation, replicate)-keyed aggregate carrying two BIGINTs per group, then a nation-partitioned rank window over 32 rows per nation; the multiplicity ladder is a pure integer CASE inside codegen',
+    "incremental_rollup_maintenance": 'round 14 wave 3: retraction-stream IVM — one delta-sized signed aggregate + one rollup-sized full-outer merge; every frame past the first aggregates is calendar-bounded (~84 month rows), so per-batch cost is O(delta) regardless of base history',
+    "revenue_seasonality_regression": 'round 14 wave 4: Cramer-solved two-regressor OLS — the same two stacked hash aggregates as revenue_trend_slope (monthly rollup, then per-nation sufficient statistics); the 3x3 determinants are pure projection arithmetic over the nation-sized stats frame',
+    "corr_matrix_lineitem": 'round 14 wave 4: one map-side-combining aggregate to a 1-row frame (15 cells: BIGINT sums + DECIMAL(38,0) squared/cross sums — the sf1 soak caught BIGINT overflowing at sf0.1); the 6-row matrix explodes from that single row, no second scan',
     "jaccard_prefix_filter": "round 14/15: exact set-similarity join — "
     "shingle distinct, df aggregate, per-doc rank window (keyed), the "
     "prefix-entry equi-join now aggregated per pair to the FIRST shared "
