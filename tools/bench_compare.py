@@ -53,6 +53,23 @@ def main() -> None:
 
     mo, mn = old.get("runtime_metrics", {}), new.get("runtime_metrics", {})
     common = sorted(set(old["queries"]) & set(new["queries"]))
+    # Per-query trust (round 15): sidecars now carry query_trusted from
+    # the interleaved single-thread probes.  A wall taken inside a noisy
+    # probe segment says nothing about the code, so cross-round ratios
+    # only use queries trusted in BOTH rounds; sidecars predating the
+    # field treat every query as trusted (vacuously, as before).
+    qt_old = old.get("query_trusted") or {}
+    qt_new = new.get("query_trusted") or {}
+    untrusted = sorted(
+        n for n in common
+        if qt_old.get(n, True) is False or qt_new.get(n, True) is False
+    )
+    if untrusted:
+        print(
+            f"excluding {len(untrusted)} queries whose wall is probe-"
+            f"untrusted in either round: {', '.join(untrusted)}"
+        )
+        common = [n for n in common if n not in untrusted]
     flagged, drifted = [], []
     for name in common:
         a, b = old["queries"][name], new["queries"][name]
