@@ -172,17 +172,15 @@ def test_end_calibration_uses_min_not_mean():
 def test_per_query_trust_brackets_each_segment():
     """VERDICT r14 item 1: a query's wall is trusted only when BOTH
     interleaved probes bracketing its 10-query segment cleared the
-    single-thread gate — a mid-sweep wave marks exactly the queries it
-    straddled, not the whole run and not nothing."""
+    gates — a mid-sweep wave marks exactly the queries it straddled,
+    not the whole run and not nothing."""
     from bench import per_query_trusted
 
     names = [f"q{i}" for i in range(25)]  # 3 segments of 10/10/5
-    # the probe BETWEEN segments 1 and 2 spikes: it brackets both, so
+    # the probe BETWEEN segments 1 and 2 fails: it brackets both, so
     # queries 10-24 lose trust while segment 0 (queries 0-9, bracketed
     # by the two quiet probes) keeps it
-    got = per_query_trusted(
-        names, [0.28, 0.30, 0.95, 0.29], every_n=10, st_gate=0.40
-    )
+    got = per_query_trusted(names, [True, True, False, True], every_n=10)
     assert all(got[f"q{i}"] is True for i in range(10))
     assert all(got[f"q{i}"] is False for i in range(10, 25))
 
@@ -191,9 +189,9 @@ def test_per_query_trust_all_quiet_and_all_loaded():
     from bench import per_query_trusted
 
     names = [f"q{i}" for i in range(12)]
-    quiet = per_query_trusted(names, [0.30, 0.29, 0.31], every_n=10, st_gate=0.40)
+    quiet = per_query_trusted(names, [True, True, True], every_n=10)
     assert all(quiet.values()) and len(quiet) == 12
-    loaded = per_query_trusted(names, [0.90, 0.85, 0.88], every_n=10, st_gate=0.40)
+    loaded = per_query_trusted(names, [False, False, False], every_n=10)
     assert not any(loaded.values())
 
 
@@ -205,7 +203,26 @@ def test_per_query_trust_requires_enough_probes():
     from bench import per_query_trusted
 
     with pytest.raises(AssertionError):
-        per_query_trusted([f"q{i}" for i in range(25)], [0.3, 0.3], every_n=10)
+        per_query_trusted([f"q{i}" for i in range(25)], [True, True], every_n=10)
+
+
+def test_probe_verdict_requires_both_signals():
+    """The first dual-gated r15 run: a parallel-throughput wave inflated
+    32-thread queries 3-6x while the single-thread probe stayed inside
+    its 0.40 gate (0.334/0.356) — the parallel signal (gate 0.33) read
+    over at that moment.  Each probe therefore takes BOTH signals, same
+    gate values as the endpoints; either signal over its gate fails the
+    probe.  Mirrors bench.main's _probe composition."""
+    from bench import CAL_GATE_SEC, CAL_ST_GATE_SEC
+
+    def verdict(par_min, st_min):
+        return par_min <= CAL_GATE_SEC and st_min <= CAL_ST_GATE_SEC
+
+    assert verdict(0.29, 0.30) is True
+    # the measured r15 wave shape: serial inside its gate, parallel over
+    assert verdict(0.334, 0.356) is False
+    assert verdict(0.30, 0.55) is False
+    assert verdict(0.55, 0.30) is False
 
 
 def test_run_level_flag_requires_all_probes_quiet():
