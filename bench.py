@@ -78,7 +78,15 @@ END_CAL_RUNS = int(os.environ.get("SPARK_GRAFT_END_CAL_RUNS", "5"))
 # 3-6x with byte-identical shuffle; the parallel signal read over its
 # 0.33 gate at that moment and would have flagged the segment).
 PROBE_EVERY_N = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "10"))
-PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+# min-of-3 per probe signal — the SAME sample count the start calibration
+# uses (and the repo's standing min-of-N-never-mean rule): the second r15
+# run showed min-of-2 parallel probes over-refusing on a host whose quiet
+# parallel calibration now hovers near the gate (10/14 probes failed at
+# mins 0.29-0.59 while the min-of-5 endpoints passed and every query wall
+# matched the judge's own idle re-timings) — one extra sample per probe
+# distinguishes jitter from a genuine wave without touching either gate
+# value.
+PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
 
 
 def per_query_trusted(
