@@ -337,6 +337,13 @@ HEADLINE = [
     "countsketch_f2",
     # round 15: dyadic-exact landmark-decay engagement counter
     "time_decayed_engagement",
+    # round 15 wave 2: the forward-decay (streaming-maintainable) readout,
+    # the signed AMS two-relation join-size estimator, DLT priority
+    # sampling with its HT subset-sum estimator, and the Benford screen
+    "events_forward_decay",
+    "countsketch_join_size",
+    "priority_sample_subsetsum",
+    "benford_digit_profile",
 ]
 
 

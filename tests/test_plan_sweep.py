@@ -85,6 +85,26 @@ BNLJ_WHITELIST = {
     # anchor date (MAX event date) onto the stream before the keyed
     # aggregate — the scalar-broadcast class.
     "time_decayed_engagement",
+    # countsketch_join_size (round 15): same 1-row output-assembly
+    # crosses as cms_join_size_estimate — two relation counts, the exact
+    # join count, and the 1-row median-of-5 estimate; the data path is
+    # two bounded signed-sketch aggregates, their 1,280-row estimator
+    # equi-join, and one exact hash equi-join.
+    "countsketch_join_size",
+    # events_forward_decay (round 15): one cross broadcasts the 1-row
+    # anchor (days since the landmark) onto the per-user merged cells —
+    # the scalar-broadcast class, same shape as time_decayed_engagement.
+    "events_forward_decay",
+    # priority_sample_subsetsum (round 15): three crosses broadcast the
+    # 1-row tau threshold (from a TakeOrdered top-65), the 1-row HT
+    # estimate over the 64-row sample, and the 1-row exact total onto
+    # the 64-row sample frame — every nested-loop side is a scalar or
+    # the k=64-row sample, never orders rows.
+    "priority_sample_subsetsum",
+    # benford_digit_profile (round 15): one cross broadcasts the 1-row
+    # grand total onto the 9-row digit dimension — scalar-broadcast onto
+    # a fixed dimension grid (the join_cross class).
+    "benford_digit_profile",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the

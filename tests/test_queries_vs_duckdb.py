@@ -153,20 +153,24 @@ def test_checked_window_composition():
     # Round-15 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Staleness histogram after the round-15 additions (five
-    # new queries): never:5 / r10:26 / r12:50 / r13:50 / r14:50.  The
-    # window is the five never-green round-15 queries, ALL twenty-six
-    # r10-stale queries the r14 VERDICT item 2 prescribed, then the 19
+    # horizon).  Staleness histogram after the round-15 additions (nine
+    # new queries): never:9 / r10:26 / r12:50 / r13:50 / r14:50.  The
+    # window is the nine never-green round-15 queries, ALL twenty-six
+    # r10-stale queries the r14 VERDICT item 2 prescribed, then the 15
     # stalest r12-green queries in prior registry order.
     window = set(names[:50])
     # The round-15 additions (never externally green) lead
     # unconditionally, followed by the twenty-six r10-stale queries.
-    assert _PRIORITY[:31] == [
+    assert _PRIORITY[:35] == [
         "events_hourly_kmv",
         "mg_heavy_hitters",
         "countsketch_user_freq",
         "countsketch_f2",
         "time_decayed_engagement",
+        "events_forward_decay",
+        "benford_digit_profile",
+        "priority_sample_subsetsum",
+        "countsketch_join_size",
         "shipping_priority_top10",
         "large_quantity_orders",
         "above_average_orders",
@@ -194,8 +198,8 @@ def test_checked_window_composition():
         "quantize_embeddings",
         "label_centroid_similarity",
     ]
-    # The 19 stalest r12-green queries follow, in prior registry order.
-    assert _PRIORITY[31:50] == [
+    # The 15 stalest r12-green queries follow, in prior registry order.
+    assert _PRIORITY[35:50] == [
         "concurrent_sessions_profile",
         "pricing_summary",
         "join_anti",
@@ -211,10 +215,6 @@ def test_checked_window_composition():
         "string_functions",
         "kmv_sketch_union",
         "sliding_chunk_windows",
-        "bigram_pmi",
-        "dup_graph_degree_hist",
-        "winsorized_price_stats",
-        "ngram_distribution_profile",
     ]
     # Nothing green in rounds 13 or 14 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

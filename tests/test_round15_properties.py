@@ -135,3 +135,178 @@ def test_mg_spark_merge_matches_per_shard_compress(spark):
     for x, c in truth.items():
         if c * (_MG_K + 1) > n:
             assert x in merged
+
+
+# --- priority sampling (Duffield-Lund-Thorup) laws ---------------------------
+#
+# Pure-python mirror of priority_sample_subsetsum's construction: the SAME
+# portable md5 uniform (first 8 hex chars of md5(str(key))) and the same
+# priority q = w * 2^32 / (h + 1), so the properties proven here are
+# properties of the registered query's arithmetic, not of a lookalike.
+
+import hashlib
+
+
+def _pri(key: str, w: int, salt: str = "") -> float:
+    h = int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+    return float(w) * 4294967296.0 / (h + 1)
+
+
+def _dlt_estimate(items: list[tuple[str, int]], k: int, salt: str = "") -> float:
+    ordered = sorted(
+        items, key=lambda kw: (-_pri(kw[0], kw[1], salt), kw[0])
+    )
+    tau = _pri(*ordered[k], salt) if len(ordered) > k else 0.0
+    return sum(max(float(w), tau) for _key, w in ordered[:k])
+
+
+@FAST
+@given(
+    st.dictionaries(
+        st.integers(0, 10**6), st.integers(1, 10**6), min_size=1, max_size=40
+    ),
+    st.integers(1, 50),
+)
+def test_dlt_exact_when_sample_covers_population(weights, k):
+    """DLT Thm: with k >= n every item is sampled, tau = 0, and the HT
+    estimate degenerates to the EXACT subset sum — the boundary the
+    registered query's CASE WHEN COUNT(*) = k+1 branch implements."""
+    items = [(str(key), w) for key, w in weights.items()]
+    if k >= len(items):
+        assert _dlt_estimate(items, k) == float(sum(weights.values()))
+
+
+@FAST
+@given(
+    st.dictionaries(
+        st.integers(0, 10**6),
+        st.integers(1, 10**6),
+        min_size=10,
+        max_size=60,
+    ),
+)
+def test_dlt_ht_weights_dominate_and_heavy_items_always_kept(weights):
+    """For ANY weight assignment: every HT weight >= the item's true
+    weight (max(w, tau) >= w), the estimate is positive, and an item
+    whose weight exceeds every other item's priority is ALWAYS in the
+    sample (w >= q_j for all j means q_i = w/u_i >= w >= tau) — the
+    weight-sensitivity that makes priority sampling beat uniform
+    sampling on heavy-tailed revenue."""
+    k = 5
+    items = [(str(key), w) for key, w in weights.items()]
+    ordered = sorted(items, key=lambda kw: (-_pri(kw[0], kw[1]), kw[0]))
+    tau = _pri(*ordered[k]) if len(ordered) > k else 0.0
+    kept = ordered[:k]
+    for key, w in kept:
+        assert max(float(w), tau) >= w
+    heavy = [
+        (key, w)
+        for key, w in items
+        if all(w >= _pri(k2, w2) for k2, w2 in items if k2 != key)
+    ]
+    kept_keys = {key for key, _w in kept}
+    for key, _w in heavy:
+        assert key in kept_keys
+
+
+def test_dlt_unbiased_over_salted_replications():
+    """E[estimate] == true total (DLT Thm 1), checked statistically like
+    test_splits.py's A-ES proportionality: 400 salted hash replications
+    of a fixed heavy-tailed population, sample k=8 of 40 — the mean
+    estimate must land within 3 standard errors of the truth."""
+    import statistics
+
+    population = [(f"item{i}", (i % 7 + 1) ** 4 + i) for i in range(40)]
+    truth = float(sum(w for _k, w in population))
+    ests = [
+        _dlt_estimate(population, 8, salt=f"rep{r}") for r in range(400)
+    ]
+    mean = statistics.fmean(ests)
+    se = statistics.stdev(ests) / 20.0
+    assert abs(mean - truth) <= 3.0 * se, (mean, truth, se)
+
+
+# --- Count-Sketch two-relation join-size laws --------------------------------
+
+
+def _cs_geometry(key: str) -> list[tuple[int, int, int]]:
+    """(row, bucket, sign) triples exactly as the registered queries derive
+    them from one md5: buckets from hex chars 1-10, signs from 11-15."""
+    h = hashlib.md5(key.encode()).hexdigest()
+    out = []
+    for r in range(5):
+        b = int(h[2 * r : 2 * r + 2], 16)
+        s = 1 - 2 * (int(h[10 + r], 16) % 2)
+        out.append((r, b, s))
+    return out
+
+
+def _cs_cells(stream: list[str]) -> dict[tuple[int, int], int]:
+    cells: dict[tuple[int, int], int] = {}
+    for key in stream:
+        for r, b, s in _cs_geometry(key):
+            cells[(r, b)] = cells.get((r, b), 0) + s
+    return cells
+
+
+def _cs_join_est(
+    cv: dict[tuple[int, int], int], cp: dict[tuple[int, int], int]
+) -> int:
+    rows = []
+    for r in range(5):
+        rows.append(
+            sum(
+                c * cp.get((rr, b), 0)
+                for (rr, b), c in cv.items()
+                if rr == r
+            )
+        )
+    return sorted(rows)[2]
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=120),
+    st.lists(st.integers(0, 20), min_size=1, max_size=120),
+    st.lists(st.integers(0, 20), max_size=60),
+)
+def test_countsketch_join_size_merge_law_for_any_shard_split(s1, s2, s3):
+    """Cells built per shard and merged by ADDITION give the identical
+    join-size estimate as cells built over the whole relation — the
+    mergeability that lets a 1000-executor fleet sketch each relation
+    shard-locally and estimate |R JOIN S| at a coordinator from 2x5x256
+    integers."""
+    r_stream = [str(x) for x in s1]
+    s_stream = [str(x) for x in s2 + s3]
+    whole = _cs_cells(s_stream)
+    sharded = _cs_cells([str(x) for x in s2])
+    for cell, c in _cs_cells([str(x) for x in s3]).items():
+        sharded[cell] = sharded.get(cell, 0) + c
+    sharded = {cell: c for cell, c in sharded.items() if c != 0}
+    whole = {cell: c for cell, c in whole.items() if c != 0}
+    assert sharded == whole
+    cv = _cs_cells(r_stream)
+    assert _cs_join_est(cv, sharded) == _cs_join_est(cv, whole)
+
+
+@FAST
+@given(st.data())
+def test_countsketch_join_size_exact_when_collision_free(data):
+    """When every key occupies its own bucket in EVERY depth row (no
+    collisions), the signed inner product recovers |R JOIN S| EXACTLY in
+    every row — signs square to +1 on matching keys — so the median does
+    too: the estimator's error comes from collisions alone."""
+    keys = data.draw(
+        st.lists(st.integers(0, 10**6), min_size=1, max_size=8, unique=True)
+    )
+    per_row_buckets = [
+        [_cs_geometry(str(k))[r][1] for k in keys] for r in range(5)
+    ]
+    if any(len(set(bs)) != len(bs) for bs in per_row_buckets):
+        return  # collision present: the exactness premise doesn't hold
+    fv = {str(k): data.draw(st.integers(0, 5)) for k in keys}
+    fp = {str(k): data.draw(st.integers(0, 5)) for k in keys}
+    r_stream = [k for k, f in fv.items() for _ in range(f)]
+    s_stream = [k for k, f in fp.items() for _ in range(f)]
+    exact = sum(fv[k] * fp[k] for k in fv)
+    assert _cs_join_est(_cs_cells(r_stream), _cs_cells(s_stream)) == exact

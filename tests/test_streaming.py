@@ -864,3 +864,79 @@ def test_keyed_upsert_sink_crash_recovery_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert got[2] == (300, "c")
+
+
+def test_streaming_forward_decay_equals_batch_merges_and_matches_backward(
+    spark, events_batch
+):
+    """The forward-decay accumulator (Cormode ICDE'09) must emit identical
+    hourly cells from stream and batch, bound per-hour state by the active
+    user dimension, merge across hours by plain ADDITION into the per-user
+    total, and — the algebraic heart — relate to the backward/landmark
+    accumulator of time_decayed_engagement by the EXACT BIGINT identity
+    acc_fw << (SHIFT - days(anchor - L)) == acc_bw, because
+    cents << (d - L) << (SHIFT - (anchor - L)) == cents << (SHIFT - (anchor - d))
+    term by term (all integers; no float enters either side)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
+        _DECAY_SHIFT,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        FWD_DECAY_LANDMARK,
+        hourly_user_forward_decay,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["user_id"]): (r["n_events"], r["acc_fw"])
+        for r in hourly_user_forward_decay(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_forward_decay(stream), "fwd_decay_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"]): (r["n_events"], r["acc_fw"])
+        for r in spark.sql("SELECT * FROM fwd_decay_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    # State bound: per hour, at most one row per active user (15 at sf0.001).
+    n_users = events_batch.select("user_id").distinct().count()
+    per_hour: dict[str, int] = {}
+    for (w, _u) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= n_users for v in per_hour.values())
+    # Additive merge law + the forward<->backward shift identity against an
+    # independent per-user recomputation of the BACKWARD accumulator.
+    merged: dict[int, int] = {}
+    for (_w, u), (_n, acc) in got.items():
+        merged[u] = merged.get(u, 0) + acc
+    row = events_batch.agg(
+        F.max(F.to_date("ts")).alias("d"),
+        F.datediff(
+            F.max(F.to_date("ts")), F.lit(FWD_DECAY_LANDMARK).cast("date")
+        ).alias("a"),
+    ).collect()[0]
+    anchor_days, anchor_date = row["a"], row["d"]
+    backward = {
+        r["user_id"]: r["acc_bw"]
+        for r in events_batch.select(
+            "user_id",
+            (
+                F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_DECAY_SHIFT} "
+                    f"- datediff(DATE'{anchor_date}', CAST(ts AS DATE)))"
+                )
+            ).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("term").cast("long").alias("acc_bw"))
+        .collect()
+    }
+    assert set(merged) == set(backward)
+    shift = _DECAY_SHIFT - anchor_days
+    assert shift >= 0
+    for u, acc in merged.items():
+        assert acc << shift == backward[u], u

@@ -42,21 +42,25 @@ from . import (  # noqa: F401
 # staleness horizon: no query may project past 5 rounds without external
 # evidence under the proposed window).
 #
-# Round-15 staleness histogram (registry at 181 after this round's five
-# additions — ``events_hourly_kmv``, the batch readout of the fifth and
-# final streaming sketch family twin; ``mg_heavy_hitters``, the
-# Misra-Gries deterministic heavy-hitter summary; and the signed
-# Count-Sketch pair ``countsketch_user_freq`` / ``countsketch_f2``,
-# the unbiased frequency and AMS-F2 estimators; plus
-# ``time_decayed_engagement``, the dyadic-exact landmark-decay
-# counter): 5 never-green, 26
-# last green externally in r10, 50 in r12, 50 in r13, 50 in r14.
-# The window, computed and staleness-asserted by tools/rotate_window.py,
-# is exactly the r14 VERDICT prescription: the five never-green queries,
-# then ALL twenty-six r10-stale ones (``shipping_priority_top10``,
-# ``large_quantity_orders``, ``above_average_orders``,
-# ``pivot_status_by_year``, ``price_percentiles``,
-# ``regex_math_functions``, ``ship_delay_buckets``,
+# Round-15 staleness histogram (registry at 185 after this round's nine
+# additions — wave 1: ``events_hourly_kmv``, the batch readout of the
+# fifth and final streaming sketch family twin; ``mg_heavy_hitters``,
+# the Misra-Gries deterministic heavy-hitter summary; the signed
+# Count-Sketch pair ``countsketch_user_freq`` / ``countsketch_f2``;
+# and ``time_decayed_engagement``, the dyadic-exact landmark-decay
+# counter.  Wave 2: ``events_forward_decay``, the streaming-maintainable
+# forward-decay reorganization of that counter; ``countsketch_join_size``,
+# the unbiased AMS two-relation join-size estimator;
+# ``priority_sample_subsetsum``, the Duffield-Lund-Thorup weight-
+# sensitive sample with its Horvitz-Thompson subset-sum estimator; and
+# ``benford_digit_profile``, the first-digit forensic screen):
+# 9 never-green, 26 last green externally in r10, 50 in r12, 50 in r13,
+# 50 in r14.  The window, computed and staleness-asserted by
+# tools/rotate_window.py, extends the r14 VERDICT prescription: the nine
+# never-green queries, then ALL twenty-six r10-stale ones
+# (``shipping_priority_top10``, ``large_quantity_orders``,
+# ``above_average_orders``, ``pivot_status_by_year``,
+# ``price_percentiles``, ``regex_math_functions``, ``ship_delay_buckets``,
 # ``map_array_functions``, ``join_right_outer``, ``join_cross``,
 # ``null_ordering``, ``window_frames_suite``, ``grouping_sets_explicit``,
 # ``correlated_subquery_orders``, ``min_price_per_type``,
@@ -65,10 +69,10 @@ from . import (  # noqa: F401
 # ``dormant_customer_balance``, ``local_supplier_volume``,
 # ``customer_order_histogram``, ``set_operations_all``,
 # ``orders_rfm_segments``, ``quantize_embeddings``,
-# ``label_centroid_similarity``), then the 19 stalest r12-green queries
+# ``label_centroid_similarity``), then the 15 stalest r12-green queries
 # in prior registry order (projected staleness horizon after r15: worst
-# 3 rounds — cross_source_dup_matrix — inside the 5-round limit the tool
-# asserts).  Every tail query is re-proven by the local DuckDB mirror
+# 3 rounds — bigram_pmi — inside the 5-round limit the tool asserts).
+# Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
 # ---------------------------------------------------------------------------
@@ -78,6 +82,10 @@ _PRIORITY = [
     "countsketch_user_freq",
     "countsketch_f2",
     "time_decayed_engagement",
+    "events_forward_decay",
+    "benford_digit_profile",
+    "priority_sample_subsetsum",
+    "countsketch_join_size",
     "shipping_priority_top10",
     "large_quantity_orders",
     "above_average_orders",
@@ -119,10 +127,6 @@ _PRIORITY = [
     "string_functions",
     "kmv_sketch_union",
     "sliding_chunk_windows",
-    "bigram_pmi",
-    "dup_graph_degree_hist",
-    "winsorized_price_stats",
-    "ngram_distribution_profile",
 ]
 
 

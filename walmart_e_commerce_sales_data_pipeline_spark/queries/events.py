@@ -860,3 +860,93 @@ def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- forward-decay engagement: the streaming-maintainable organization ------
+
+
+@register(
+    "events_forward_decay",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    a AS (
+        SELECT datediff('day', DATE '2024-01-01', MAX(d)) AS anchor_days
+        FROM ev
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents * (CAST(1 AS BIGINT)
+                    << datediff('day', DATE '2024-01-01', d)))
+                    AS BIGINT) AS acc_fw
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_events, acc_fw,
+           CAST(a.anchor_days AS BIGINT) AS anchor_days,
+           ROUND(CAST(acc_fw AS DOUBLE)
+                 / CAST(CAST(1 AS BIGINT) << a.anchor_days AS DOUBLE), 4)
+               AS decayed_cents
+    FROM g, a ORDER BY user_id
+    """,
+    description="per-user exponentially time-decayed engagement in the "
+    "FORWARD-decay organization (Cormode et al., ICDE'09): each event "
+    "contributes cents << days(event - LANDMARK) — a weight fixed at "
+    "ingest that never depends on 'now' — so the accumulator is an "
+    "add-only exact BIGINT a STREAM can maintain without re-weighting "
+    "history, and moving the readout time only rescales the one divisor "
+    "2^days(anchor - landmark).  Same decayed value as "
+    "time_decayed_engagement (the backward/landmark form; the exact "
+    "BIGINT identity acc_fw << (SHIFT - anchor_days) == backward acc is "
+    "pinned in tests/test_streaming.py) — what changes is WHERE the "
+    "rescaling lives, which is what makes this the production form: the "
+    "streaming twin streaming.events.hourly_user_forward_decay emits "
+    "hourly (user, acc_fw) cells that merge downstream by plain "
+    "addition, exactly like the five sketch families' registers.  This "
+    "query is its oracle-checked batch readout: the registered plan "
+    "builds the SAME hourly cells (one logical plan, batch source), "
+    "merges them per user by SUM, and divides once at the anchor.  "
+    "Overflow trade documented on the streaming twin (advance the "
+    "landmark and right-shift cells — exact, integers).  Scale shape: "
+    "two keyed aggregates (hour cells, then user merge) behind a 1-row "
+    "anchor broadcast; no window function, no second scan of raw events",
+    tags=("event-time", "streaming-twin", "decay", "exact-cents"),
+)
+def events_forward_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        FWD_DECAY_LANDMARK,
+        hourly_user_forward_decay,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cells = hourly_user_forward_decay(ev)
+    anchor = ev.agg(
+        F.datediff(F.max(F.to_date("ts")), F.lit(FWD_DECAY_LANDMARK).cast("date"))
+        .cast("long")
+        .alias("anchor_days")
+    )
+    merged = cells.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("acc_fw").cast("long").alias("acc_fw"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "n_events",
+            "acc_fw",
+            "anchor_days",
+            F.round(
+                F.col("acc_fw").cast("double")
+                / F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(anchor_days AS INT)) AS DOUBLE)"
+                ),
+                4,
+            ).alias("decayed_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -473,3 +473,144 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_x", "col_y")
     )
+
+
+# --- priority sampling: the subset-sum estimator ------------------------------
+
+# k = 64 sampled orders; 8 hex chars = 32 hash bits, so the exact-rational
+# tie compare w_i * (h_j + 1) vs w_j * (h_i + 1) stays inside BIGINT
+# (w < 2^26 cents, h + 1 <= 2^32 -> products < 2^58) — though the engines
+# never need it: the double priority below is bit-identical on both sides.
+_PRI_K = 64
+_PRI_HASH_SCALE = float(1 << 32)
+
+
+def _priority_sample_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    h = portable_hex_value_sql("o_orderkey", 8, "VARCHAR")
+    return f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS w_cents,
+               CAST(w_cents AS DOUBLE) * {_PRI_HASH_SCALE!r}
+                   / (({h}) + 1) AS pri
+        FROM orders
+    ),
+    top AS (
+        SELECT * FROM keyed
+        ORDER BY pri DESC, o_orderkey LIMIT {_PRI_K + 1}
+    ),
+    tau AS (
+        SELECT CASE WHEN COUNT(*) = {_PRI_K + 1} THEN MIN(pri)
+               ELSE 0.0 END AS t
+        FROM top
+    ),
+    samp AS (
+        SELECT * FROM top ORDER BY pri DESC, o_orderkey LIMIT {_PRI_K}
+    ),
+    ht AS (
+        SELECT s.o_orderkey, s.w_cents,
+               CAST(ROUND(GREATEST(CAST(s.w_cents AS DOUBLE), tau.t))
+                    AS BIGINT) AS ht_cents,
+               ROUND(tau.t, 4) AS tau_r
+        FROM samp s, tau
+    ),
+    est AS (SELECT CAST(SUM(ht_cents) AS BIGINT) AS est_total_cents FROM ht),
+    ex AS (
+        SELECT CAST(SUM(w_cents) AS BIGINT) AS exact_total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM keyed
+    )
+    SELECT ht.o_orderkey, ht.w_cents, ht.ht_cents, ht.tau_r,
+           ex.n_orders, est.est_total_cents, ex.exact_total_cents,
+           ROUND(CAST(est.est_total_cents - ex.exact_total_cents AS DOUBLE)
+                 / ex.exact_total_cents, 4) AS rel_err
+    FROM ht, est, ex
+    ORDER BY o_orderkey
+    """
+
+
+@register(
+    "priority_sample_subsetsum",
+    oracle=_priority_sample_oracle(),
+    description="priority sampling (Duffield-Lund-Thorup, JACM'07): a "
+    "weight-sensitive k=64 sample of orders that carries an UNBIASED "
+    "subset-sum estimator — priority q_i = w_i / u_i with u_i the "
+    "portable 32-bit md5 uniform, keep the top k, and Horvitz-Thompson "
+    "weight each kept item at max(w_i, tau) where tau is the (k+1)-th "
+    "priority; E[sum] equals the true total EXACTLY (DLT Thm 1), and "
+    "the variance is within a factor 1 + 1/(k-1) of the optimal "
+    "k-sample scheme.  The planner primitive behind 'estimate "
+    "SUM(revenue) over any predicate from a fixed tiny sample': filter "
+    "the 64 retained rows, sum their ht_cents — no rescan.  "
+    "Deterministic and engine-portable like weighted_sample_aes (same "
+    "doc: no RNG state): the priority is ONE exact double multiply by "
+    "2^32 (w < 2^26 cents, so w * 2^32 is exactly representable) and "
+    "ONE correctly-rounded IEEE division, identical bits in any engine, "
+    "so the SAMPLE ITSELF and the estimator are oracle-checked row for "
+    "row; HT weights round to integer cents before the BIGINT total so "
+    "the estimate compares exactly.  Scale shape: the priority is a "
+    "map-side codegen expression; selection is ONE TakeOrderedAndProject "
+    "(per-partition top-65 then a 65-row driver merge — never a global "
+    "sort); tau, the HT reweigh, and the estimate all run on the 65-row "
+    "frame; the exact branch is one map-side-combined SUM riding the "
+    "same scan",
+    tags=("sampling", "sketch", "portable", "estimator"),
+)
+def priority_sample_subsetsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_hex_value_sql
+
+    h = portable_hex_value_sql("o_orderkey", 8, "STRING")
+    keyed = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("w_cents"),
+    ).withColumn(
+        "pri",
+        F.col("w_cents").cast("double")
+        * F.lit(_PRI_HASH_SCALE)
+        / (F.expr(h) + F.lit(1)),
+    )
+    top = keyed.orderBy(F.col("pri").desc(), "o_orderkey").limit(_PRI_K + 1)
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) == _PRI_K + 1, F.min("pri"))
+        .otherwise(F.lit(0.0))
+        .alias("t")
+    )
+    samp = top.orderBy(F.col("pri").desc(), "o_orderkey").limit(_PRI_K)
+    ht = samp.crossJoin(F.broadcast(tau)).select(
+        "o_orderkey",
+        "w_cents",
+        F.round(F.greatest(F.col("w_cents").cast("double"), F.col("t")), 0)
+        .cast("long")
+        .alias("ht_cents"),
+        F.round(F.col("t"), 4).alias("tau_r"),
+    )
+    est = ht.agg(F.sum("ht_cents").cast("long").alias("est_total_cents"))
+    ex = keyed.agg(
+        F.sum("w_cents").cast("long").alias("exact_total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        ht.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "o_orderkey",
+            "w_cents",
+            "ht_cents",
+            "tau_r",
+            "n_orders",
+            "est_total_cents",
+            "exact_total_cents",
+            F.round(
+                (F.col("est_total_cents") - F.col("exact_total_cents")).cast(
+                    "double"
+                )
+                / F.col("exact_total_cents"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -2392,3 +2392,149 @@ def countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# --- Count-Sketch two-relation join-size estimate ----------------------------
+
+
+def _countsketch_join_size_oracle() -> str:
+    def cells(src: str) -> str:
+        branches = " UNION ALL ".join(
+            f"SELECT {r} AS r, {_cs_bucket_sql('h', r)} AS b,"
+            f" CAST(SUM({_cs_sign_sql('h', r)}) AS BIGINT) AS c"
+            f" FROM {src} GROUP BY 1, 2"
+            for r in range(_CS_DEPTH)
+        )
+        return branches
+
+    return f"""
+    WITH v AS (
+        SELECT user_id AS k, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id AS k, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cv AS ({cells('v')}),
+    cp AS ({cells('p')}),
+    ip AS (
+        SELECT cv.r, CAST(SUM(cv.c * cp.c) AS BIGINT) AS inner_product
+        FROM cv JOIN cp ON cp.r = cv.r AND cp.b = cv.b
+        GROUP BY cv.r
+    ),
+    est AS (
+        SELECT CAST(list_sort(list(inner_product))[{_CS_DEPTH // 2 + 1}]
+                    AS BIGINT) AS est_join
+        FROM ip
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_views FROM v),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+        FROM v JOIN p ON p.k = v.k
+    )
+    SELECT nv.n_views, np.n_purchases, ex.exact_join, est.est_join,
+           est.est_join - ex.exact_join AS err,
+           ROUND(CAST(est.est_join - ex.exact_join AS DOUBLE)
+                 / ex.exact_join, 6) AS rel_err
+    FROM nv, np, ex, est
+    """
+
+
+@register(
+    "countsketch_join_size",
+    oracle=_countsketch_join_size_oracle(),
+    description="size of the view-purchase attribution join estimated "
+    "from TWO signed Count-Sketch matrices (same depth-5 x width-256 "
+    "portable-md5 geometry as countsketch_user_freq): per depth row, "
+    "sum_b C_v[r][b] * C_p[r][b] is an UNBIASED estimator of |R JOIN S| "
+    "(the AMS inner product, Alon-Matias-Szegedy STOC'96 — identical "
+    "signs on both sides make matching keys contribute +f_v*f_p exactly "
+    "while cross-key collision terms carry independent Rademacher signs "
+    "that cancel in expectation), and the median over the 5 rows tames "
+    "the variance.  The unbiased counterpart of cms_join_size_estimate, "
+    "whose unsigned inner product can only ever OVERestimate — the err "
+    "column here is SIGNED (negative underestimates happen), which is "
+    "the whole point of the signed family.  Exact integer arithmetic "
+    "end-to-end: signed cells are BIGINT sums, per-row inner products "
+    "and their 5-element median are BIGINTs, so the estimator itself is "
+    "oracle-pinned cell-for-cell; the exact join cardinality rides "
+    "along.  Scale shape: each side map-side-combines to <= 5x256 "
+    "signed cells built INDEPENDENTLY per relation (per-shard sketches "
+    "merge by cell addition before the inner product — the planner "
+    "never touches the raw join); the estimator join touches two "
+    "1,280-row frames; the exact branch is one keyed equi-join count",
+    tags=("sketch", "frequency", "join", "join-size", "portable"),
+)
+def countsketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def cells(df: DataFrame) -> DataFrame:
+        h = df.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        return (
+            h.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                                F.expr(_cs_sign_sql("h", r)).alias("s"),
+                            )
+                            for r in range(_CS_DEPTH)
+                        ]
+                    )
+                ).alias("cell")
+            )
+            .select("cell.r", "cell.b", "cell.s")
+            .groupBy("r", "b")
+            .agg(F.sum("s").cast("long").alias("c"))
+        )
+
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    cv = cells(views)
+    cp = cells(purchases).select(
+        F.col("r").alias("r2"), F.col("b").alias("b2"), F.col("c").alias("c2")
+    )
+    ip = (
+        cv.join(cp, (F.col("r2") == F.col("r")) & (F.col("b2") == F.col("b")))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("c") * F.col("c2")).cast("long").alias("inner_product")
+        )
+    )
+    est = ip.agg(
+        F.element_at(
+            F.sort_array(F.collect_list("inner_product")), _CS_DEPTH // 2 + 1
+        )
+        .cast("long")
+        .alias("est_join")
+    )
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+    np_ = purchases.agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    ex = (
+        views.join(
+            purchases.select(F.col("user_id").alias("p_user")),
+            F.col("p_user") == F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join"))
+    )
+    return (
+        nv.crossJoin(np_)
+        .crossJoin(ex)
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_views",
+            "n_purchases",
+            "exact_join",
+            "est_join",
+            (F.col("est_join") - F.col("exact_join")).alias("err"),
+            F.round(
+                (F.col("est_join") - F.col("exact_join")).cast("double")
+                / F.col("exact_join"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -485,3 +485,79 @@ def dedup_stream(events: DataFrame, watermark: str = "365 days") -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+# Forward-decay landmark: the feed's epoch.  Forward decay (Cormode,
+# Shkapenyuk, Srivastava, Xu — ICDE'09) weighs each event by
+# g(ts - L) / g(now - L); with the dyadic base g(x) = 2^(x/day) the
+# numerator 2^(days(ts) - L) is a pure bit shift, so the per-user
+# accumulator SUM(cents << days_since_landmark) is exact BIGINT, add-only,
+# and NEVER re-weighted — the property that makes the decayed counter
+# maintainable on an unbounded stream (the backward/landmark form in
+# queries.events.time_decayed_engagement must rescale every term when the
+# anchor moves; the forward form only rescales the READOUT divisor).
+FWD_DECAY_LANDMARK = "2024-01-01"
+
+
+def hourly_user_forward_decay(
+    events: DataFrame,
+    landmark: str = FWD_DECAY_LANDMARK,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-hour, per-user FORWARD-DECAY engagement accumulator — batch or
+    streaming input (one logical plan), the streaming-maintainable twin of
+    the batch ``time_decayed_engagement`` counter.
+
+    Emits ``(window_start, user_id, n_events, acc_fw)`` where ``acc_fw =
+    SUM(cents << days(date(ts) - landmark))`` — exact BIGINT, half-life
+    one day.  Addition is associative/commutative and each term depends
+    only on the EVENT (never on "now"), so the aggregate is streaming-safe,
+    hourly cells merge downstream by plain addition into any coarser
+    window, and the decayed value at readout time t is
+    ``merged_acc / 2^days(t - landmark)`` — ONE divisor rescale instead of
+    re-weighting history, which is the whole forward-decay trick.
+
+    State per window is bounded by the active-user dimension (like
+    ``hourly_window_agg``), not by stream length; the watermark evicts
+    closed hours.  Overflow headroom: terms are ``cents * 2^d`` with d =
+    days since landmark, so an UNBOUNDED stream eventually overflows the
+    BIGINT — the documented forward-decay trade; production renormalizes
+    by advancing the landmark k days and shifting every stored cell right
+    by k (exact — cells are integers), at which point readouts continue
+    unchanged.  At this feed's 30-day horizon max(acc) < 2^56 even at
+    1,000x the per-user event rate.
+
+    Oracle-checked batch readout: ``queries.events.events_forward_decay``;
+    stream == batch, the additive merge law, and the exact BIGINT identity
+    ``acc_fw << (SHIFT - days(anchor-L)) == backward acc`` are pinned in
+    tests/test_streaming.py.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    term = F.col("cents") * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT),"
+        f" datediff(CAST(ts AS DATE), DATE'{landmark}'))"
+    )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.select(
+            "ts",
+            "user_id",
+            F.round(F.col("value") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select("ts", "user_id", term.alias("term"))
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("term").cast("long").alias("acc_fw"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "acc_fw",
+        )
+    )
