@@ -146,6 +146,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   orderBy().limit(20) pools (TakeOrderedAndProject) or their ≤ 40-row
     #   fusion join — same bounded shape as bm25_doc_retrieval's.
     "rrf_hybrid_retrieval",
+    # - priority_sample_subsetsum (round 15): every window (rank, tau,
+    #   HT-estimate sum) runs over the TakeOrderedAndProject top-65 frame
+    #   — bounded by the limit regardless of data scale; the design point
+    #   is exactly that selection is the ONLY corpus-sized stage.
+    "priority_sample_subsetsum",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",

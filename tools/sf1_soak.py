@@ -223,6 +223,19 @@ HEAVY = [
     "countsketch_user_freq",
     "countsketch_f2",
     "time_decayed_engagement",
+    # round 15 wave 2: the forward-decay readout (two stacked keyed
+    # aggregates — hourly cells then user merge — behind a 1-row anchor
+    # broadcast; shuffle must track the (hour x user) cell count), the
+    # signed two-relation join-size estimate (both sketch sides stay
+    # <= 5 x 256 cells; the exact branch's equi-join is the only part
+    # that grows), the DLT priority sample (selection is ONE
+    # TakeOrderedAndProject whose per-partition state is 65 rows — wall
+    # must track the scan, never a sort), and the Benford profile (one
+    # 9-group map-side-combined aggregate — flat shuffle by design).
+    "events_forward_decay",
+    "countsketch_join_size",
+    "priority_sample_subsetsum",
+    "benford_digit_profile",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -552,10 +552,12 @@ def _priority_sample_oracle() -> str:
     "row; HT weights round to integer cents before the BIGINT total so "
     "the estimate compares exactly.  Scale shape: the priority is a "
     "map-side codegen expression; selection is ONE TakeOrderedAndProject "
-    "(per-partition top-65 then a 65-row driver merge — never a global "
-    "sort); tau, the HT reweigh, and the estimate all run on the 65-row "
-    "frame; the exact branch is one map-side-combined SUM riding the "
-    "same scan",
+    "(per-partition top-65 then a 65-row merge — never a global sort) "
+    "and that single subtree feeds rank, tau, the HT reweigh, and the "
+    "estimate as bounded windows over the materialized 65-row frame, so "
+    "orders is hash-scanned exactly once (Catalyst prunes the hash from "
+    "the exact branch, whose map-side-combined SUM is the one other "
+    "scan)",
     tags=("sampling", "sketch", "portable", "estimator"),
 )
 def priority_sample_subsetsum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,29 +575,54 @@ def priority_sample_subsetsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_PRI_HASH_SCALE)
         / (F.expr(h) + F.lit(1)),
     )
+    from pyspark.sql import Window
+
+    # ONE TakeOrderedAndProject subtree feeds everything downstream: rank,
+    # tau, the HT reweigh, and the estimate are windows/filters over the
+    # materialized 65-row frame (all whole-frame windows here are bounded
+    # by the limit above them), so orders is hash-scanned exactly once —
+    # a second plain scan computes the exact total the oracle needs.
     top = keyed.orderBy(F.col("pri").desc(), "o_orderkey").limit(_PRI_K + 1)
-    tau = top.agg(
-        F.when(F.count(F.lit(1)) == _PRI_K + 1, F.min("pri"))
-        .otherwise(F.lit(0.0))
-        .alias("t")
+    frame = Window.orderBy(F.col("pri").desc(), "o_orderkey")
+    whole = Window.orderBy(F.col("pri").desc(), "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    samp = top.orderBy(F.col("pri").desc(), "o_orderkey").limit(_PRI_K)
-    ht = samp.crossJoin(F.broadcast(tau)).select(
+    ranked = (
+        top.withColumn("rk", F.row_number().over(frame))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))).over(
+                    whole
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("rk") <= _PRI_K)
+    )
+    ht = ranked.select(
         "o_orderkey",
         "w_cents",
         F.round(F.greatest(F.col("w_cents").cast("double"), F.col("t")), 0)
         .cast("long")
         .alias("ht_cents"),
         F.round(F.col("t"), 4).alias("tau_r"),
+    ).withColumn(
+        "est_total_cents",
+        F.sum("ht_cents")
+        .over(
+            Window.orderBy("o_orderkey").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long"),
     )
-    est = ht.agg(F.sum("ht_cents").cast("long").alias("est_total_cents"))
     ex = keyed.agg(
         F.sum("w_cents").cast("long").alias("exact_total_cents"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
     return (
-        ht.crossJoin(F.broadcast(est))
-        .crossJoin(F.broadcast(ex))
+        ht.crossJoin(F.broadcast(ex))
         .select(
             "o_orderkey",
             "w_cents",
