@@ -344,6 +344,19 @@ HEADLINE = [
     "countsketch_join_size",
     "priority_sample_subsetsum",
     "benford_digit_profile",
+    # round 15 wave 3: the zone-decomposed exact Gini/Lorenz profile and
+    # the Kaplan-Meier time-to-conversion curve
+    "revenue_gini_lorenz",
+    "survival_time_to_purchase",
+    # round 15 wave 4: market-basket lift, the BIGINT-exact CUSUM
+    # changepoint scan, and the Mann-Whitney ROC-AUC
+    "basket_association_rules",
+    "revenue_cusum_changepoint",
+    "quality_score_auc",
+    # round 15 wave 5: Chao1/Good-Turing vocabulary coverage and the
+    # exact-integer Box-Jenkins ACF profile
+    "vocab_coverage_estimators",
+    "revenue_autocorrelation",
 ]
 
 

@@ -105,6 +105,33 @@ BNLJ_WHITELIST = {
     # grand total onto the 9-row digit dimension — scalar-broadcast onto
     # a fixed dimension grid (the join_cross class).
     "benford_digit_profile",
+    # revenue_gini_lorenz (round 15): the 1-row totals frame crosses onto
+    # the 10-row decile dimension and the output rows (scalar-broadcast),
+    # and the decile range-join probes the tied-group table with a
+    # BROADCAST 10-row build side — every nested-loop side is a scalar
+    # or the fixed decile grid, never customers.
+    "revenue_gini_lorenz",
+    # survival_time_to_purchase (round 15): two crosses broadcast the
+    # 1-row anchor timestamp and the 1-row subject total onto keyed
+    # frames — the scalar-broadcast class.
+    "survival_time_to_purchase",
+    # basket_association_rules (round 15): one cross broadcasts the
+    # 1-row basket-count total onto the 10-row result — the
+    # scalar-broadcast class; the pair generator itself is a keyed
+    # basket self-join with SF-invariant fan-out.
+    "basket_association_rules",
+    # revenue_cusum_changepoint (round 15): one cross broadcasts the
+    # 1-row (n, total) aggregate onto the <= ~84-row monthly table —
+    # the scalar-broadcast class.
+    "revenue_cusum_changepoint",
+    # quality_score_auc (round 15): one cross broadcasts the 1-row
+    # (n_pos, n_neg) aggregate onto the 1-row rank-sum frame — the
+    # scalar-broadcast class.
+    "quality_score_auc",
+    # revenue_autocorrelation (round 15): two crosses broadcast the
+    # 1-row (n, total) centering frame and the 1-row denominator onto
+    # the <= ~84-row monthly table — the scalar-broadcast class.
+    "revenue_autocorrelation",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the
@@ -151,6 +178,26 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   — bounded by the limit regardless of data scale; the design point
     #   is exactly that selection is the ONLY corpus-sized stage.
     "priority_sample_subsetsum",
+    # - revenue_gini_lorenz (round 15): the prefix-sum window ranks the
+    #   $500-bucket SUMMARY table — domain-bounded at ~14.7k rows at ANY
+    #   scale factor (TPC-H orders-per-customer and price range are
+    #   scale-invariant); the corpus-sized intra-bucket running sums are
+    #   bucket-PARTITIONED.
+    "revenue_gini_lorenz",
+    # - survival_time_to_purchase (round 15): the risk-set and
+    #   product-limit windows run over the per-day aggregate —
+    #   calendar-bounded (<= 31 rows at any SF).
+    "survival_time_to_purchase",
+    # - revenue_cusum_changepoint (round 15): index/prefix/peak windows
+    #   over the monthly aggregate — calendar-bounded (<= ~84 rows).
+    "revenue_cusum_changepoint",
+    # - quality_score_auc (round 15): the midrank prefix sum runs over
+    #   the distinct-score aggregate — domain-bounded (<= ~56k distinct
+    #   cents by the feed's value range at any SF).
+    "quality_score_auc",
+    # - revenue_autocorrelation (round 15): the six LAG windows run over
+    #   the monthly aggregate — calendar-bounded (<= ~84 rows at any SF).
+    "revenue_autocorrelation",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -182,6 +229,30 @@ SINGLE_PARTITION_WHITELIST = {
     #   price buckets, domain-bounded at <= ~1,201 rows (see the
     #   unpartitioned-window entry above).
     "pareto_frontier_parts",
+    # - revenue_gini_lorenz (round 15): the exchange feeds the prefix-sum
+    #   window over the $500-bucket SUMMARY aggregate — domain-bounded at
+    #   ~14.7k rows at ANY scale factor (TPC-H orders-per-customer and
+    #   price range are scale-invariant, so max customer revenue — hence
+    #   the bucket count — does not grow with SF); the corpus-sized rank
+    #   work runs in the bucket-PARTITIONED window beside it.
+    "revenue_gini_lorenz",
+    # - survival_time_to_purchase (round 15): the exchange feeds the
+    #   day-ordered risk/product windows over the per-day aggregate —
+    #   calendar-bounded (<= 31 rows at any SF), the monthly-rollup
+    #   window class.
+    "survival_time_to_purchase",
+    # - revenue_cusum_changepoint (round 15): the exchange feeds the
+    #   index/prefix/peak windows over the monthly aggregate —
+    #   calendar-bounded (<= ~84 rows at any SF).
+    "revenue_cusum_changepoint",
+    # - quality_score_auc (round 15): the exchange feeds the midrank
+    #   prefix sum over the distinct-score aggregate — DOMAIN-bounded
+    #   (<= ~56k distinct cents by the feed's value range at any SF).
+    "quality_score_auc",
+    # - revenue_autocorrelation (round 15): the exchange feeds the LAG
+    #   windows over the monthly aggregate — calendar-bounded
+    #   (<= ~84 rows at any SF).
+    "revenue_autocorrelation",
     "window_running_total",
     "null_ordering",
     "window_frames_suite",

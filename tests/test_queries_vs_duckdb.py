@@ -153,15 +153,16 @@ def test_checked_window_composition():
     # Round-15 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Staleness histogram after the round-15 additions (nine
-    # new queries): never:9 / r10:26 / r12:50 / r13:50 / r14:50.  The
-    # window is the nine never-green round-15 queries, ALL twenty-six
-    # r10-stale queries the r14 VERDICT item 2 prescribed, then the 15
-    # stalest r12-green queries in prior registry order.
+    # horizon).  Staleness histogram after the round-15 additions
+    # (sixteen new queries): never:16 / r10:26 / r12:50 / r13:50 /
+    # r14:50.  The window is the sixteen never-green round-15 queries,
+    # ALL twenty-six r10-stale queries the r14 VERDICT item 2
+    # prescribed, then the 8 stalest r12-green queries in prior
+    # registry order.
     window = set(names[:50])
     # The round-15 additions (never externally green) lead
     # unconditionally, followed by the twenty-six r10-stale queries.
-    assert _PRIORITY[:35] == [
+    assert _PRIORITY[:42] == [
         "events_hourly_kmv",
         "mg_heavy_hitters",
         "countsketch_user_freq",
@@ -171,6 +172,13 @@ def test_checked_window_composition():
         "benford_digit_profile",
         "priority_sample_subsetsum",
         "countsketch_join_size",
+        "survival_time_to_purchase",
+        "revenue_gini_lorenz",
+        "basket_association_rules",
+        "revenue_cusum_changepoint",
+        "quality_score_auc",
+        "vocab_coverage_estimators",
+        "revenue_autocorrelation",
         "shipping_priority_top10",
         "large_quantity_orders",
         "above_average_orders",
@@ -198,8 +206,8 @@ def test_checked_window_composition():
         "quantize_embeddings",
         "label_centroid_similarity",
     ]
-    # The 15 stalest r12-green queries follow, in prior registry order.
-    assert _PRIORITY[35:50] == [
+    # The 8 stalest r12-green queries follow, in prior registry order.
+    assert _PRIORITY[42:50] == [
         "concurrent_sessions_profile",
         "pricing_summary",
         "join_anti",
@@ -208,13 +216,6 @@ def test_checked_window_composition():
         "window_topk_orders",
         "window_running_total",
         "top10_expensive_items",
-        "set_operations",
-        "distinct_counts",
-        "rollup_customer_geo",
-        "cube_order_status",
-        "string_functions",
-        "kmv_sketch_union",
-        "sliding_chunk_windows",
     ]
     # Nothing green in rounds 13 or 14 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

@@ -310,3 +310,122 @@ def test_countsketch_join_size_exact_when_collision_free(data):
     s_stream = [k for k, f in fp.items() for _ in range(f)]
     exact = sum(fv[k] * fp[k] for k in fv)
     assert _cs_join_est(_cs_cells(r_stream), _cs_cells(s_stream)) == exact
+
+
+# --- Gini tied-rank formula and Kaplan-Meier laws ----------------------------
+
+
+def _gini_tied_rank(xs: list[int]) -> tuple[int, int]:
+    """revenue_gini_lorenz's formula as an exact rational (num, den):
+    G = (sum_v c*(2*c_lt+c+1)*v - (n+1)*total) / (n*total), ties
+    collapsed per distinct value exactly as the registered query does."""
+    n, total = len(xs), sum(xs)
+    c_lt, s = 0, 0
+    for v in sorted(set(xs)):
+        c = xs.count(v)
+        s += c * (2 * c_lt + c + 1) * v
+        c_lt += c
+    return s - (n + 1) * total, n * total
+
+
+@FAST
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=80))
+def test_gini_tied_rank_equals_mean_absolute_difference(xs):
+    """For ANY nonnegative values: the tied-rank formula the query ships
+    equals the definitional pairwise form G = sum_ij |x_i - x_j| /
+    (2 n sum(x)) — exactly, as rationals (cross-multiplied integers, no
+    float tolerance)."""
+    if sum(xs) == 0:
+        return
+    num, den = _gini_tied_rank(xs)
+    mad_num = sum(abs(a - b) for a in xs for b in xs)  # == 2n*total*G
+    # num/den == mad_num/(2*n*total)  <=>  num * 2*n*total == mad_num * den
+    n, total = len(xs), sum(xs)
+    assert num * 2 * n * total == mad_num * den
+    assert 0 <= num <= den  # 0 <= G <= 1
+
+
+@FAST
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=60))
+def test_kaplan_meier_equals_empirical_survival_without_censoring(durations):
+    """For ANY duration multiset with NO censoring, the product-limit
+    estimator collapses to the empirical survival function:
+    S(t) = #(d > t) / n — the identity that pins
+    survival_time_to_purchase's windowed exp/ln construction to the
+    definitional curve (and exercises the everyone-dies S=0 tail)."""
+    n = len(durations)
+    at_risk = n
+    s = 1.0
+    counts = Counter(durations)
+    for day in sorted(counts):
+        e = counts[day]
+        s *= 1.0 - e / at_risk  # no censoring: the KM factor
+        at_risk -= e
+        empirical = sum(1 for d in durations if d > day) / n
+        assert abs(s - empirical) < 1e-9, (day, s, empirical)
+    assert at_risk == 0 and abs(s) < 1e-9
+
+
+# --- rank-sum AUC and CUSUM laws ----------------------------------------------
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_auc_tied_rank_equals_pairwise_definition(labeled):
+    """For ANY labeled score multiset with both classes present: the
+    midrank formula quality_score_auc ships — AUC = (S2 - n_pos(n_pos+1))
+    / (2 n_pos n_neg) with S2 = sum over distinct scores of
+    pos_c*(2*c_lt+c+1) — equals the definitional P(s_pos > s_neg) +
+    P(s_pos = s_neg)/2, exactly as rationals."""
+    pos = [s for s, y in labeled if y]
+    neg = [s for s, y in labeled if not y]
+    if not pos or not neg:
+        return
+    scores = sorted({s for s, _y in labeled})
+    c_lt, s2 = 0, 0
+    for v in scores:
+        pos_c = pos.count(v)
+        c = pos_c + neg.count(v)
+        s2 += pos_c * (2 * c_lt + c + 1)
+        c_lt += c
+    n_pos, n_neg = len(pos), len(neg)
+    num = s2 - n_pos * (n_pos + 1)  # == 2 * U
+    den = 2 * n_pos * n_neg
+    # definitional: wins + half-ties, doubled to stay integer
+    pairwise2 = sum(
+        2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+    )
+    assert num == pairwise2
+    assert 0 <= num <= den
+
+
+@FAST
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(0, 1000),
+    st.integers(0, 1000),
+)
+def test_cusum_peaks_exactly_at_a_clean_level_shift(k, m, a, b):
+    """For a series that sits at level a for k steps then at level b for
+    m steps (a != b, no noise), the scaled CUSUM S'_t = N*cum_t -
+    t*total peaks in absolute value exactly at the shift point t = k —
+    the detection property revenue_cusum_changepoint's flag claims,
+    checked in the same pure-BIGINT arithmetic the query uses."""
+    if a == b:
+        return
+    xs = [a] * k + [b] * m
+    n, total = len(xs), sum(xs)
+    cum, best_t, best = 0, None, -1
+    for t, x in enumerate(xs, start=1):
+        cum += x
+        s = abs(n * cum - t * total)
+        if s > best:
+            best, best_t = s, t
+    assert best_t == k

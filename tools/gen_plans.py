@@ -300,6 +300,36 @@ COMMENT = {
     "cells, broadcast cells onto the bounded user-dimension probes, "
     "median-of-5 via sort_array on a per-user collect_list (keyed, "
     "5 elements)",
+    "priority_sample_subsetsum": "round 15 wave 2: ONE "
+    "TakeOrderedAndProject(65) subtree (per-partition top-65, never a "
+    "global sort) feeds rank/tau/HT-estimate as whole-frame windows over "
+    "the materialized 65-row frame; the exact branch is one "
+    "map-side-combined SUM with the hash expression pruned",
+    "revenue_gini_lorenz": "round 15 wave 3: global rank zone-decomposed "
+    "— two keyed aggregates, intra-bucket running sums in a "
+    "bucket-PARTITIONED window, the prefix sum over the SF-invariant "
+    "~14.7k-row bucket summary (the one single-task stage), a 10-row "
+    "broadcast decile range-join; no per-customer global sort anywhere",
+    "survival_time_to_purchase": "round 15 wave 3: Kaplan-Meier — three "
+    "keyed aggregates (first-view, first-qualifying-purchase, per-day "
+    "counts) + one keyed left join; risk-set and product-limit windows "
+    "run on the <= 31-row day table",
+    "basket_association_rules": "round 15 wave 4: baskets collect with "
+    "ONE keyed aggregate, p1<p2 combinations explode MAP-SIDE from the "
+    "sorted array (codegen transform/slice/flatten), the (p1,p2) count "
+    "is the only pair-sized exchange, top-10 by TakeOrderedAndProject, "
+    "and the 10-row result broadcasts against the streaming "
+    "part-frequency dim",
+    "revenue_cusum_changepoint": "round 15 wave 4: one monthly keyed "
+    "aggregate; index/prefix/peak windows on the <= ~84-row calendar "
+    "table; the changepoint argmax is pure-BIGINT cross-multiplied "
+    "arithmetic",
+    "quality_score_auc": "round 15 wave 4: one keyed aggregate per "
+    "distinct score; the midrank prefix sum runs on the domain-bounded "
+    "distinct-score table — never a per-event sort",
+    "revenue_autocorrelation": "round 15 wave 5: one monthly keyed "
+    "aggregate; six LAG windows + the lag-stacked ratio all on the "
+    "<= ~84-row calendar table; sufficient statistics in DECIMAL(38,0)",
 }
 
 

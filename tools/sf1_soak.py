@@ -236,6 +236,30 @@ HEAVY = [
     "countsketch_join_size",
     "priority_sample_subsetsum",
     "benford_digit_profile",
+    # round 15 wave 3: the Gini/Lorenz rank decomposition (10x customers
+    # through two keyed aggregates + one bucket-partitioned window; the
+    # unpartitioned prefix sum touches only the ~14.7k-bucket summary,
+    # which must NOT grow — TPC-H max customer revenue is SF-invariant)
+    # and the Kaplan-Meier curve (10x users through three keyed
+    # aggregates; all window work on the <= 31-row day table).
+    "revenue_gini_lorenz",
+    "survival_time_to_purchase",
+    # round 15 wave 4: the basket self-join (10x orders with the SAME
+    # per-order fan-out — candidate volume must scale linearly), the
+    # CUSUM scan (10x orders through one monthly aggregate; all window
+    # work on the <= ~84-row calendar table), and the midrank AUC (10x
+    # events through one distinct-score aggregate; the rank windows run
+    # on the domain-bounded score table, which must NOT grow 10x).
+    "basket_association_rules",
+    "revenue_cusum_changepoint",
+    "quality_score_auc",
+    # round 15 wave 5: the vocabulary estimators (10x tokens through two
+    # stacked map-side-combining aggregates; the replica token suffix
+    # grows the vocab ~10x, so the token-count shuffle is the one
+    # growing stage) and the ACF profile (10x orders through one monthly
+    # aggregate; all lag work on the <= ~84-row calendar table).
+    "vocab_coverage_estimators",
+    "revenue_autocorrelation",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -53,11 +53,22 @@ from . import (  # noqa: F401
 # the unbiased AMS two-relation join-size estimator;
 # ``priority_sample_subsetsum``, the Duffield-Lund-Thorup weight-
 # sensitive sample with its Horvitz-Thompson subset-sum estimator; and
-# ``benford_digit_profile``, the first-digit forensic screen):
-# 9 never-green, 26 last green externally in r10, 50 in r12, 50 in r13,
-# 50 in r14.  The window, computed and staleness-asserted by
-# tools/rotate_window.py, extends the r14 VERDICT prescription: the nine
-# never-green queries, then ALL twenty-six r10-stale ones
+# ``benford_digit_profile``, the first-digit forensic screen.  Wave 3:
+# ``revenue_gini_lorenz``, the exact tied-rank Gini with the 10-point
+# Lorenz curve via the zone-decomposed rank; and
+# ``survival_time_to_purchase``, the Kaplan-Meier product-limit
+# time-to-conversion curve with right-censoring.  Wave 4:
+# ``basket_association_rules``, market-basket support/confidence/lift;
+# ``revenue_cusum_changepoint``, the pure-BIGINT CUSUM level-shift
+# scan; and ``quality_score_auc``, the Mann-Whitney midrank ROC-AUC.
+# Wave 5: ``vocab_coverage_estimators``, Chao1 species richness +
+# Good-Turing unseen mass from the frequency-of-frequencies; and
+# ``revenue_autocorrelation``, the Box-Jenkins sample ACF at lags 1-6
+# in exact cross-multiplied integers):
+# 16 never-green, 26 last green externally in r10, 50 in r12, 50 in
+# r13, 50 in r14.  The window, computed and staleness-asserted by
+# tools/rotate_window.py, extends the r14 VERDICT prescription: the
+# sixteen never-green queries, then ALL twenty-six r10-stale ones
 # (``shipping_priority_top10``, ``large_quantity_orders``,
 # ``above_average_orders``, ``pivot_status_by_year``,
 # ``price_percentiles``, ``regex_math_functions``, ``ship_delay_buckets``,
@@ -69,9 +80,10 @@ from . import (  # noqa: F401
 # ``dormant_customer_balance``, ``local_supplier_volume``,
 # ``customer_order_histogram``, ``set_operations_all``,
 # ``orders_rfm_segments``, ``quantize_embeddings``,
-# ``label_centroid_similarity``), then the 15 stalest r12-green queries
+# ``label_centroid_similarity``), then the 8 stalest r12-green queries
 # in prior registry order (projected staleness horizon after r15: worst
-# 3 rounds — bigram_pmi — inside the 5-round limit the tool asserts).
+# 3 rounds — set_operations — inside the 5-round limit the tool
+# asserts).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -86,6 +98,13 @@ _PRIORITY = [
     "benford_digit_profile",
     "priority_sample_subsetsum",
     "countsketch_join_size",
+    "survival_time_to_purchase",
+    "revenue_gini_lorenz",
+    "basket_association_rules",
+    "revenue_cusum_changepoint",
+    "quality_score_auc",
+    "vocab_coverage_estimators",
+    "revenue_autocorrelation",
     "shipping_priority_top10",
     "large_quantity_orders",
     "above_average_orders",
@@ -120,13 +139,6 @@ _PRIORITY = [
     "window_topk_orders",
     "window_running_total",
     "top10_expensive_items",
-    "set_operations",
-    "distinct_counts",
-    "rollup_customer_geo",
-    "cube_order_status",
-    "string_functions",
-    "kmv_sketch_union",
-    "sliding_chunk_windows",
 ]
 
 

@@ -1091,3 +1091,129 @@ def mad_outlier_rate(
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- market-basket association rules ------------------------------------------
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM items a JOIN items b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT * FROM pairs ORDER BY pair_cnt DESC, p1, p2 LIMIT 10
+    )
+    SELECT t.p1, t.p2, t.pair_cnt,
+           f1.n_item AS n1, f2.n_item AS n2, n.n_orders,
+           ROUND(CAST(t.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(t.pair_cnt AS DOUBLE) / f1.n_item, 6) AS confidence,
+           ROUND(CAST(t.pair_cnt * n.n_orders AS DOUBLE)
+                 / (f1.n_item * f2.n_item), 6) AS lift
+    FROM top t
+    JOIN freq f1 ON f1.l_partkey = t.p1
+    JOIN freq f2 ON f2.l_partkey = t.p2
+    CROSS JOIN n
+    ORDER BY t.pair_cnt DESC, t.p1, t.p2
+    """,
+    description="market-basket association rules (Agrawal-Srikant "
+    "VLDB'94 family) over order line items: the top-10 part PAIRS by "
+    "co-occurrence count with exact support (P(p1,p2)), confidence "
+    "(P(p2|p1)), and lift (P(p1,p2)/(P(p1)P(p2)) — the "
+    "independence-normalized association strength a recommender ranks "
+    "by).  The pair generator collects each basket with ONE keyed "
+    "aggregate (baskets are SF-invariant: TPC-H caps line items per "
+    "order, <= 13 distinct parts here) and explodes the p1 < p2 "
+    "combinations MAP-SIDE from the sorted array, so candidate volume "
+    "is orders x O(basket^2) — linear in data, measured exactly so at "
+    "the sf1 soak (shuffle 9.8x at 10x rows, SCALE.md §28) — and the "
+    "(p1, p2) count is the only pair-sized exchange (a self-join would "
+    "shuffle the items a second time just to rediscover basket "
+    "co-membership; the same bounded-blocking discipline as the dedup "
+    "family, never an all-pairs part join).  Counts are exact BIGINT; "
+    "the three ratios are single IEEE divisions of exact integers "
+    "(pair_cnt * n_orders < 2^53 through sf1000), rounded at 6 dp in "
+    "both engines.  Selection is TakeOrderedAndProject top-10 with full "
+    "tie-breaks, never a global sort; the 10-row result broadcasts "
+    "AGAINST the streaming part-frequency dimension (at sf1000 that dim "
+    "is 2B rows — the classic wrong-side hint avoided)",
+    tags=("association", "join", "agg", "recommendation"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    # Pair generation without a second items shuffle: ONE groupBy-order
+    # collects each basket (<= 13 parts), then the p1 < p2 combinations
+    # explode MAP-SIDE from the sorted array — the (p1, p2) count is the
+    # only pair-sized exchange in the plan (a self-join would shuffle the
+    # items a second time just to rediscover basket co-membership).
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pair")
+        )
+        .groupBy(F.col("pair.p1").alias("p1"), F.col("pair.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    top = pairs.orderBy(F.col("pair_cnt").desc(), "p1", "p2").limit(10)
+    # The 10-row result is the broadcast side; the part-frequency DIM
+    # streams (at sf1000 `freq` is 2B rows — broadcasting it would be the
+    # classic wrong-side hint).
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    with_n1 = f1.join(F.broadcast(top), "p1")
+    return (
+        f2.join(F.broadcast(with_n1), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            "n1",
+            "n2",
+            "n_orders",
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(F.col("pair_cnt").cast("double") / F.col("n1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "p1", "p2")
+    )

@@ -1091,3 +1091,87 @@ def cms_heavy_hitters(
         )
         .orderBy(F.col("n_exact").desc(), "shingle")
     )
+
+
+# --- vocabulary coverage estimators: Chao1 + Good-Turing ----------------------
+
+
+@register(
+    "vocab_coverage_estimators",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY token
+    ),
+    foff AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM cnt
+    )
+    SELECT n_tokens, vocab, f1, f2,
+           ROUND(vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 4)
+               AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+           ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+    FROM foff
+    """,
+    description="vocabulary coverage estimators over the corpus token "
+    "stream: Chao1 species-richness (Chao 1984, bias-corrected form "
+    "V + F1(F1-1)/(2(F2+1)) — how many word types EXIST given how many "
+    "were seen once vs twice) and the Good-Turing unseen-probability "
+    "mass P0 = F1/N with its complement, Good's (1953) sample coverage "
+    "— the pretraining-corpus questions 'how much vocabulary is this "
+    "sample missing' and 'what probability mass will the next shard's "
+    "novel types carry', answered from the frequency-of-frequencies "
+    "alone.  All inputs are exact BIGINT (V, N, F1, F2 from one token "
+    "count + one counts-of-counts fold); the estimators are single "
+    "IEEE divisions of exact integers rounded at 4/6 dp, so both "
+    "engines emit identical bits — the tokenizer is the module-contract "
+    "lowercase space split shared by every text query.  Scale shape: "
+    "two stacked map-side-combining aggregates (token counts, then the "
+    "4-cell frequency profile); no window, no join, nothing retained "
+    "beyond the token-count table that bm25/tfidf already build",
+    tags=("text", "profiling", "estimator", "corpus"),
+)
+def vocab_coverage_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("token"))
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    foff = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return foff.select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "unseen_mass"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens"), 6
+        ).alias("coverage"),
+    )

@@ -1383,3 +1383,600 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- Lorenz curve + exact Gini coefficient -----------------------------------
+
+# $500 zone width for the rank decomposition.  The bucket-summary table is
+# bounded by max-customer-revenue / width; max customer revenue is fixed by
+# the TPC-H shape (orders-per-customer and price range are scale-invariant,
+# so the bucket count does NOT grow with SF — ~14.7k buckets at any scale).
+_GINI_BUCKET_CENTS = 50_000
+
+
+def _gini_oracle() -> str:
+    return """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    grp AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM cust GROUP BY r),
+    w AS (
+        SELECT r, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS c_lt,
+               CAST(COALESCE(SUM(c * r) OVER (ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS rev_lt
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * r) AS BIGINT) AS total
+        FROM grp
+    ),
+    s AS (
+        SELECT SUM(CAST(c AS DECIMAL(38,0)) * (2 * c_lt + c + 1) * r) AS s
+        FROM w
+    ),
+    g AS (
+        SELECT ROUND(
+            CAST(s.s - (CAST(tot.n AS DECIMAL(38,0)) + 1) * tot.total
+                 AS DOUBLE)
+            / CAST(tot.n * tot.total AS DOUBLE), 6) AS gini
+        FROM s, tot
+    ),
+    d AS (SELECT UNNEST(range(1, 11)) AS decile),
+    k AS (
+        SELECT CAST(d.decile AS INT) AS decile,
+               CAST((tot.n * d.decile) // 10 AS BIGINT) AS rank_k
+        FROM d, tot
+    ),
+    pick AS (
+        SELECT k.decile, k.rank_k,
+               CAST(w.rev_lt + (k.rank_k - w.c_lt) * w.r AS BIGINT)
+                   AS cum_rev_cents
+        FROM k JOIN w
+          ON w.c_lt < k.rank_k AND k.rank_k <= w.c_lt + w.c
+    )
+    SELECT pick.decile, pick.rank_k, pick.cum_rev_cents,
+           ROUND(CAST(pick.cum_rev_cents AS DOUBLE) / tot.total, 6)
+               AS cum_rev_share,
+           ROUND(CAST(pick.rank_k AS DOUBLE) / tot.n, 6) AS pop_share,
+           g.gini, tot.n AS n_customers, tot.total AS total_cents
+    FROM pick, g, tot
+    ORDER BY pick.decile
+    """
+
+
+@register(
+    "revenue_gini_lorenz",
+    oracle=_gini_oracle(),
+    description="EXACT Gini coefficient of customer revenue concentration "
+    "plus the 10-point Lorenz curve — the inequality profile behind "
+    "'what share of revenue do the top decile hold'.  Gini by the "
+    "tied-rank formula G = (SUM(R_i x_i) - (n+1) SUM(x)) / (n SUM(x)) "
+    "with R_i = 2*avg_rank_i; ties collapse per distinct revenue value v "
+    "(the c-sized block at ranks (c_lt, c_lt+c] contributes "
+    "c*(2*c_lt+c+1)*v in ONE row), so everything is integer arithmetic "
+    "in DECIMAL(38,0) accumulators (the per-term product already passes "
+    "2^63 — corr_matrix_lineitem's lesson applied a priori) until one "
+    "final rounded division.  The ORACLE ranks definitionally with one "
+    "global window; the Spark plan must not, so global rank decomposes "
+    "scale-safely (the skyline/zscore zone pattern): c_lt = bucket-"
+    "summary prefix sum (an unpartitioned window over the $500-bucket "
+    "summary, DOMAIN-bounded at ~14.7k rows at ANY scale factor because "
+    "TPC-H's orders-per-customer and price range are scale-invariant — "
+    "whitelisted with justification in test_plan_sweep.py) + an "
+    "intra-bucket running sum (window PARTITIONED by bucket).  Lorenz "
+    "deciles read the rank-k revenue prefix exactly: the tied block "
+    "containing rank k splits as rev_lt + (k - c_lt)*v, so no "
+    "interpolation ambiguity exists for either engine.  The tied-rank "
+    "formula == the pairwise mean-absolute-difference definition for "
+    "ANY input (hypothesis-pinned in tests/test_round15_properties.py).  "
+    "Scale shape: two keyed aggregates, one bucket-partitioned window, "
+    "one bounded-summary window, a 10-row broadcast dimension range-join "
+    "— no global sort, no per-customer window",
+    tags=("profiling", "window", "exact-cents", "inequality"),
+)
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    grp = cust.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grp = grp.withColumn("b", F.expr(f"r div {_GINI_BUCKET_CENTS}"))
+    in_bucket = (
+        Window.partitionBy("b")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn(
+        "c_lt_in", F.coalesce(F.sum("c").over(in_bucket), F.lit(0))
+    ).withColumn(
+        "rev_lt_in",
+        F.coalesce(F.sum(F.col("c") * F.col("r")).over(in_bucket), F.lit(0)),
+    )
+    summary = grp.groupBy("b").agg(
+        F.sum("c").cast("long").alias("cnt_b"),
+        F.sum(F.col("c") * F.col("r")).cast("long").alias("rev_b"),
+    )
+    below = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    summary = summary.select(
+        "b",
+        F.coalesce(F.sum("cnt_b").over(below), F.lit(0)).alias("cnt_below"),
+        F.coalesce(F.sum("rev_b").over(below), F.lit(0)).alias("rev_below"),
+    )
+    w = grp.join(F.broadcast(summary), "b").select(
+        "r",
+        "c",
+        (F.col("cnt_below") + F.col("c_lt_in")).cast("long").alias("c_lt"),
+        (F.col("rev_below") + F.col("rev_lt_in")).cast("long").alias("rev_lt"),
+    )
+    tot = grp.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("r")).cast("long").alias("total"),
+    )
+    s = w.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (2 * F.col("c_lt") + F.col("c") + 1)
+            * F.col("r")
+        ).alias("s")
+    )
+    g = s.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (
+                F.col("s")
+                - (F.col("n").cast("decimal(38,0)") + 1) * F.col("total")
+            ).cast("double")
+            / (F.col("n") * F.col("total")).cast("double"),
+            6,
+        ).alias("gini")
+    )
+    k = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.expr("(n * decile) div 10").cast("long").alias("rank_k"),
+        )
+    )
+    pick = w.join(
+        F.broadcast(k),
+        (F.col("c_lt") < F.col("rank_k"))
+        & (F.col("rank_k") <= F.col("c_lt") + F.col("c")),
+    ).select(
+        "decile",
+        "rank_k",
+        (F.col("rev_lt") + (F.col("rank_k") - F.col("c_lt")) * F.col("r"))
+        .cast("long")
+        .alias("cum_rev_cents"),
+    )
+    return (
+        pick.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "rank_k",
+            "cum_rev_cents",
+            F.round(
+                F.col("cum_rev_cents").cast("double") / F.col("total"), 6
+            ).alias("cum_rev_share"),
+            F.round(F.col("rank_k").cast("double") / F.col("n"), 6).alias(
+                "pop_share"
+            ),
+            "gini",
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- CUSUM changepoint over the monthly revenue series ------------------------
+
+
+@register(
+    "revenue_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS t,
+               CAST(SUM(cents) OVER (ORDER BY ym
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM m
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total
+        FROM m
+    ),
+    s AS (
+        SELECT idx.ym, idx.cents, idx.t,
+               CAST(tot.n * idx.cum - idx.t * tot.total AS BIGINT)
+                   AS cusum_scaled,
+               tot.n, tot.total
+        FROM idx, tot
+    ),
+    pk AS (
+        SELECT ym, cents, t, cusum_scaled,
+               ROUND(CAST(cusum_scaled AS DOUBLE) / (n * total), 6)
+                   AS cusum_norm,
+               MAX(ABS(cusum_scaled)) OVER () AS peak
+        FROM s
+    ),
+    mx AS (
+        SELECT ym, cents, t, cusum_scaled, cusum_norm,
+               MIN(CASE WHEN ABS(cusum_scaled) = peak THEN t END)
+                   OVER () AS peak_t
+        FROM pk
+    )
+    SELECT ym, cents, CAST(t AS BIGINT) AS t, cusum_scaled, cusum_norm,
+           CAST(CASE WHEN t = peak_t THEN 1 ELSE 0 END AS INT)
+               AS is_changepoint
+    FROM mx ORDER BY ym
+    """,
+    description="CUSUM changepoint scan over the monthly revenue series "
+    "(Page 1954; the cumulative-sum form used by Taylor's "
+    "changepoint bootstrap): S_t = cumsum(x) - t*mean peaks at the month "
+    "where the series' level shifts.  EXACT integer arithmetic via "
+    "cross-multiplication — the query carries S'_t = N*cum_t - t*total "
+    "(pure BIGINT, < 2^63 through ~sf100: N <= ~84 calendar months "
+    "whatever the SF) instead of dividing by N, so the argmax "
+    "changepoint decision is integer-exact and engine-identical, with "
+    "one rounded normalized column for human eyes.  Emits the whole "
+    "CUSUM trajectory with the peak month flagged (ties -> earliest, "
+    "via an explicit MIN-over-peak rule identical in both engines).  "
+    "Scale shape: one keyed monthly aggregate over the orders scan; "
+    "ALL window work (index, prefix sum, peak flag) runs on the "
+    "calendar-bounded <= ~84-row monthly table — the whitelisted "
+    "monthly-rollup window class; no second scan",
+    tags=("event-time", "window", "changepoint", "exact-cents"),
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_ord = Window.orderBy("ym")
+    upto = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    idx = m.select(
+        "ym",
+        "cents",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("cents").over(upto).cast("long").alias("cum"),
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    s = idx.crossJoin(F.broadcast(tot)).select(
+        "ym",
+        "cents",
+        "t",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("total"))
+        .cast("long")
+        .alias("cusum_scaled"),
+        "n",
+        "total",
+    )
+    whole = Window.orderBy("ym").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mx = s.select(
+        "ym",
+        "cents",
+        "t",
+        "cusum_scaled",
+        F.round(
+            F.col("cusum_scaled").cast("double")
+            / (F.col("n") * F.col("total")),
+            6,
+        ).alias("cusum_norm"),
+        F.max(F.abs(F.col("cusum_scaled"))).over(whole).alias("peak"),
+        F.min(
+            F.when(
+                F.abs(F.col("cusum_scaled"))
+                == F.max(F.abs(F.col("cusum_scaled"))).over(whole),
+                F.col("t"),
+            )
+        )
+        .over(whole)
+        .alias("peak_t"),
+    )
+    return mx.select(
+        "ym",
+        "cents",
+        "t",
+        "cusum_scaled",
+        "cusum_norm",
+        F.when(F.col("t") == F.col("peak_t"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_changepoint"),
+    ).orderBy("ym")
+
+
+# --- rank-sum AUC: does the value score separate purchases from views? -------
+
+
+@register(
+    "quality_score_auc",
+    oracle="""
+    WITH lab AS (
+        SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    grp AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos_c,
+               CAST(SUM(1 - y) AS BIGINT) AS neg_c,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lab GROUP BY score
+    ),
+    w AS (
+        SELECT score, pos_c, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS c_lt
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+               CAST(SUM(neg_c) AS BIGINT) AS n_neg
+        FROM grp
+    ),
+    s AS (
+        SELECT CAST(SUM(pos_c * (2 * c_lt + c + 1)) AS BIGINT) AS s2
+        FROM w
+    )
+    SELECT tot.n_pos, tot.n_neg,
+           CAST(s.s2 - tot.n_pos * (tot.n_pos + 1) AS BIGINT) AS u2,
+           ROUND(CAST(s.s2 - tot.n_pos * (tot.n_pos + 1) AS DOUBLE)
+                 / (2 * tot.n_pos * tot.n_neg), 6) AS auc
+    FROM s, tot
+    """,
+    description="ROC-AUC of the event value as a purchase-vs-view "
+    "classifier, by the Mann-Whitney rank-sum identity AUC = (R_pos - "
+    "n_pos(n_pos+1)/2) / (n_pos n_neg) with midranks for ties — the "
+    "standard evaluation a training-data pipeline runs on every quality "
+    "classifier before gating documents on its score (AUC == P(score_pos "
+    "> score_neg) + P(=)/2; the definitional pairwise identity is "
+    "hypothesis-pinned for ANY labeled multiset in "
+    "tests/test_round15_properties.py).  Exact integer arithmetic: "
+    "scores quantize to cents, ties collapse per distinct score exactly "
+    "as in revenue_gini_lorenz (the tied block at ranks (c_lt, c_lt+c] "
+    "contributes pos_c*(2*c_lt+c+1) to twice the positive rank sum), so "
+    "n_pos, n_neg, and the doubled U statistic are BIGINT and the one "
+    "float op is the final rounded division.  Scale shape: one keyed "
+    "aggregate per distinct score, then ALL rank work runs on the "
+    "distinct-score table — DOMAIN-bounded (value in (0, ~560) by the "
+    "feed's schema => <= ~56k distinct cents at any SF; the whitelisted "
+    "bounded-summary window class) — never a per-event global sort; two "
+    "1-row broadcasts assemble the output",
+    tags=("profiling", "window", "ranking", "evaluation"),
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lab = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.round(F.col("value") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("score"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+    )
+    grp = lab.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos_c"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg_c"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    before = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = grp.select(
+        "score",
+        "pos_c",
+        "c",
+        F.coalesce(F.sum("c").over(before), F.lit(0))
+        .cast("long")
+        .alias("c_lt"),
+    )
+    tot = grp.agg(
+        F.sum("pos_c").cast("long").alias("n_pos"),
+        F.sum("neg_c").cast("long").alias("n_neg"),
+    )
+    s = w.agg(
+        F.sum(F.col("pos_c") * (2 * F.col("c_lt") + F.col("c") + 1))
+        .cast("long")
+        .alias("s2")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --- autocorrelation profile of the monthly revenue series --------------------
+
+_ACF_MAX_LAG = 6
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"LAG(y, {k}) OVER (ORDER BY ym) AS y_{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {k} AS lag, y, y_{k} AS y_lag FROM lagged"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total
+        FROM m
+    ),
+    y0 AS (
+        SELECT ym, CAST(tot.n * m.cents - tot.total AS BIGINT) AS y
+        FROM m, tot
+    ),
+    lagged AS (
+        SELECT ym, y,
+               {lag_cols}
+        FROM y0
+    ),
+    den AS (
+        SELECT SUM(CAST(y AS DECIMAL(38,0)) * y) AS ss FROM y0
+    ),
+    stacked AS ({branches})
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(COUNT(y_lag) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y_lag) AS DOUBLE)
+                 / CAST(den.ss AS DOUBLE), 6) AS acf
+    FROM stacked, den
+    WHERE y_lag IS NOT NULL
+    GROUP BY lag, den.ss
+    ORDER BY lag
+    """
+
+
+@register(
+    "revenue_autocorrelation",
+    oracle=_acf_oracle(),
+    description="autocorrelation profile of the monthly revenue series "
+    "at lags 1..6 (the Box-Jenkins identification step: which AR order "
+    "or seasonality does the series carry?): r_k = sum((x_t - mean) "
+    "(x_{t-k} - mean)) / sum((x_t - mean)^2).  EXACT integer "
+    "arithmetic via the same cross-multiplication as "
+    "revenue_cusum_changepoint — the query centers as y_t = N*x_t - "
+    "total (pure BIGINT), accumulates y*y products in DECIMAL(38,0) "
+    "(the per-term product passes 2^63 — corr_matrix_lineitem's "
+    "overflow lesson applied a priori; the N^2 factors cancel in the "
+    "ratio), and divides once per lag, rounded at 6 dp in both "
+    "engines.  Lag alignment by LAG windows over the monthly table; "
+    "lag-k numerators sum over the N-k aligned pairs (the Box-Jenkins "
+    "sample ACF convention of a shared full-series denominator).  "
+    "Scale shape: one keyed monthly aggregate over the orders scan, "
+    "then ALL lag/stack/ratio work runs on the calendar-bounded "
+    "<= ~84-row monthly table — the whitelisted monthly-rollup window "
+    "class; no second scan, no per-order window",
+    tags=("event-time", "window", "timeseries", "exact-cents"),
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    y0 = m.crossJoin(F.broadcast(tot)).select(
+        "ym",
+        (F.col("n") * F.col("cents") - F.col("total"))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("ym")
+    lagged = y0.select(
+        "ym",
+        "y",
+        *[
+            F.lag("y", k).over(w).alias(f"y_{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    den = y0.agg(
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss")
+    )
+    stacked = lagged.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"y_{k}").alias("y_lag")
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("y", F.col("p.lag").cast("int").alias("lag"), "p.y_lag")
+    return (
+        stacked.filter(F.col("y_lag").isNotNull())
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag", "ss")
+        .agg(
+            F.count("y_lag").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(38,0)") * F.col("y_lag"))
+                .cast("double")
+                / F.col("ss").cast("double"),
+                6,
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+        .orderBy("lag")
+    )

@@ -950,3 +950,181 @@ def events_forward_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Kaplan-Meier time-to-conversion survival curve --------------------------
+
+
+@register(
+    "survival_time_to_purchase",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ),
+    a AS (SELECT MAX(ts) AS anchor FROM events),
+    conv AS (
+        SELECT t0.user_id, MIN(e.ts) AS first_purchase
+        FROM t0 JOIN events e
+          ON e.user_id = t0.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= t0.first_view
+        GROUP BY t0.user_id
+    ),
+    subj AS (
+        SELECT t0.user_id,
+               CAST(CASE WHEN conv.first_purchase IS NOT NULL
+                    THEN datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(conv.first_purchase AS DATE))
+                    ELSE datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(a.anchor AS DATE)) END AS INT)
+                   AS day,
+               CASE WHEN conv.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+                   AS ev
+        FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id
+        CROSS JOIN a
+    ),
+    days AS (
+        SELECT day,
+               CAST(SUM(ev) AS BIGINT) AS n_event,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM subj GROUP BY day
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
+    risk AS (
+        SELECT day, n_event, n_censored,
+               CAST(tot.n_total
+                    - COALESCE(SUM(n_event + n_censored) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM days, tot
+    ),
+    km AS (
+        SELECT day, n_risk, n_event, n_censored,
+               MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY day) AS died_out,
+               SUM(CASE WHEN n_event < n_risk
+                   THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+                   ELSE 0.0 END) OVER (ORDER BY day) AS log_s
+        FROM risk
+    )
+    SELECT day, n_risk, n_event, n_censored,
+           CASE WHEN died_out = 1 THEN 0.0
+                ELSE ROUND(exp(log_s), 6) END AS km_survival
+    FROM km ORDER BY day
+    """,
+    description="Kaplan-Meier time-to-conversion curve (Kaplan & Meier "
+    "1958, the product-limit estimator — survival analysis' standard "
+    "nonparametric answer to 'how long from first exposure to "
+    "conversion, given that some subjects never convert'): subject = "
+    "user, origin = first view, event = first purchase at or after it, "
+    "right-censoring at the feed's last timestamp for users who never "
+    "purchase — the censoring handling is the whole point, since "
+    "dropping never-converters (or counting them as day-29 converters) "
+    "biases any plain average.  Per event day t: n_risk (subjects with "
+    "duration >= t), n_event, n_censored, and S(t) = prod over s <= t "
+    "of (1 - d_s/n_s).  Both engines build the product as "
+    "exp(sum(ln(term))) over the SAME day-ordered window with the same "
+    "guard branch (a day where everyone at risk converts sends S to "
+    "exactly 0.0 via a flag, never through ln(0), whose result differs "
+    "across engines), so the rounded curve compares exactly; counts are "
+    "exact BIGINT.  KM == the empirical survival function when nothing "
+    "is censored — hypothesis-pinned for ANY duration multiset in "
+    "tests/test_round15_properties.py.  Scale shape: two keyed "
+    "aggregates (first-view, first-qualifying-purchase) + one keyed "
+    "left join, then ALL window work runs on the per-day table — "
+    "calendar-bounded (<= 31 rows at any SF), the whitelisted "
+    "monthly-rollup window class; no per-subject window, no global "
+    "sort of subjects",
+    tags=("event-time", "window", "survival", "funnel"),
+)
+def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    subj = (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff(F.to_date("first_purchase"), F.to_date("first_view")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("anchor"), F.to_date("first_view"))
+            )
+            .cast("int")
+            .alias("day"),
+            F.when(F.col("first_purchase").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    days = subj.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    before = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = days.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_event",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(before),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    km = risk.select(
+        "day",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.max(
+            F.when(F.col("n_event") == F.col("n_risk"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(upto)
+        .alias("died_out"),
+        F.sum(
+            F.when(
+                F.col("n_event") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_event").cast("double") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(upto)
+        .alias("log_s"),
+    )
+    return km.select(
+        "day",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 6))
+        .alias("km_survival"),
+    ).orderBy("day")
