@@ -456,11 +456,25 @@ def main() -> None:
     probes: list[dict] = []
 
     def _probe(at_query: int) -> None:
+        # One UNTIMED settle run absorbs the bench's own residue before
+        # the timed samples: a probe fires seconds after a 32-thread
+        # query burst (JVM GC, task teardown, governor ramp), and the
+        # third gated r15 run showed that residue inflating the parallel
+        # signal past the gate on an IDLE box (probe at query 0: min-of-3
+        # 0.374 at loadavg 0.42, minutes after the start calibration
+        # passed at 0.279) — 123/133 walls stamped untrusted while the
+        # per-query times matched r13.  The endpoints effectively get
+        # this settle for free (the start gate retries until quiet; the
+        # end gate follows its own first sample with min-of-5).  Gate
+        # VALUES unchanged; the settle run is recorded for transparency
+        # and excluded from the trust min.
+        settle = _calibrate(1)[0]
         par = _calibrate(PROBE_RUNS)
         st = _calibrate_single_thread(PROBE_RUNS)
         probes.append(
             {
                 "at_query": at_query,
+                "settle_run": settle,
                 "par_runs": par,
                 "par_min": min(par),
                 "st_runs": st,
