@@ -357,6 +357,10 @@ HEADLINE = [
     # exact-integer Box-Jenkins ACF profile
     "vocab_coverage_estimators",
     "revenue_autocorrelation",
+    # round 15 wave 6: classical seasonal decomposition and the HHI
+    # concentration screen
+    "revenue_seasonal_decomposition",
+    "market_concentration_hhi",
 ]
 
 

@@ -198,6 +198,10 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     # - revenue_autocorrelation (round 15): the six LAG windows run over
     #   the monthly aggregate — calendar-bounded (<= ~84 rows at any SF).
     "revenue_autocorrelation",
+    # - revenue_seasonal_decomposition (round 15): the LAG/LEAD/rolling
+    #   2x12-MA windows run over the monthly aggregate —
+    #   calendar-bounded (<= ~84 rows at any SF).
+    "revenue_seasonal_decomposition",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -253,6 +257,10 @@ SINGLE_PARTITION_WHITELIST = {
     #   windows over the monthly aggregate — calendar-bounded
     #   (<= ~84 rows at any SF).
     "revenue_autocorrelation",
+    # - revenue_seasonal_decomposition (round 15): the exchange feeds
+    #   the LAG/LEAD/rolling-MA windows over the monthly aggregate —
+    #   calendar-bounded (<= ~84 rows at any SF).
+    "revenue_seasonal_decomposition",
     "window_running_total",
     "null_ordering",
     "window_frames_suite",

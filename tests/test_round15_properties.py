@@ -429,3 +429,82 @@ def test_cusum_peaks_exactly_at_a_clean_level_shift(k, m, a, b):
         if s > best:
             best, best_t = s, t
     assert best_t == k
+
+
+# --- seasonal decomposition and HHI laws --------------------------------------
+
+
+def _decompose24(xs: list[int]) -> tuple[list, dict]:
+    """revenue_seasonal_decomposition's integer construction: trend24 =
+    x[t-6] + x[t+6] + 2*sum(x[t-5..t+5]) for interior t, seasonal
+    numerator per month-of-year = sum(24*x - trend24).  Month-of-year of
+    index t is t % 12.  Returns (trend24 list with None edges, seasonal
+    {moy: (snum, scnt)})."""
+    n = len(xs)
+    trend24 = [
+        xs[t - 6] + xs[t + 6] + 2 * sum(xs[t - 5 : t + 6])
+        if 6 <= t < n - 6
+        else None
+        for t in range(n)
+    ]
+    seas: dict[int, tuple[int, int]] = {}
+    for t, tr in enumerate(trend24):
+        if tr is None:
+            continue
+        sn, sc = seas.get(t % 12, (0, 0))
+        seas[t % 12] = (sn + 24 * xs[t] - tr, sc + 1)
+    return trend24, seas
+
+
+@FAST
+@given(
+    st.integers(0, 10**6),
+    st.integers(-1000, 1000),
+    st.lists(st.integers(-500, 500), min_size=12, max_size=12),
+    st.integers(24, 60),
+)
+def test_seasonal_decomposition_recovers_a_clean_trend_plus_seasonal(
+    a, b, s_raw, n
+):
+    """For a synthetic series x_t = a + b*t + s_{t%12} with zero-sum
+    12-periodic seasonality: the centered 2x12 MA recovers the linear
+    trend EXACTLY (the MA of a linear function is itself; the
+    zero-sum seasonal vanishes over any aligned 12-window), so
+    trend24 == 24*(a + b*t) and the month-of-year means recover s
+    exactly — the decomposition identity the registered query's
+    construction claims, checked in the same integer arithmetic."""
+    s_mean12 = sum(s_raw) // 12
+    s = [v - s_mean12 for v in s_raw]
+    rem = sum(s)  # distribute the rounding remainder to keep sum == 0
+    s[0] -= rem
+    assert sum(s) == 0
+    xs = [a + b * t + s[t % 12] for t in range(n)]
+    if min(xs) < 0:
+        xs = [x - min(xs) for x in xs]  # keep cents nonnegative
+        a = a - min(a + b * t + s[t % 12] for t in range(n))
+    trend24, seas = _decompose24(xs)
+    for t, tr in enumerate(trend24):
+        if tr is not None:
+            assert tr == 24 * (a + b * t), (t, tr)
+    for moy, (snum, scnt) in seas.items():
+        assert snum == 24 * s[moy] * scnt, (moy, snum, scnt)
+
+
+@FAST
+@given(
+    st.lists(st.integers(1, 10**6), min_size=1, max_size=50),
+)
+def test_hhi_bounds_and_exact_rational_identity(revs):
+    """HHI = sum(r^2)/total^2 lies in [1/n, 1] with equality at the
+    perfect-competition / monopoly extremes — checked as exact
+    rationals (cross-multiplied), the same arithmetic
+    market_concentration_hhi ships."""
+    n, total = len(revs), sum(revs)
+    ssq = sum(r * r for r in revs)
+    # 1/n <= ssq/total^2 <= 1  (cross-multiplied)
+    assert total * total <= n * ssq
+    assert ssq <= total * total
+    if len(set(revs)) == 1:
+        assert n * ssq == total * total  # perfect competition: HHI == 1/n
+    if n == 1:
+        assert ssq == total * total  # monopoly: HHI == 1

@@ -330,6 +330,14 @@ COMMENT = {
     "revenue_autocorrelation": "round 15 wave 5: one monthly keyed "
     "aggregate; six LAG windows + the lag-stacked ratio all on the "
     "<= ~84-row calendar table; sufficient statistics in DECIMAL(38,0)",
+    "revenue_seasonal_decomposition": "round 15 wave 6: one monthly "
+    "keyed aggregate; LAG/LEAD/rolling 2x12-MA windows and the 12-row "
+    "seasonal join all on the <= ~84-row calendar table; trend24 and "
+    "seasonal numerators pure BIGINT",
+    "market_concentration_hhi": "round 15 wave 6: one (nation, "
+    "supplier)-keyed aggregate behind a broadcast supplier dim, one "
+    "nation rollup with DECIMAL(38,0) squared-share cells, a broadcast "
+    "25-row nation join — no window, no self-join",
 }
 
 

@@ -260,6 +260,13 @@ HEAVY = [
     # aggregate; all lag work on the <= ~84-row calendar table).
     "vocab_coverage_estimators",
     "revenue_autocorrelation",
+    # round 15 wave 6: the seasonal decomposition (10x orders through
+    # one monthly aggregate; all MA/seasonal work on the <= ~84-row
+    # calendar table) and the HHI rollup (10x lineitem through a
+    # (nation, supplier)-keyed aggregate behind a broadcast dim; the
+    # DECIMAL(38) squared-share accumulator must not overflow).
+    "revenue_seasonal_decomposition",
+    "market_concentration_hhi",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

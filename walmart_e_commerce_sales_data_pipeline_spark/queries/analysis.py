@@ -1217,3 +1217,94 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_cnt").desc(), "p1", "p2")
     )
+
+
+# --- Herfindahl-Hirschman market concentration --------------------------------
+
+
+@register(
+    "market_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey,
+               l.l_suppkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(r) AS BIGINT) AS total,
+               SUM(CAST(r AS DECIMAL(38,0)) * r) AS ssq,
+               CAST(MAX(r) AS BIGINT) AS top_r
+        FROM rev GROUP BY 1
+    )
+    SELECT n.n_name, nat.n_suppliers, nat.total AS total_cents,
+           ROUND(CAST(nat.ssq AS DOUBLE)
+                 / (CAST(nat.total AS DOUBLE) * nat.total), 6) AS hhi,
+           ROUND(CAST(nat.top_r AS DOUBLE) / nat.total, 6) AS top_share,
+           ROUND(1.0 / nat.n_suppliers, 6) AS hhi_floor
+    FROM nat JOIN nation n ON n.n_nationkey = nat.s_nationkey
+    ORDER BY n.n_name
+    """,
+    description="Herfindahl-Hirschman market-concentration index of "
+    "supplier revenue per nation (Herfindahl 1950; the antitrust "
+    "screen: HHI = sum of squared revenue shares, 1/n for perfect "
+    "competition up to 1 for monopoly) with the top-supplier share and "
+    "the 1/n floor alongside — the concentration complement to "
+    "revenue_gini_lorenz's inequality curve.  Exactness by the "
+    "cross-multiplied share trick: HHI = sum(r_i^2) / total^2, so the "
+    "query carries sum of squared cents in DECIMAL(38,0) (per-term "
+    "r^2 passes 2^63 — the corr_matrix overflow lesson) and each "
+    "output is one rounded IEEE division of exact integers; no "
+    "per-supplier float share is ever materialized.  Scale shape: one "
+    "keyed (nation, supplier) aggregate over the lineitem scan behind "
+    "a broadcast supplier dim, one nation-keyed rollup, a broadcast "
+    "25-row nation join — no window, no self-join",
+    tags=("agg", "join", "profiling", "exact-cents"),
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0),
+            0,
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("r").cast("long").alias("total_cents"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("ssq"),
+        F.max("r").cast("long").alias("top_r"),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        nat.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            "total_cents",
+            F.round(
+                F.col("ssq").cast("double")
+                / (F.col("total_cents").cast("double") * F.col("total_cents")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("top_r").cast("double") / F.col("total_cents"), 6
+            ).alias("top_share"),
+            F.round(F.lit(1.0) / F.col("n_suppliers"), 6).alias("hhi_floor"),
+        )
+        .orderBy("n_name")
+    )

@@ -1980,3 +1980,137 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", "n_pairs", "acf")
         .orderBy("lag")
     )
+
+
+# --- classical seasonal decomposition of the monthly revenue series -----------
+
+
+@register(
+    "revenue_seasonal_decomposition",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT ym, cents,
+               CAST(EXTRACT(month FROM ym) AS INT) AS moy,
+               LAG(cents, 6) OVER (ORDER BY ym) AS x_m6,
+               LEAD(cents, 6) OVER (ORDER BY ym) AS x_p6,
+               SUM(cents) OVER (ORDER BY ym
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
+               COUNT(*) OVER (ORDER BY ym
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS c11
+        FROM m
+    ),
+    tr AS (
+        SELECT ym, cents, moy,
+               CASE WHEN x_m6 IS NOT NULL AND x_p6 IS NOT NULL
+                         AND c11 = 11
+                    THEN CAST(x_m6 + x_p6 + 2 * s11 AS BIGINT)
+               END AS trend24
+        FROM w
+    ),
+    seas AS (
+        SELECT moy,
+               CAST(SUM(24 * cents - trend24) AS BIGINT) AS snum,
+               CAST(COUNT(*) AS BIGINT) AS scnt
+        FROM tr WHERE trend24 IS NOT NULL
+        GROUP BY moy
+    )
+    SELECT tr.ym, tr.cents, tr.moy,
+           ROUND(CAST(tr.trend24 AS DOUBLE) / 24.0, 4) AS trend,
+           ROUND(CAST(seas.snum AS DOUBLE) / (24.0 * seas.scnt), 4)
+               AS seasonal,
+           CASE WHEN tr.trend24 IS NOT NULL THEN
+               ROUND(tr.cents - CAST(tr.trend24 AS DOUBLE) / 24.0
+                     - CAST(seas.snum AS DOUBLE) / (24.0 * seas.scnt), 4)
+           END AS residual
+    FROM tr JOIN seas ON seas.moy = tr.moy
+    ORDER BY tr.ym
+    """,
+    description="classical additive seasonal decomposition of the "
+    "monthly revenue series (the moving-average method STL refines; "
+    "Macaulay 1931): trend = centered 2x12 moving average, seasonal = "
+    "month-of-year mean of the detrended series, residual = remainder "
+    "— the series triage that separates secular drift from the "
+    "holiday-quarter lift revenue_seasonality_regression models "
+    "parametrically.  Exactness through cross-multiplication: the "
+    "query carries trend24 = x_{t-6} + x_{t+6} + 2*sum(x_{t-5}..x_{t+5}) "
+    "(pure BIGINT — the 2x12 MA times 24) and the seasonal numerator "
+    "sum(24*x - trend24) per calendar month, so every sufficient "
+    "statistic is integer-exact and both engines perform the IDENTICAL "
+    "two IEEE divisions per row before the rounded emit; edge months "
+    "(no full +-6 window) carry NULL trend/residual by an explicit "
+    "count guard, identical in both engines.  Scale shape: one keyed "
+    "monthly aggregate over the orders scan; the LAG/LEAD/rolling "
+    "windows and the 12-row seasonal join all run on the "
+    "calendar-bounded <= ~84-row monthly table — the whitelisted "
+    "monthly-rollup window class; no second scan",
+    tags=("event-time", "window", "timeseries", "exact-cents"),
+)
+def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_ord = Window.orderBy("ym")
+    w11 = Window.orderBy("ym").rowsBetween(-5, 5)
+    w = m.select(
+        "ym",
+        "cents",
+        F.month("ym").cast("int").alias("moy"),
+        F.lag("cents", 6).over(w_ord).alias("x_m6"),
+        F.lead("cents", 6).over(w_ord).alias("x_p6"),
+        F.sum("cents").over(w11).alias("s11"),
+        F.count(F.lit(1)).over(w11).alias("c11"),
+    )
+    tr = w.select(
+        "ym",
+        "cents",
+        "moy",
+        F.when(
+            F.col("x_m6").isNotNull()
+            & F.col("x_p6").isNotNull()
+            & (F.col("c11") == 11),
+            (F.col("x_m6") + F.col("x_p6") + 2 * F.col("s11")).cast("long"),
+        ).alias("trend24"),
+    )
+    seas = (
+        tr.filter(F.col("trend24").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.sum(24 * F.col("cents") - F.col("trend24"))
+            .cast("long")
+            .alias("snum"),
+            F.count(F.lit(1)).cast("long").alias("scnt"),
+        )
+    )
+    trend = F.col("trend24").cast("double") / F.lit(24.0)
+    seasonal = F.col("snum").cast("double") / (F.lit(24.0) * F.col("scnt"))
+    return (
+        tr.join(F.broadcast(seas), "moy")
+        .select(
+            "ym",
+            "cents",
+            "moy",
+            F.round(trend, 4).alias("trend"),
+            F.round(seasonal, 4).alias("seasonal"),
+            F.when(
+                F.col("trend24").isNotNull(),
+                F.round(F.col("cents") - trend - seasonal, 4),
+            ).alias("residual"),
+        )
+        .orderBy("ym")
+    )
