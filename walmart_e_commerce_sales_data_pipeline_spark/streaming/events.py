@@ -533,8 +533,19 @@ def hourly_user_forward_decay(
     stream == batch, the additive merge law, and the exact BIGINT identity
     ``acc_fw << (SHIFT - days(anchor-L)) == backward acc`` are pinned in
     tests/test_streaming.py.
+
+    Composes downstream of other stateful operators: when ``ts`` already
+    carries an event-time watermark (e.g. the purchase side of
+    ``joins.attribution_join`` renamed into ``ts``), the inherited
+    watermark is KEPT — Spark disallows redefining one mid-pipeline when
+    multiple stateful operators chain, and the upstream delay is the
+    correct horizon for rows that operator emits.  Join-then-decay ==
+    batch is pinned in tests/test_stream_stream_join.py.
     """
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    needs_wm = events.isStreaming and (
+        "spark.watermarkDelayMs" not in events.schema["ts"].metadata
+    )
+    src = events.withWatermark("ts", watermark) if needs_wm else events
     term = F.col("cents") * F.expr(
         f"shiftleft(CAST(1 AS BIGINT),"
         f" datediff(CAST(ts AS DATE), DATE'{landmark}'))"
