@@ -361,6 +361,8 @@ HEADLINE = [
     # concentration screen
     "revenue_seasonal_decomposition",
     "market_concentration_hhi",
+    # round 15 wave 7: deterministic negative sampling for training pairs
+    "training_negative_samples",
 ]
 
 

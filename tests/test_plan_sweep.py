@@ -132,6 +132,11 @@ BNLJ_WHITELIST = {
     # 1-row (n, total) centering frame and the 1-row denominator onto
     # the <= ~84-row monthly table — the scalar-broadcast class.
     "revenue_autocorrelation",
+    # training_negative_samples (round 15): one cross broadcasts the
+    # 1-row part-keyspace size onto the customer dimension before the
+    # bounded 8-draw explode — the scalar-broadcast class; candidate
+    # validation and history rejection are keyed joins.
+    "training_negative_samples",
     # embedding_top_pc: 1-row scale/trace/Rayleigh broadcasts crossed into
     # the d^2=4,096-row scaled Gram and d-row iterates — every nested-loop
     # side is dimension-sized (d fixed by the embedding schema), and the

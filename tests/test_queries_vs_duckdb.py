@@ -154,15 +154,15 @@ def test_checked_window_composition():
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
     # horizon).  Staleness histogram after the round-15 additions
-    # (eighteen new queries): never:18 / r10:26 / r12:50 / r13:50 /
-    # r14:50.  The window is the eighteen never-green round-15 queries,
+    # (nineteen new queries): never:19 / r10:26 / r12:50 / r13:50 /
+    # r14:50.  The window is the nineteen never-green round-15 queries,
     # ALL twenty-six r10-stale queries the r14 VERDICT item 2
-    # prescribed, then the 6 stalest r12-green queries in prior
+    # prescribed, then the 5 stalest r12-green queries in prior
     # registry order.
     window = set(names[:50])
     # The round-15 additions (never externally green) lead
     # unconditionally, followed by the twenty-six r10-stale queries.
-    assert _PRIORITY[:44] == [
+    assert _PRIORITY[:45] == [
         "events_hourly_kmv",
         "mg_heavy_hitters",
         "countsketch_user_freq",
@@ -181,6 +181,7 @@ def test_checked_window_composition():
         "revenue_autocorrelation",
         "revenue_seasonal_decomposition",
         "market_concentration_hhi",
+        "training_negative_samples",
         "shipping_priority_top10",
         "large_quantity_orders",
         "above_average_orders",
@@ -208,14 +209,13 @@ def test_checked_window_composition():
         "quantize_embeddings",
         "label_centroid_similarity",
     ]
-    # The 6 stalest r12-green queries follow, in prior registry order.
-    assert _PRIORITY[44:50] == [
+    # The 5 stalest r12-green queries follow, in prior registry order.
+    assert _PRIORITY[45:50] == [
         "concurrent_sessions_profile",
         "pricing_summary",
         "join_anti",
         "join_full_outer",
         "regional_revenue",
-        "window_topk_orders",
     ]
     # Nothing green in rounds 13 or 14 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

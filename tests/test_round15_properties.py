@@ -508,3 +508,78 @@ def test_hhi_bounds_and_exact_rational_identity(revs):
         assert n * ssq == total * total  # perfect competition: HHI == 1/n
     if n == 1:
         assert ssq == total * total  # monopoly: HHI == 1
+
+
+# --- a-priori min-support prefilter: completeness + measured reduction --------
+
+
+def test_apriori_prefilter_keeps_every_supported_pair_and_prunes(spark, tmp_path):
+    """Skewed synthetic baskets (a few HOT items co-occurring in many
+    baskets + a long singleton tail): basket_association_rules with
+    min_item_support=s must (1) keep EVERY pair whose pair support >= s
+    with identical counts — the a-priori completeness argument: a pair
+    in >= s baskets puts both items in >= s baskets — and (2) measurably
+    collapse the candidate-pair explode the tail would otherwise feed."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        basket_association_rules,
+    )
+
+    rows = []
+    # 30 hot baskets over 4 hot items (pairwise supports >= 10)
+    for b in range(30):
+        rows += [(b, 1000 + (b + k) % 4) for k in range(3)]
+    # 400 tail baskets: two singleton-ish items each, every item unique
+    for b in range(30, 430):
+        rows += [(b, 2000 + 2 * b), (b, 2001 + 2 * b)]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    sf_dir = str(tmp_path)
+
+    full = {
+        (r["p1"], r["p2"]): r["pair_cnt"]
+        for r in basket_association_rules(spark, sf_dir).collect()
+    }
+    s = 5
+    pruned = {
+        (r["p1"], r["p2"]): r["pair_cnt"]
+        for r in basket_association_rules(
+            spark, sf_dir, min_item_support=s
+        ).collect()
+    }
+    # completeness: every pair with support >= s survives, counts equal
+    for pair, cnt in full.items():
+        if cnt >= s:
+            assert pruned.get(pair) == cnt, pair
+    # nothing fabricated
+    for pair, cnt in pruned.items():
+        assert full.get(pair) == cnt, pair
+    # measured reduction of the candidate explode: the tail's 400 pairs
+    # vanish; only hot-item combinations remain
+    def n_candidates(min_sup):
+        from pyspark.sql import functions as F
+
+        items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        if min_sup > 1:
+            hot = (
+                items.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= min_sup)
+                .select("l_partkey")
+            )
+            items = items.join(hot, "l_partkey")
+        k = items.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        return k.agg(
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("c")
+        ).collect()[0]["c"]
+
+    c_full, c_pruned = n_candidates(1), n_candidates(s)
+    assert c_full >= 400 + 30 * 3  # tail pairs + hot combinations
+    assert c_pruned <= 30 * 3  # tail gone entirely
+    assert c_pruned < c_full / 5

@@ -267,6 +267,11 @@ HEAVY = [
     # DECIMAL(38) squared-share accumulator must not overflow).
     "revenue_seasonal_decomposition",
     "market_concentration_hhi",
+    # round 15 wave 7: negative sampling (10x customers through the
+    # bounded 8-draw explode; candidate validation and the history
+    # anti-join are keyed — candidate volume must scale with customers,
+    # never with customers x parts).
+    "training_negative_samples",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

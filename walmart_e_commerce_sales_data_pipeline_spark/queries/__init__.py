@@ -68,11 +68,13 @@ from . import (  # noqa: F401
 # ``revenue_seasonal_decomposition``, the classical 2x12-MA additive
 # decomposition with cross-multiplied integer sufficient statistics;
 # and ``market_concentration_hhi``, the Herfindahl-Hirschman supplier
-# concentration screen):
-# 18 never-green, 26 last green externally in r10, 50 in r12, 50 in
+# concentration screen.  Wave 7: ``training_negative_samples``, the
+# deterministic (user, item-not-interacted) pair generator for
+# contrastive/two-tower training):
+# 19 never-green, 26 last green externally in r10, 50 in r12, 50 in
 # r13, 50 in r14.  The window, computed and staleness-asserted by
 # tools/rotate_window.py, extends the r14 VERDICT prescription: the
-# eighteen never-green queries, then ALL twenty-six r10-stale ones
+# nineteen never-green queries, then ALL twenty-six r10-stale ones
 # (``shipping_priority_top10``, ``large_quantity_orders``,
 # ``above_average_orders``, ``pivot_status_by_year``,
 # ``price_percentiles``, ``regex_math_functions``, ``ship_delay_buckets``,
@@ -84,9 +86,9 @@ from . import (  # noqa: F401
 # ``dormant_customer_balance``, ``local_supplier_volume``,
 # ``customer_order_histogram``, ``set_operations_all``,
 # ``orders_rfm_segments``, ``quantize_embeddings``,
-# ``label_centroid_similarity``), then the 6 stalest r12-green queries
+# ``label_centroid_similarity``), then the 5 stalest r12-green queries
 # in prior registry order (projected staleness horizon after r15: worst
-# 3 rounds — top10_expensive_items — inside the 5-round limit the tool
+# 3 rounds — window_topk_orders — inside the 5-round limit the tool
 # asserts).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
@@ -111,6 +113,7 @@ _PRIORITY = [
     "revenue_autocorrelation",
     "revenue_seasonal_decomposition",
     "market_concentration_hhi",
+    "training_negative_samples",
     "shipping_priority_top10",
     "large_quantity_orders",
     "above_average_orders",
@@ -142,7 +145,6 @@ _PRIORITY = [
     "join_anti",
     "join_full_outer",
     "regional_revenue",
-    "window_topk_orders",
 ]
 
 

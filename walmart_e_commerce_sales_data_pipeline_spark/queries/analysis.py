@@ -1153,7 +1153,20 @@ def mad_outlier_rate(
     "is 2B rows — the classic wrong-side hint avoided)",
     tags=("association", "join", "agg", "recommendation"),
 )
-def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basket_association_rules(
+    spark: SparkSession, sf_dir: str, min_item_support: int = 1
+) -> DataFrame:
+    """``min_item_support`` is the classic a-priori stage-1 prefilter: a
+    pair with support >= s needs BOTH items in >= s baskets, so items
+    below the threshold are pruned BEFORE baskets collect and pairs
+    explode — on a skewed corpus (long singleton tail, few hot items)
+    this collapses the candidate-pair stream while provably keeping
+    every pair with pair support >= s (completeness pinned, with the
+    measured candidate reduction, in tests/test_round15_properties.py).
+    The registered query keeps the default 1 (no pruning) so its oracle
+    covers the complete lattice; a production run at a real support
+    threshold passes s through.
+    """
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1165,6 +1178,11 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
     )
+    if min_item_support > 1:
+        hot = freq.filter(F.col("n_item") >= min_item_support).select(
+            "l_partkey"
+        )
+        items = items.join(hot, "l_partkey")
     # Pair generation without a second items shuffle: ONE groupBy-order
     # collects each basket (<= 13 parts), then the p1 < p2 combinations
     # explode MAP-SIDE from the sorted array — the (p1, p2) count is the

@@ -1175,3 +1175,129 @@ def vocab_coverage_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens"), 6
         ).alias("coverage"),
     )
+
+
+# --- deterministic negative sampling for training pairs -----------------------
+
+# 8 candidates drawn per customer, 4 negatives kept after the history
+# anti-join — the (candidates, kept) ratio leaves headroom for collision
+# losses without a second drawing round at this corpus's density.
+_NEG_DRAWS = 8
+_NEG_KEEP = 4
+
+
+def _neg_hash_sql(str_type: str) -> str:
+    from ..operators.splits import portable_hex_value_sql
+
+    return portable_hex_value_sql(
+        f"CONCAT(CAST(o_custkey AS {str_type}), '#', CAST(i AS {str_type}))",
+        12,
+        str_type,
+    )
+
+
+@register(
+    "training_negative_samples",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pk AS (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS n_parts FROM part),
+    custs AS (SELECT DISTINCT o_custkey FROM orders),
+    cand AS (
+        SELECT c.o_custkey, u.i,
+               CAST(({_neg_hash_sql('VARCHAR')}) % pk.n_parts AS BIGINT)
+                   AS cand_pk
+        FROM custs c, pk, UNNEST(range(0, {_NEG_DRAWS})) AS u(i)
+    ),
+    real_ AS (
+        SELECT cand.o_custkey, cand.i, cand.cand_pk
+        FROM cand JOIN part p ON p.p_partkey = cand.cand_pk
+    ),
+    neg AS (
+        SELECT r.o_custkey, r.i, r.cand_pk,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY r.o_custkey ORDER BY r.i) AS INT) AS rk
+        FROM real_ r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist h
+            WHERE h.o_custkey = r.o_custkey AND h.l_partkey = r.cand_pk
+        )
+    )
+    SELECT o_custkey, rk, cand_pk AS neg_partkey,
+           CAST(i AS INT) AS draw_index
+    FROM neg WHERE rk <= {_NEG_KEEP}
+    ORDER BY o_custkey, rk
+    """,
+    description="deterministic NEGATIVE SAMPLING for training pairs: for "
+    "every customer, {draws} candidate parts drawn by the portable md5 "
+    "of (custkey, draw-index) mod the part keyspace, validated against "
+    "the part dim, anti-joined against the customer's ACTUAL purchase "
+    "history, and the first {keep} survivors kept by draw order — the "
+    "(user, item-not-interacted) pair generator every two-tower / "
+    "matrix-factorization / contrastive training pipeline runs beside "
+    "its positive pairs (Mikolov et al. 2013 negative sampling; "
+    "uniform-item variant).  Deterministic like weighted_sample_aes and "
+    "priority_sample_subsetsum: no RNG state, the same negatives "
+    "assemble on any engine/run/partitioning — which is what makes a "
+    "SAMPLING operator oracle-checkable row for row AND what a "
+    "reproducible training run wants (resuming a job regenerates "
+    "identical pairs).  Scale shape: the candidate explode is "
+    "draws-per-customer bounded; existence check and history rejection "
+    "are keyed joins (broadcast part dim at this scale, shuffle "
+    "hash-join at 100 TB — the (custkey, partkey) anti-join key is "
+    "exactly how the positive-pair table is already partitioned); the "
+    "rank window is partitioned per customer over <= {draws} rows; "
+    "nothing all-pairs anywhere".format(draws=_NEG_DRAWS, keep=_NEG_KEEP),
+    tags=("sampling", "curation", "portable", "training"),
+)
+def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    hist = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey")
+    pk = part.agg((F.max("p_partkey") + 1).cast("long").alias("n_parts"))
+    custs = orders.select("o_custkey").distinct()
+    cand = (
+        custs.crossJoin(F.broadcast(pk))
+        .select(
+            "o_custkey",
+            "n_parts",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))).alias("i"),
+        )
+        .select(
+            "o_custkey",
+            "i",
+            (F.expr(_neg_hash_sql("STRING")) % F.col("n_parts"))
+            .cast("long")
+            .alias("cand_pk"),
+        )
+    )
+    real = cand.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("cand_pk")
+    ).select("o_custkey", "i", "cand_pk")
+    neg = real.join(
+        hist,
+        (hist["o_custkey"] == real["o_custkey"])
+        & (hist["l_partkey"] == real["cand_pk"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("i")
+    return (
+        neg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NEG_KEEP)
+        .select(
+            "o_custkey",
+            "rk",
+            F.col("cand_pk").alias("neg_partkey"),
+            F.col("i").cast("int").alias("draw_index"),
+        )
+        .orderBy("o_custkey", "rk")
+    )
