@@ -78,15 +78,18 @@ END_CAL_RUNS = int(os.environ.get("SPARK_GRAFT_END_CAL_RUNS", "5"))
 # 3-6x with byte-identical shuffle; the parallel signal read over its
 # 0.33 gate at that moment and would have flagged the segment).
 PROBE_EVERY_N = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "10"))
-# min-of-3 per probe signal — the SAME sample count the start calibration
-# uses (and the repo's standing min-of-N-never-mean rule): the second r15
-# run showed min-of-2 parallel probes over-refusing on a host whose quiet
-# parallel calibration now hovers near the gate (10/14 probes failed at
-# mins 0.29-0.59 while the min-of-5 endpoints passed and every query wall
-# matched the judge's own idle re-timings) — one extra sample per probe
-# distinguishes jitter from a genuine wave without touching either gate
-# value.
-PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+# min-of-5 per probe signal — the SAME sample count and the SAME argument
+# as the END calibration (r13 item 3): a probe, like the end gate, cannot
+# retry-until-quiet (re-probing later says nothing about the segment that
+# just closed), so its one shot takes MORE samples instead.  The history:
+# min-of-2 over-refused (second r15 run: 10/14 probes failed while the
+# min-of-5 endpoints passed and every wall matched the judge's idle
+# re-timings); min-of-3 still over-refused on a host whose quiet parallel
+# floor now TOUCHES the 0.33 gate (fifth run: probe mins 0.328-0.452 with
+# the single-thread signal quiet at 0.21-0.25 and BOTH min-of-5 endpoints
+# trusted — a sample-count artifact, not a wave).  Gate values unchanged;
+# a sustained load still fails all five samples.
+PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "5"))
 
 
 def per_query_trusted(
