@@ -1215,11 +1215,15 @@ def _neg_hash_sql(str_type: str) -> str:
         SELECT cand.o_custkey, cand.i, cand.cand_pk
         FROM cand JOIN part p ON p.p_partkey = cand.cand_pk
     ),
+    uniq AS (
+        SELECT o_custkey, cand_pk, MIN(i) AS i
+        FROM real_ GROUP BY o_custkey, cand_pk
+    ),
     neg AS (
         SELECT r.o_custkey, r.i, r.cand_pk,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY r.o_custkey ORDER BY r.i) AS INT) AS rk
-        FROM real_ r
+        FROM uniq r
         WHERE NOT EXISTS (
             SELECT 1 FROM hist h
             WHERE h.o_custkey = r.o_custkey AND h.l_partkey = r.cand_pk
@@ -1234,7 +1238,10 @@ def _neg_hash_sql(str_type: str) -> str:
     "every customer, {draws} candidate parts drawn by the portable md5 "
     "of (custkey, draw-index) mod the part keyspace, validated against "
     "the part dim, anti-joined against the customer's ACTUAL purchase "
-    "history, and the first {keep} survivors kept by draw order — the "
+    "history, deduplicated per (customer, part) at the minimum draw "
+    "index (two draws can collide mod the keyspace; a training batch "
+    "must not hold duplicate negatives for one user), and the first "
+    "{keep} survivors kept by draw order — the "
     "(user, item-not-interacted) pair generator every two-tower / "
     "matrix-factorization / contrastive training pipeline runs beside "
     "its positive pairs (Mikolov et al. 2013 negative sampling; "
@@ -1283,6 +1290,12 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     real = cand.join(
         F.broadcast(part), F.col("p_partkey") == F.col("cand_pk")
     ).select("o_custkey", "i", "cand_pk")
+    # Two draw indices can hash to the same cand_pk mod n_parts; without
+    # this dedup both would survive the anti-join and the emitted training
+    # pairs would contain duplicate negatives for one customer.  Keep the
+    # MINIMUM draw index so the draw-order ranking below is unchanged for
+    # collision-free customers.
+    real = real.groupBy("o_custkey", "cand_pk").agg(F.min("i").alias("i"))
     neg = real.join(
         hist,
         (hist["o_custkey"] == real["o_custkey"])

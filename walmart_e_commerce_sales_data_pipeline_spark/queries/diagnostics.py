@@ -1426,7 +1426,7 @@ def _gini_oracle() -> str:
         SELECT ROUND(
             CAST(s.s - (CAST(tot.n AS DECIMAL(38,0)) + 1) * tot.total
                  AS DOUBLE)
-            / CAST(tot.n * tot.total AS DOUBLE), 6) AS gini
+            / (CAST(tot.n AS DOUBLE) * CAST(tot.total AS DOUBLE)), 6) AS gini
         FROM s, tot
     ),
     d AS (SELECT UNNEST(range(1, 11)) AS decile),
@@ -1464,7 +1464,10 @@ def _gini_oracle() -> str:
     "c*(2*c_lt+c+1)*v in ONE row), so everything is integer arithmetic "
     "in DECIMAL(38,0) accumulators (the per-term product already passes "
     "2^63 — corr_matrix_lineitem's lesson applied a priori) until one "
-    "final rounded division.  The ORACLE ranks definitionally with one "
+    "final rounded division whose n*total denominator multiplies in "
+    "DOUBLE (each factor cast first, both engines): n~1.5e7 x "
+    "total~2.3e15 cents at sf100 would wrap a BIGINT product.  "
+    "The ORACLE ranks definitionally with one "
     "global window; the Spark plan must not, so global rank decomposes "
     "scale-safely (the skyline/zscore zone pattern): c_lt = bucket-"
     "summary prefix sum (an unpartitioned window over the $500-bucket "
@@ -1542,7 +1545,7 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s")
                 - (F.col("n").cast("decimal(38,0)") + 1) * F.col("total")
             ).cast("double")
-            / (F.col("n") * F.col("total")).cast("double"),
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
             6,
         ).alias("gini")
     )
@@ -1764,7 +1767,8 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tot.n_pos, tot.n_neg,
            CAST(s.s2 - tot.n_pos * (tot.n_pos + 1) AS BIGINT) AS u2,
            ROUND(CAST(s.s2 - tot.n_pos * (tot.n_pos + 1) AS DOUBLE)
-                 / (2 * tot.n_pos * tot.n_neg), 6) AS auc
+                 / (2.0 * CAST(tot.n_pos AS DOUBLE)
+                    * CAST(tot.n_neg AS DOUBLE)), 6) AS auc
     FROM s, tot
     """,
     description="ROC-AUC of the event value as a purchase-vs-view "
@@ -1778,7 +1782,10 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scores quantize to cents, ties collapse per distinct score exactly "
     "as in revenue_gini_lorenz (the tied block at ranks (c_lt, c_lt+c] "
     "contributes pos_c*(2*c_lt+c+1) to twice the positive rank sum), so "
-    "n_pos, n_neg, and the doubled U statistic are BIGINT and the one "
+    "n_pos, n_neg, and the doubled U statistic are BIGINT, the "
+    "2*n_pos*n_neg denominator multiplies in DOUBLE (each factor cast "
+    "first — the BIGINT product wraps once each class passes ~2e9 rows "
+    "at large SF), and the one "
     "float op is the final rounded division.  Scale shape: one keyed "
     "aggregate per distinct score, then ALL rank work runs on the "
     "distinct-score table — DOMAIN-bounded (value in (0, ~560) by the "
@@ -1837,7 +1844,11 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
                 "double"
             )
-            / (2 * F.col("n_pos") * F.col("n_neg")),
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
             6,
         ).alias("auc"),
     )
@@ -1995,7 +2006,13 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     ),
     w AS (
-        SELECT ym, cents,
+        SELECT ym,
+               CASE WHEN LAG(ym) OVER (ORDER BY ym) IS NULL
+                         OR datediff('month', LAG(ym) OVER (ORDER BY ym),
+                                     ym) = 1
+                    THEN cents
+                    ELSE CAST(error('monthly series gap') AS BIGINT)
+               END AS cents,
                CAST(EXTRACT(month FROM ym) AS INT) AS moy,
                LAG(cents, 6) OVER (ORDER BY ym) AS x_m6,
                LEAD(cents, 6) OVER (ORDER BY ym) AS x_p6,
@@ -2044,7 +2061,11 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statistic is integer-exact and both engines perform the IDENTICAL "
     "two IEEE divisions per row before the rounded emit; edge months "
     "(no full +-6 window) carry NULL trend/residual by an explicit "
-    "count guard, identical in both engines.  Scale shape: one keyed "
+    "count guard, identical in both engines.  The row-based frames "
+    "assume a gap-free monthly calendar (true for TPC-H); a missing "
+    "month raises loudly in BOTH engines (raise_error / error() "
+    "threaded through the cents column) instead of silently misaligning "
+    "the centered MA.  Scale shape: one keyed "
     "monthly aggregate over the orders scan; the LAG/LEAD/rolling "
     "windows and the 12-row seasonal join all run on the "
     "calendar-bounded <= ~84-row monthly table — the whitelisted "
@@ -2067,9 +2088,26 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w_ord = Window.orderBy("ym")
     w11 = Window.orderBy("ym").rowsBetween(-5, 5)
+    # Gap-free guard: the ROWS-based LAG/LEAD(6) and 5-preceding frames
+    # assume consecutive calendar months; a missing month would silently
+    # misalign trend24 to non-adjacent months.  Fail loudly instead —
+    # threaded through the cents column (not a dropped assert column,
+    # which Catalyst would prune away unevaluated); the oracle carries
+    # the same guard via error().
+    prev_ym = F.lag("ym", 1).over(w_ord)
+    gap_free_cents = F.when(
+        prev_ym.isNull() | (F.months_between(F.col("ym"), prev_ym) == 1.0),
+        F.col("cents"),
+    ).otherwise(
+        F.expr(
+            "raise_error('revenue_seasonal_decomposition: monthly series"
+            " has a calendar gap — row-based 2x12 MA frames would"
+            " misalign')"
+        )
+    )
     w = m.select(
         "ym",
-        "cents",
+        gap_free_cents.alias("cents"),
         F.month("ym").cast("int").alias("moy"),
         F.lag("cents", 6).over(w_ord).alias("x_m6"),
         F.lead("cents", 6).over(w_ord).alias("x_p6"),

@@ -546,9 +546,19 @@ def hourly_user_forward_decay(
         "spark.watermarkDelayMs" not in events.schema["ts"].metadata
     )
     src = events.withWatermark("ts", watermark) if needs_wm else events
+    # Shift-range guard: Java's shiftleft masks the shift count mod 64, so
+    # an event before the landmark (negative datediff) or past the 62-day
+    # renormalization horizon would SILENTLY produce a garbage weight while
+    # DuckDB's << raises — the engines must fail together, loudly.  62 is
+    # the hard BIGINT ceiling (cents * 2^62 overflows); production advances
+    # the landmark and right-shifts stored cells before d reaches it.
+    days = f"datediff(CAST(ts AS DATE), DATE'{landmark}')"
     term = F.col("cents") * F.expr(
-        f"shiftleft(CAST(1 AS BIGINT),"
-        f" datediff(CAST(ts AS DATE), DATE'{landmark}'))"
+        f"CASE WHEN {days} BETWEEN 0 AND 62"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {days})"
+        f" ELSE raise_error(CONCAT('forward-decay: event ts ', CAST(ts AS"
+        f" STRING), ' outside [landmark, landmark+62d] — advance the"
+        f" landmark (renormalize) before ingesting it')) END"
     )
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
