@@ -90,6 +90,41 @@ PROBE_EVERY_N = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "10"))
 # trusted — a sample-count artifact, not a wave).  Gate values unchanged;
 # a sustained load still fails all five samples.
 PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "5"))
+# Dual-signal RELATIVE parallel band (VERDICT r15 item 2 — judge
+# sign-off granted, with conditions).  The r15 absolute-parallel-floor
+# policy over-refused: 136/137 walls stamped untrusted by interior
+# parallel probes reading 0.31-0.57 against the fixed 0.33 gate, on a
+# run whose walls matched the judge's idle re-timings — the absolute
+# floor conflates a few-percent ambient drift with r14-style 4x waves.
+# Per-probe trust is now:
+#   - single-thread min vs the ABSOLUTE st gate (value unchanged since
+#     r12 — it caught real serial waves), AND
+#   - parallel min vs a RELATIVE band anchored to the run's own TRUSTED
+#     start calibration: par_min <= max(CAL_GATE_SEC, 1.3 * anchor).
+# The max() floor means the policy is never STRICTER than the old
+# absolute rule (the change reduces over-refusal, never adds it); when
+# the start calibration never went quiet the anchor is unreliable and
+# the parallel signal falls back to the absolute gate — conservative.
+# Sign-off conditions honored: both raw signals stay in the sidecar
+# (par_runs/st_runs per probe, unchanged), the refusal history is
+# preserved (trusted_abs records the old verdict next to trusted), and
+# tests/test_bench_gate.py shows an r14-shape wave is still refused.
+PROBE_PAR_REL_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_REL_BAND", "1.3"))
+
+
+def par_band_sec(
+    anchor: float,
+    start_trusted: bool,
+    gate: float = CAL_GATE_SEC,
+    band: float = PROBE_PAR_REL_BAND,
+) -> float:
+    """The parallel-signal trust threshold for this run's probes and end
+    calibration: ``max(gate, band * anchor)`` when the start calibration
+    went quiet (``anchor`` = its min), else the absolute ``gate``.  Pure
+    so the band arithmetic is unit-testable (tests/test_bench_gate.py)."""
+    if not start_trusted:
+        return gate
+    return max(gate, band * anchor)
 
 
 def per_query_trusted(
@@ -428,6 +463,10 @@ def main() -> None:
     )
     calibration = min(cal_runs)
     calibration_st = min(cal_st_runs)
+    # Parallel trust threshold for the interior probes and the end
+    # calibration (VERDICT r15 item 2): relative band anchored to this
+    # run's trusted start calibration, floored by the absolute gate.
+    probe_band = round(par_band_sec(calibration, cal_start_trusted), 3)
 
     # min of 3 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
@@ -489,7 +528,14 @@ def main() -> None:
                 "st_runs": st,
                 "st_min": min(st),
                 "loadavg_1m": _loadavg(),
-                "trusted": min(par) <= CAL_GATE_SEC
+                # dual-signal relative policy (VERDICT r15 item 2): st
+                # absolute, parallel vs the run-anchored band
+                "par_band_sec": probe_band,
+                "trusted": min(par) <= probe_band
+                and min(st) <= CAL_ST_GATE_SEC,
+                # refusal history preserved (sign-off condition): the
+                # pre-r16 absolute verdict recorded beside the new one
+                "trusted_abs": min(par) <= CAL_GATE_SEC
                 and min(st) <= CAL_ST_GATE_SEC,
             }
         )
@@ -644,7 +690,11 @@ def main() -> None:
     # retry loop, so it takes more samples in its one shot instead.
     cal_end_runs = _calibrate(END_CAL_RUNS)
     cal_st_end_runs = _calibrate_single_thread(END_CAL_RUNS)
-    cal_end_trusted = end_calibration_trusted(cal_end_runs, cal_st_end_runs)
+    # The end gate shares the probes' argument (no retry, one shot) so it
+    # shares their parallel policy too: relative band, absolute st gate.
+    cal_end_trusted = end_calibration_trusted(
+        cal_end_runs, cal_st_end_runs, gate=probe_band
+    )
     # The run-level flag now covers the INTERIOR of the window too
     # (VERDICT r14 item 1): endpoints quiet + every interleaved probe
     # quiet.  A partially-noisy run still names its clean queries via
@@ -682,6 +732,8 @@ def main() -> None:
                 "untrusted_queries": untrusted_queries,
                 "calibration_gate_sec": CAL_GATE_SEC,
                 "calibration_st_gate_sec": CAL_ST_GATE_SEC,
+                "probe_par_band_sec": probe_band,
+                "probe_par_rel_band": PROBE_PAR_REL_BAND,
                 "calibration_gate_attempts": len(cal_history),
                 "calibration_gate_history": cal_history,
                 "calibration_runs": cal_runs,

@@ -115,6 +115,12 @@ BNLJ_WHITELIST = {
     # 1-row anchor timestamp and the 1-row subject total onto keyed
     # frames — the scalar-broadcast class.
     "survival_time_to_purchase",
+    # survival_km_logrank (round 16): crosses broadcast the 1-row anchor
+    # timestamp, the 1-row (O1, E1, V) log-rank totals, and join the
+    # <= 31-row distinct-day frame onto the 2-row cohort dimension (the
+    # grid the risk sets are evaluated on) — every nested-loop side is a
+    # scalar or a calendar/config-bounded dimension, never subjects.
+    "survival_km_logrank",
     # basket_association_rules (round 15): one cross broadcasts the
     # 1-row basket-count total onto the 10-row result — the
     # scalar-broadcast class; the pair generator itself is a keyed
@@ -193,6 +199,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   product-limit windows run over the per-day aggregate —
     #   calendar-bounded (<= 31 rows at any SF).
     "survival_time_to_purchase",
+    # - survival_km_logrank (round 16): the log-rank accumulation
+    #   windows (O1/E1/V ordered sums + the last-row row_number) run
+    #   over the per-day cell table — calendar-bounded (<= 31 rows at
+    #   any SF); the per-cohort KM windows are cohort-PARTITIONED.
+    "survival_km_logrank",
     # - revenue_cusum_changepoint (round 15): index/prefix/peak windows
     #   over the monthly aggregate — calendar-bounded (<= ~84 rows).
     "revenue_cusum_changepoint",
@@ -250,6 +261,11 @@ SINGLE_PARTITION_WHITELIST = {
     #   calendar-bounded (<= 31 rows at any SF), the monthly-rollup
     #   window class.
     "survival_time_to_purchase",
+    # - survival_km_logrank (round 16): the exchanges feed the
+    #   day-ordered log-rank accumulation windows and the per-cohort
+    #   grid windows — both calendar/config-bounded (<= 31 days x 2
+    #   cohorts at any SF), the monthly-rollup window class.
+    "survival_km_logrank",
     # - revenue_cusum_changepoint (round 15): the exchange feeds the
     #   index/prefix/peak windows over the monthly aggregate —
     #   calendar-bounded (<= ~84 rows at any SF).

@@ -92,3 +92,177 @@ def test_negative_samples_no_duplicate_pairs(spark):
     out = training_negative_samples(spark, SF0001).collect()
     pairs = [(r.o_custkey, r.neg_partkey) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+# --- log-rank test pins (survival_km_logrank, VERDICT r15 item 3) ------------
+
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+FAST = settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a subject: (cohort, duration day, event flag 1=converted / 0=censored)
+subjects_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(0, 12),
+        st.integers(0, 1),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _logrank_definition(subjects):
+    """EXACT first-principles log-rank (Mantel 1966): per event time t,
+    the hypergeometric expected events and variance for cohort A,
+    accumulated in Fractions — the definitional form the registered
+    query's ordered-window double accumulation must agree with."""
+    days = sorted({d for _, d, _ in subjects})
+    o1, e1, v = 0, Fraction(0), Fraction(0)
+    for t in days:
+        n1 = sum(1 for g, d, _ in subjects if g == "A" and d >= t)
+        n2 = sum(1 for g, d, _ in subjects if g == "B" and d >= t)
+        d1 = sum(1 for g, d, e in subjects if g == "A" and d == t and e)
+        d2 = sum(1 for g, d, e in subjects if g == "B" and d == t and e)
+        nt, dt = n1 + n2, d1 + d2
+        o1 += d1
+        if nt > 0:
+            e1 += Fraction(dt * n1, nt)
+        if nt > 1:
+            v += Fraction(dt * n1 * n2 * (nt - dt), nt * nt * (nt - 1))
+    chi2 = float((o1 - e1) ** 2 / v) if v > 0 else None
+    return o1, e1, v, chi2
+
+
+def _logrank_query_construction(subjects):
+    """Pure-python mirror of the registered query's construction: the
+    (day x cohort) grid, prefix-sum risk sets, and day-ORDERED double
+    accumulation of O1/E1/V — exactly the window arithmetic both the
+    Spark plan and the DuckDB oracle run."""
+    days = sorted({d for _, d, _ in subjects})
+    o1, e1, v = 0, 0.0, 0.0
+    n_tot = {g: sum(1 for gg, _, _ in subjects if gg == g) for g in ("A", "B")}
+    rem = {"A": 0, "B": 0}
+    for t in days:
+        n1 = n_tot["A"] - rem["A"]
+        n2 = n_tot["B"] - rem["B"]
+        d1 = sum(1 for g, d, e in subjects if g == "A" and d == t and e)
+        dt = d1 + sum(1 for g, d, e in subjects if g == "B" and d == t and e)
+        nt = n1 + n2
+        o1 += d1
+        if nt > 0:
+            e1 += float(dt) * n1 / nt
+        if nt > 1:
+            v += (
+                float(dt) * n1 * n2 * (nt - dt) / (float(nt) * nt * (nt - 1))
+            )
+        for g in ("A", "B"):
+            rem[g] += sum(1 for gg, d, _ in subjects if gg == g and d == t)
+    chi2 = (o1 - e1) ** 2 / v if v > 0 else None
+    return o1, e1, v, chi2
+
+
+@FAST
+@given(subjects_strategy)
+def test_logrank_query_construction_matches_definition(subjects):
+    """The query's grid/prefix-sum/ordered-double form equals the exact
+    Fraction definition for ANY censored two-cohort duration multiset
+    (to IEEE accumulation tolerance — the readout rounds at 4dp)."""
+    o1_d, e1_d, v_d, chi2_d = _logrank_definition(subjects)
+    o1_q, e1_q, v_q, chi2_q = _logrank_query_construction(subjects)
+    assert o1_q == o1_d  # observed events are exact integers
+    assert abs(e1_q - float(e1_d)) < 1e-9
+    assert abs(v_q - float(v_d)) < 1e-9
+    if chi2_d is None:
+        assert chi2_q is None
+    else:
+        assert abs(chi2_q - chi2_d) < 1e-6 * max(1.0, chi2_d)
+
+
+@FAST
+@given(subjects_strategy)
+def test_logrank_label_swap_invariance(subjects):
+    """chi2 is symmetric in the cohort labels: (O1-E1) flips sign under
+    A<->B (O2-E2 = -(O1-E1) since O1+O2 = D = E1+E2) and V is
+    unchanged, so the statistic is identical."""
+    _, e1, v, chi2 = _logrank_definition(subjects)
+    swapped = [("B" if g == "A" else "A", d, e) for g, d, e in subjects]
+    _, e1s, vs, chi2s = _logrank_definition(swapped)
+    assert v == vs
+    if chi2 is None:
+        assert chi2s is None
+    else:
+        assert abs(chi2 - chi2s) < 1e-9 * max(1.0, chi2)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_logrank_identical_cohorts_zero_statistic(durations):
+    """Two cohorts with IDENTICAL duration/event multisets have O1 = E1
+    exactly (each day contributes d_t * n1/nt = d_t/2 = d_1t), so the
+    null A/B test reads chi2 = 0."""
+    subjects = [("A", d, e) for d, e in durations] + [
+        ("B", d, e) for d, e in durations
+    ]
+    o1, e1, v, chi2 = _logrank_definition(subjects)
+    assert Fraction(o1) == e1
+    if chi2 is not None:
+        assert chi2 == 0.0
+
+
+def test_logrank_spark_matches_definition_on_corpus(spark):
+    """The registered query's emitted (observed, expected, chi2) equal
+    the first-principles Fraction implementation run on the SAME
+    subjects, rebuilt independently with DuckDB from the raw parquet."""
+    import duckdb
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
+        survival_km_logrank,
+    )
+
+    out = survival_km_logrank(spark, SF0001).toPandas()
+    con = duckdb.connect()
+    subj = con.sql(
+        f"""
+        WITH t0 AS (
+            SELECT user_id, MIN(ts) AS fv
+            FROM read_parquet('{SF0001}/events.parquet')
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        a AS (SELECT MAX(ts) AS anchor
+              FROM read_parquet('{SF0001}/events.parquet')),
+        conv AS (
+            SELECT t0.user_id, MIN(e.ts) AS fp
+            FROM t0 JOIN read_parquet('{SF0001}/events.parquet') e
+              ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+             AND e.ts >= t0.fv
+            GROUP BY t0.user_id
+        )
+        SELECT CASE WHEN t0.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               CAST(CASE WHEN conv.fp IS NOT NULL
+                    THEN datediff('day', CAST(t0.fv AS DATE), CAST(conv.fp AS DATE))
+                    ELSE datediff('day', CAST(t0.fv AS DATE), CAST(a.anchor AS DATE))
+               END AS INT) AS day,
+               CASE WHEN conv.fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id CROSS JOIN a
+        """
+    ).df()
+    subjects = list(zip(subj["g"], subj["day"], subj["ev"]))
+    o1, e1, v, chi2 = _logrank_definition(subjects)
+    row_a = out[out.cohort == "A"].iloc[0]
+    assert int(row_a.observed) == o1
+    assert abs(float(row_a.expected) - float(e1)) < 5e-5  # 4dp rounding
+    assert abs(float(row_a.logrank_chi2) - chi2) < 5e-4

@@ -1128,3 +1128,347 @@ def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("log_s"), 6))
         .alias("km_survival"),
     ).orderBy("day")
+
+
+# --- per-cohort Kaplan-Meier curves + the log-rank test -----------------------
+
+
+@register(
+    "survival_km_logrank",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ),
+    a AS (SELECT MAX(ts) AS anchor FROM events),
+    conv AS (
+        SELECT t0.user_id, MIN(e.ts) AS first_purchase
+        FROM t0 JOIN events e
+          ON e.user_id = t0.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= t0.first_view
+        GROUP BY t0.user_id
+    ),
+    subj AS (
+        SELECT CASE WHEN t0.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(CASE WHEN conv.first_purchase IS NOT NULL
+                    THEN datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(conv.first_purchase AS DATE))
+                    ELSE datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(a.anchor AS DATE)) END AS INT)
+                   AS day,
+               CASE WHEN conv.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+                   AS ev
+        FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id
+        CROSS JOIN a
+    ),
+    gd AS (
+        SELECT cohort, day,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY cohort, day
+    ),
+    grid AS (
+        SELECT g.cohort, dd.day,
+               COALESCE(gd.d, 0) AS d, COALESCE(gd.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM subj) dd
+        CROSS JOIN (SELECT DISTINCT cohort FROM subj) g
+        LEFT JOIN gd ON gd.cohort = g.cohort AND gd.day = dd.day
+    ),
+    totg AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM subj GROUP BY cohort
+    ),
+    risk AS (
+        SELECT grid.cohort, grid.day,
+               grid.d AS n_event, grid.c AS n_censored,
+               CAST(totg.n_total - COALESCE(SUM(grid.d + grid.c) OVER (
+                    PARTITION BY grid.cohort ORDER BY grid.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM grid JOIN totg ON totg.cohort = grid.cohort
+    ),
+    km AS (
+        SELECT cohort, day, n_risk, n_event, n_censored,
+               MAX(CASE WHEN n_event = n_risk AND n_event > 0
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cohort ORDER BY day) AS died_out,
+               SUM(CASE WHEN n_event < n_risk
+                   THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+                   ELSE 0.0 END)
+                   OVER (PARTITION BY cohort ORDER BY day) AS log_s
+        FROM risk
+    ),
+    cells AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN n_event ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(n_event) AS BIGINT) AS dt,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN n_risk ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(n_risk) AS BIGINT) AS nt
+        FROM risk GROUP BY day
+    ),
+    cum AS (
+        SELECT day,
+               SUM(d1) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o1,
+               SUM(dt) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dsum,
+               SUM(CASE WHEN nt > 0
+                   THEN CAST(dt AS DOUBLE) * n1 / nt ELSE 0.0 END)
+                   OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e1,
+               SUM(CASE WHEN nt > 1
+                   THEN CAST(dt AS DOUBLE) * n1 * (nt - n1) * (nt - dt)
+                        / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+                   ELSE 0.0 END)
+                   OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+               ROW_NUMBER() OVER (ORDER BY day DESC) AS rn
+        FROM cells
+    ),
+    tot AS (
+        SELECT CAST(o1 AS BIGINT) AS o1, CAST(dsum AS BIGINT) AS dsum,
+               e1, v
+        FROM cum WHERE rn = 1
+    ),
+    coh AS (
+        SELECT 'A' AS cohort, o1 AS observed, e1 AS e_raw FROM tot
+        UNION ALL
+        SELECT 'B', dsum - o1, CAST(dsum AS DOUBLE) - e1 FROM tot
+    )
+    SELECT km.cohort, km.day, km.n_risk, km.n_event, km.n_censored,
+           CASE WHEN km.died_out = 1 THEN 0.0
+                ELSE ROUND(exp(km.log_s), 6) END AS km_survival,
+           coh.observed, ROUND(coh.e_raw, 4) AS expected,
+           CASE WHEN tot.v > 0
+                THEN ROUND((tot.o1 - tot.e1) * (tot.o1 - tot.e1) / tot.v, 4)
+           END AS logrank_chi2
+    FROM km JOIN coh ON coh.cohort = km.cohort CROSS JOIN tot
+    ORDER BY km.cohort, km.day
+    """,
+    description="per-cohort Kaplan-Meier time-to-conversion curves plus "
+    "the LOG-RANK test (Mantel 1966; Peto & Peto 1972) — the standard "
+    "A/B survival comparison: did cohort A convert faster than cohort "
+    "B, accounting for right-censoring (the question a plain "
+    "conversion-rate diff answers WRONGLY when observation windows "
+    "differ).  Cohort = user_id parity, the deterministic stand-in for "
+    "an experiment's bucketing hash.  Same subject construction as "
+    "survival_time_to_purchase (origin = first view, event = first "
+    "purchase at/after it, censoring at the feed anchor); each cohort's "
+    "product-limit curve runs on the cohort-PARTITIONED per-day grid.  "
+    "The log-rank statistic rides exact integer per-day cells (d_gt, "
+    "n_gt as BIGINT on the <= 31-row day table): expected events "
+    "E1 = sum_t d_t*n_1t/n_t and the hypergeometric variance "
+    "V = sum_t d_t*n_1t*n_2t*(n_t-d_t)/(n_t^2*(n_t-1)) accumulate as "
+    "day-ORDERED window sums (deterministic IEEE order in both "
+    "engines, the exp(sum(ln)) discipline), chi2 = (O1-E1)^2/V emitted "
+    "once, rounded.  Hypothesis-pinned against an independent "
+    "first-principles implementation for ANY censored two-cohort "
+    "duration multiset, plus the label-swap invariance and "
+    "identical-cohorts => chi2 ~ 0 laws "
+    "(tests/test_round16_properties.py).  Scale shape: two keyed "
+    "aggregates + one keyed left join build subjects; ALL window work "
+    "runs on the calendar-bounded per-day grid (<= 31 days x 2 "
+    "cohorts), the whitelisted monthly-rollup window class; no "
+    "per-subject window, no global sort of subjects",
+    tags=("event-time", "window", "survival", "funnel", "ab-test"),
+)
+def survival_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    subj = (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("cohort"),
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff(F.to_date("first_purchase"), F.to_date("first_view")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("anchor"), F.to_date("first_view"))
+            )
+            .cast("int")
+            .alias("day"),
+            F.when(F.col("first_purchase").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    gd = subj.groupBy("cohort", "day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    # Full (day x cohort) grid: the risk set of a cohort must be evaluable
+    # at OTHER cohorts' event days too (the log-rank cells need n_gt for
+    # every event day t).  Both sides are bounded: <= 31 distinct days
+    # (calendar) x 2 cohorts.
+    grid = (
+        subj.select("day")
+        .distinct()
+        .crossJoin(subj.select("cohort").distinct())
+        .join(gd, ["cohort", "day"], "left")
+        .select(
+            "cohort",
+            "day",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    totg = subj.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    before = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.join(F.broadcast(totg), "cohort").select(
+        "cohort",
+        "day",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    km = risk.select(
+        "cohort",
+        "day",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.max(
+            F.when(
+                (F.col("n_event") == F.col("n_risk"))
+                & (F.col("n_event") > 0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(upto)
+        .alias("died_out"),
+        F.sum(
+            F.when(
+                F.col("n_event") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_event").cast("double") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(upto)
+        .alias("log_s"),
+    )
+    cells = risk.groupBy("day").agg(
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("n_event").cast("long").alias("dt"),
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("n_risk").cast("long").alias("nt"),
+    )
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "day",
+        F.sum("d1").over(wday).alias("o1"),
+        F.sum("dt").over(wday).alias("dsum"),
+        F.sum(
+            F.when(
+                F.col("nt") > 0,
+                F.col("dt").cast("double") * F.col("n1") / F.col("nt"),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt").cast("double")
+                * F.col("n1")
+                * (F.col("nt") - F.col("n1"))
+                * (F.col("nt") - F.col("dt"))
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("nt")
+                    * (F.col("nt") - 1)
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("v"),
+        F.row_number()
+        .over(Window.orderBy(F.col("day").desc()))
+        .alias("rn"),
+    )
+    tot = cum.filter(F.col("rn") == 1).select(
+        F.col("o1").cast("long").alias("o1"),
+        F.col("dsum").cast("long").alias("dsum"),
+        "e1",
+        "v",
+    )
+    coh = tot.select(
+        F.lit("A").alias("cohort"),
+        F.col("o1").alias("observed"),
+        F.col("e1").alias("e_raw"),
+    ).unionAll(
+        tot.select(
+            F.lit("B"),
+            F.col("dsum") - F.col("o1"),
+            F.col("dsum").cast("double") - F.col("e1"),
+        )
+    )
+    return (
+        km.join(F.broadcast(coh), "cohort")
+        .crossJoin(F.broadcast(tot.select("o1", "e1", "v")))
+        .select(
+            "cohort",
+            "day",
+            "n_risk",
+            "n_event",
+            "n_censored",
+            F.when(F.col("died_out") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("log_s"), 6))
+            .alias("km_survival"),
+            "observed",
+            F.round("e_raw", 4).alias("expected"),
+            F.when(
+                F.col("v") > 0,
+                F.round(
+                    (F.col("o1") - F.col("e1"))
+                    * (F.col("o1") - F.col("e1"))
+                    / F.col("v"),
+                    4,
+                ),
+            ).alias("logrank_chi2"),
+        )
+        .orderBy("cohort", "day")
+    )
