@@ -218,6 +218,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   2x12-MA windows run over the monthly aggregate —
     #   calendar-bounded (<= ~84 rows at any SF).
     "revenue_seasonal_decomposition",
+    # - zipf_slope_fit (round 16): the rank-prefix and OLS accumulation
+    #   windows run over the counts-of-counts table — <= sqrt(2N) rows
+    #   by construction (ngram_distribution_profile's bound); the
+    #   corpus-sized work is the two stacked hash aggregates below it.
+    "zipf_slope_fit",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -287,6 +292,11 @@ SINGLE_PARTITION_WHITELIST = {
     "window_frames_suite",
     "mixture_sampling_plan",
     "ngram_distribution_profile",
+    # - zipf_slope_fit (round 16): the exchange feeds the rank-prefix /
+    #   OLS windows over the counts-of-counts FINAL aggregate —
+    #   <= sqrt(2N) rows by construction (same bound as
+    #   ngram_distribution_profile).
+    "zipf_slope_fit",
 }
 
 

@@ -266,3 +266,76 @@ def test_logrank_spark_matches_definition_on_corpus(spark):
     assert int(row_a.observed) == o1
     assert abs(float(row_a.expected) - float(e1)) < 5e-5  # 4dp rounding
     assert abs(float(row_a.logrank_chi2) - chi2) < 5e-4
+
+
+# --- Zipf slope fit pins (zipf_slope_fit, VERDICT r15 item 6) -----------------
+
+
+def _zipf_points_from_counts(counts):
+    """Expand a token->count dict into per-type (ln midrank, ln f)
+    points, ties at the shared midrank — the estimator zipf_slope_fit
+    computes from the counts-of-counts table alone."""
+    import math
+    from collections import Counter
+
+    cc = Counter(counts.values())
+    xs, ys = [], []
+    r_prev = 0
+    for f in sorted(cc, reverse=True):
+        c = cc[f]
+        mid = r_prev + (c + 1) / 2.0
+        xs.extend([math.log(mid)] * c)
+        ys.extend([math.log(float(f))] * c)
+        r_prev += c
+    return xs, ys
+
+
+def test_zipf_slope_exact_inverse_rank_construction(spark, tmp_path):
+    """f = 12/r at consecutive ranks (12, 6, 4, 3 — all integer) lies
+    EXACTLY on the log-log line of slope -1; the fitted slope must read
+    -1 and r2 must read 1."""
+    docs = []
+    for i, (word, f) in enumerate(
+        [("alpha", 12), ("beta", 6), ("gamma", 4), ("delta", 3)]
+    ):
+        docs.append((i, " ".join([word] * f)))
+    spark.createDataFrame(docs, "doc_id int, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        zipf_slope_fit,
+    )
+
+    row = zipf_slope_fit(spark, str(tmp_path)).collect()[0]
+    assert row.n_types == 4 and row.n_tokens == 25
+    assert abs(row.zipf_slope - (-1.0)) < 1e-9
+    assert abs(row.r2 - 1.0) < 1e-9
+
+
+def test_zipf_slope_matches_numpy_polyfit_on_corpus(spark):
+    """The registered query's slope/intercept equal numpy.polyfit over
+    the expanded per-type point set, built independently from the raw
+    parquet with the module-contract tokenizer."""
+    import duckdb
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        zipf_slope_fit,
+    )
+
+    row = zipf_slope_fit(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    cnt = con.sql(
+        f"""
+        SELECT token, COUNT(*) AS f FROM (
+            SELECT UNNEST(string_split(lower(text), ' ')) AS token
+            FROM read_parquet('{SF0001}/documents.parquet')
+        ) GROUP BY token
+        """
+    ).df()
+    counts = dict(zip(cnt["token"], cnt["f"]))
+    xs, ys = _zipf_points_from_counts(counts)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row.n_types == len(counts)
+    assert abs(row.zipf_slope - slope) < 5e-4
+    assert abs(row.log_intercept - intercept) < 5e-4

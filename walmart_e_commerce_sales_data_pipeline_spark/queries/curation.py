@@ -1314,3 +1314,151 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rk")
     )
+
+
+# --- Zipf slope fit over the counts-of-counts table ----------------------------
+
+
+@register(
+    "zipf_slope_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY token
+    ),
+    cc AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cnt GROUP BY f
+    ),
+    blocks AS (
+        SELECT f, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY f DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS r_prev
+        FROM cc
+    ),
+    pts AS (
+        SELECT f, c,
+               ln(CAST(r_prev AS DOUBLE) + (CAST(c AS DOUBLE) + 1.0) / 2.0)
+                   AS x,
+               ln(CAST(f AS DOUBLE)) AS y
+        FROM blocks
+    ),
+    cum AS (
+        SELECT f,
+               SUM(c) OVER w AS sw,
+               SUM(c * f) OVER w AS stok,
+               SUM(c * x) OVER w AS sx,
+               SUM(c * y) OVER w AS sy,
+               SUM(c * x * x) OVER w AS sxx,
+               SUM(c * x * y) OVER w AS sxy,
+               SUM(c * y * y) OVER w AS syy,
+               ROW_NUMBER() OVER (ORDER BY f ASC) AS rn
+        FROM pts
+        WINDOW w AS (ORDER BY f DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(sw AS BIGINT) AS n_types,
+           CAST(stok AS BIGINT) AS n_tokens,
+           ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy * sxx - sx * sxy)
+                 / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4)
+               AS log_intercept,
+           ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(sw AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(sw AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(sw AS DOUBLE) * syy - sy * sy)), 4) AS r2
+    FROM cum WHERE rn = 1
+    """,
+    description="Zipf slope fit over the corpus rank-frequency curve "
+    "(Zipf 1949: word frequency ~ C * rank^-s; natural text reads "
+    "s ~ 1) — the corpus-profiling screen beside Chao1/Good-Turing "
+    "(vocab_coverage_estimators) that catches template-heavy or "
+    "boilerplate-stuffed shards by their bent log-log line.  "
+    "Scale-safe formulation: fitting log f on log rank NEVER ranks "
+    "tokens globally — every type with frequency f shares the tied "
+    "MIDRANK r_prev + (c_f+1)/2 computable from the counts-of-counts "
+    "table's prefix sum, so the weighted OLS over per-type points "
+    "(ln midrank, ln f) x c_f collapses onto the counts-of-counts "
+    "table, <= sqrt(2N) rows by construction (d distinct frequency "
+    "values satisfy d(d+1)/2 <= N — ngram_distribution_profile's "
+    "bound).  Exactness: f, c, and the rank prefix are exact BIGINT; "
+    "ln() of integer-valued doubles is deterministic; the OLS "
+    "sufficient statistics accumulate as f-DESC-ordered window sums "
+    "(identical IEEE sequence in both engines — the "
+    "revenue_trend_slope discipline adapted to where logs force "
+    "doubles) and the slope/intercept/r2 emit once, rounded.  Pinned "
+    "against numpy.polyfit over the expanded per-type point set and "
+    "an exact f = C/r construction with known slope -1 "
+    "(tests/test_round16_properties.py).  Scale shape: two stacked "
+    "map-side-combining aggregates (token counts -> counts-of-counts) "
+    "then ALL window work on the bounded counts-of-counts table; no "
+    "global token sort, no join",
+    tags=("text", "profiling", "regression", "corpus"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(tokenize("text")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    cc = cnt.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    before = (
+        Window.orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = cc.select(
+        "f",
+        "c",
+        F.coalesce(F.sum("c").over(before), F.lit(0))
+        .cast("long")
+        .alias("r_prev"),
+    )
+    pts = blocks.select(
+        "f",
+        "c",
+        F.log(
+            F.col("r_prev").cast("double")
+            + (F.col("c").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    w = (
+        Window.orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pts.select(
+        "f",
+        F.sum("c").over(w).alias("sw"),
+        F.sum(F.col("c") * F.col("f")).over(w).alias("stok"),
+        F.sum(F.col("c") * F.col("x")).over(w).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).over(w).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("c") * F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.row_number().over(Window.orderBy(F.col("f").asc())).alias("rn"),
+    )
+    swd = F.col("sw").cast("double")
+    den = swd * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = swd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return cum.filter(F.col("rn") == 1).select(
+        F.col("sw").cast("long").alias("n_types"),
+        F.col("stok").cast("long").alias("n_tokens"),
+        F.round(num / den, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den,
+            4,
+        ).alias("log_intercept"),
+        F.round(
+            num * num / (den * (swd * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    )
