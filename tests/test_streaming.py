@@ -940,3 +940,111 @@ def test_streaming_forward_decay_equals_batch_merges_and_matches_backward(
     assert shift >= 0
     for u, acc in merged.items():
         assert acc << shift == backward[u], u
+
+
+def test_streaming_hourly_mg_equals_batch_single_microbatch(spark, events_batch):
+    """The SIXTH streaming sketch family (Misra-Gries heavy hitters via
+    applyInPandasWithState — bounded at k counters per hour, never a row
+    per user).  When each hour arrives within one micro-batch the
+    streamed summary is the canonical one-compress form bit-exactly, so
+    stream == batch on the single-file staging."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        MG_STREAM_K,
+        hourly_user_mg,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in hourly_user_mg(events_batch).collect()
+    }
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(hourly_user_mg(stream), "mg_hourly_test", mode="update")
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in spark.sql("SELECT * FROM mg_hourly_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
+    per_hour: dict[str, int] = {}
+    for (w, _u) in got:
+        per_hour[w] = per_hour.get(w, 0) + 1
+    assert all(v <= MG_STREAM_K for v in per_hour.values())
+
+
+def test_streaming_mg_guarantees_under_multibatch_split(spark, tmp_path):
+    """Under an arbitrary micro-batch split the MG counters are order-
+    dependent (unlike the five register families) but the PODS'12 laws
+    are not: <= k counters per hour, no overcount, undercount <= the
+    accumulated decrement <= n/(k+1), and every user with true count
+    above n/(k+1) survives.  Three micro-batches, one hour, 3k users."""
+    import datetime as dt
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        MG_STREAM_K,
+        hourly_user_mg,
+        read_events_stream,
+        run_stream_to_memory,
+        stage_stream_dir,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    # heavy users 0..2 (60/40/20 events), light users 100..123 (2 each):
+    # n = 168, k = 8 -> guarantee threshold n/(k+1) ~ 18.7
+    for u, n in [(0, 60), (1, 40), (2, 20)] + [(100 + i, 2) for i in range(24)]:
+        for j in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=(eid * 7) % 3500), u, "view", 1.0, "{}")
+            )
+            eid += 1
+    import random
+
+    random.Random(42).shuffle(rows)
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    third = len(rows) // 3
+    files = []
+    for i in range(3):
+        part = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        pth = f"{tmp_path}/mg_batch_{i}.parquet"
+        spark.createDataFrame(part, df.schema).coalesce(1).write.parquet(pth)
+        import glob
+
+        files.extend(glob.glob(f"{pth}/part-*.parquet"))
+    stream = read_events_stream(spark, stage_stream_dir(*files))
+    q = run_stream_to_memory(hourly_user_mg(stream), "mg_split_test", mode="update")
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM mg_split_test").collect()
+    q.stop()
+    assert emitted
+    # final emission per hour = rows carrying the max n_window
+    n_final = max(r["n_window"] for r in emitted)
+    final = [r for r in emitted if r["n_window"] == n_final]
+    assert n_final == len(rows)
+    assert len(final) <= MG_STREAM_K
+    true = {}
+    for _e, _t, u, *_ in rows:
+        true[u] = true.get(u, 0) + 1
+    dec = final[0]["deficit"]
+    assert dec * (MG_STREAM_K + 1) <= n_final
+    for r in final:
+        t_cnt = true[r["user_id"]]
+        assert r["mg_count"] <= t_cnt  # never overcounts
+        assert t_cnt - r["mg_count"] <= dec  # undercount bounded by dec
+    surviving = {r["user_id"] for r in final}
+    for u, c in true.items():
+        if c * (MG_STREAM_K + 1) > n_final:
+            assert u in surviving  # heavy users guaranteed to survive

@@ -1305,6 +1305,112 @@ def events_hourly_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- per-hour Misra-Gries heavy hitters (streaming twin readout) -------------
+
+
+def _events_hourly_mg_oracle() -> str:
+    from ..streaming.events import MG_STREAM_K
+
+    k1 = MG_STREAM_K + 1
+    return f"""
+    WITH e AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id
+        FROM events
+    ),
+    cnt AS (
+        SELECT hour_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM e GROUP BY hour_start, user_id
+    ),
+    rk AS (
+        SELECT hour_start, user_id, n_exact,
+               ROW_NUMBER() OVER (PARTITION BY hour_start
+                   ORDER BY n_exact DESC, user_id) AS rn
+        FROM cnt
+    ),
+    thr AS (
+        SELECT hour_start,
+               CAST(COALESCE(MAX(CASE WHEN rn = {k1} THEN n_exact END), 0)
+                    AS BIGINT) AS t
+        FROM rk GROUP BY hour_start
+    ),
+    nh AS (
+        SELECT hour_start, CAST(SUM(n_exact) AS BIGINT) AS n_window
+        FROM cnt GROUP BY hour_start
+    )
+    SELECT c.hour_start, c.user_id,
+           CAST(c.n_exact - thr.t AS BIGINT) AS mg_count,
+           c.n_exact,
+           thr.t AS deficit,
+           nh.n_window,
+           CAST(nh.n_window // {k1} AS BIGINT) AS apriori_bound,
+           CAST(CASE WHEN c.n_exact * {k1} > nh.n_window
+                THEN 1 ELSE 0 END AS INTEGER) AS guaranteed
+    FROM cnt c
+    JOIN thr ON thr.hour_start = c.hour_start
+    JOIN nh ON nh.hour_start = c.hour_start
+    WHERE c.n_exact > thr.t
+    ORDER BY c.hour_start, c.n_exact DESC, c.user_id
+    """
+
+
+@register(
+    "events_hourly_mg",
+    oracle=_events_hourly_mg_oracle(),
+    description="per-hour Misra-Gries heavy-hitter readout: for every "
+    "tumbling event-time hour, the <= k = 32 deterministic heavy-user "
+    "counters with their uniform deficit, the a-priori undercount bound "
+    "n/(k+1), and the survival guarantee flag — the batch twin of the "
+    "SIXTH streaming sketch family, streaming.events.hourly_user_mg.  "
+    "MG is the one family whose summary is built by ADDITION-THEN-"
+    "COMPRESS rather than an order-independent register aggregate, so "
+    "the streaming side rides applyInPandasWithState with state bounded "
+    "at k counters per hour (never a row per user) and event-time "
+    "eviction; this query IS its canonical one-compress form (exact "
+    "per-(hour, user) counts, per-hour (k+1)-th-largest threshold via "
+    "an hour-PARTITIONED rank — never a global sort — survivors keep "
+    "count minus threshold).  Stream == batch bit-exactly when the "
+    "hour arrives in one micro-batch; under any split the emitted "
+    "summary still satisfies the order-independent MG laws (pinned in "
+    "tests/test_streaming.py; the merge/compress laws for ANY stream "
+    "split in tests/test_round15_properties.py).  Scale shape: one "
+    "keyed aggregate to per-(hour, user) counts, one hour-partitioned "
+    "rank window, two broadcast per-hour scalars; the summary is <= k "
+    "rows per hour",
+    tags=("sketch", "event-time", "frequency", "deterministic", "streaming-twin"),
+)
+def events_hourly_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import MG_STREAM_K, hourly_user_mg
+
+    k1 = MG_STREAM_K + 1
+    cells = hourly_user_mg(table(spark, sf_dir, "events")).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "user_id",
+        "mg_count",
+        "deficit",
+        "n_window",
+    )
+    return cells.select(
+        "hour_start",
+        "user_id",
+        "mg_count",
+        (F.col("mg_count") + F.col("deficit")).cast("long").alias("n_exact"),
+        "deficit",
+        "n_window",
+        F.expr(f"n_window div {k1}").cast("long").alias("apriori_bound"),
+        (
+            (F.col("mg_count") + F.col("deficit")) * F.lit(k1)
+            > F.col("n_window")
+        )
+        .cast("int")
+        .alias("guaranteed"),
+    ).orderBy("hour_start", F.col("n_exact").desc(), "user_id")
+
+
 # --- CMS self-join size (F2 / second frequency moment) ----------------------
 
 

@@ -582,3 +582,179 @@ def hourly_user_forward_decay(
             "acc_fw",
         )
     )
+
+
+# --- streaming Misra-Gries heavy hitters (sixth sketch family) ----------------
+
+# Summary size for the per-hour cells: k = 8 counters per hour (the
+# corpus-wide batch mg_heavy_hitters keeps k = 32; hourly user activity
+# is a much smaller domain, and k = 8 keeps the compress path live even
+# at the small oracle scale factors instead of degenerating to exact
+# counts).  Unlike the five algebraic families (CMS/histogram/Bloom/HLL/KMV
+# — order-independent MIN/MAX/SUM registers), the MG summary is built by
+# ADDITION-THEN-COMPRESS (Agarwal et al., PODS'12), which no built-in
+# streaming aggregate expresses with bounded state: groupBy(window, user)
+# would hold one state row PER USER.  The twin therefore rides the
+# arbitrary-state API: per-hour state is the <= k (user, count) summary
+# plus the accumulated decrement, each micro-batch's exact counts merge in
+# by addition and ONE compress, and the emitted summary always satisfies
+# the MG laws (no overcount; undercount <= decrement <= n/(k+1); every
+# user with true frequency > n/(k+1) survives) REGARDLESS of how the hour
+# splits into micro-batches.  The summary's exact counters, unlike the
+# five algebraic families', are order-DEPENDENT between compresses — the
+# pins assert the order-independent guarantee laws, plus bit-equality
+# with the canonical batch form whenever the hour arrives in one
+# micro-batch (tests/test_streaming.py).
+MG_STREAM_K = 8
+
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("dec", T.LongType()),
+        T.StructField("n_window", T.LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("deficit", T.LongType()),
+        T.StructField("n_window", T.LongType()),
+    ]
+)
+
+
+# Self-contained (workers may not have this package on their import path).
+def _mg_update_hour(key, pdfs, state):
+    import pandas as pd
+
+    k = 8  # MG_STREAM_K inlined — the function must not close over module state
+    if state.hasTimedOut:
+        state.remove()
+        return
+    users, counts, dec, n_total = (
+        state.get if state.exists else ([], [], 0, 0)
+    )
+    merged = dict(zip(users, counts))
+    for pdf in pdfs:
+        vc = pdf["user_id"].value_counts()
+        n_total += int(vc.sum())
+        for u, c in vc.items():
+            merged[int(u)] = merged.get(int(u), 0) + int(c)
+    if len(merged) > k:
+        # one compress: subtract the (k+1)-th largest counter from every
+        # counter, keep the positive ones — at most k survive and the
+        # decrement telescopes to <= n/(k+1) across any batch split
+        t = sorted(merged.values(), reverse=True)[k]
+        dec += t
+        merged = {u: c - t for u, c in merged.items() if c > t}
+    state.update(
+        (list(merged.keys()), list(merged.values()), int(dec), int(n_total))
+    )
+    # Evict once the hour is unreachable: window end + the 25 h delay the
+    # other twins use.  Clamped above the current watermark (Spark rejects
+    # a timeout at or before it).
+    win_end_ms = int(key[0].timestamp() * 1000) + 3_600_000
+    evict_ms = max(
+        win_end_ms + 25 * 3_600_000, state.getCurrentWatermarkMs() + 60_000
+    )
+    state.setTimeoutTimestamp(evict_ms)
+    ks = list(merged.keys())
+    yield pd.DataFrame(
+        {
+            "window_start": [key[0]] * len(ks),
+            "user_id": ks,
+            "mg_count": [merged[u] for u in ks],
+            "deficit": [int(dec)] * len(ks),
+            "n_window": [int(n_total)] * len(ks),
+        }
+    )
+
+
+def hourly_user_mg(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    k: int = MG_STREAM_K,
+) -> DataFrame:
+    """Per-hour Misra-Gries heavy-hitter summary of user activity — the
+    SIXTH streaming sketch family (after CMS, histogram, Bloom, HLL, KMV).
+
+    Emits ``(window_start, user_id, mg_count, deficit, n_window)``: at
+    most k = 8 counters per hour, each undercounting its user's true
+    event count by at most ``deficit`` (<= n_window/(k+1) a priori), with
+    every user whose true count exceeds n_window/(k+1) guaranteed present
+    — the deterministic frequency guarantee CMS only gives
+    probabilistically.
+
+    Streaming input rides ``applyInPandasWithState`` keyed by the hour:
+    state is the <= k-counter summary + decrement (NOT a row per user —
+    the whole point), each micro-batch merges by addition-then-compress
+    (the PODS'12 mergeable-summaries law pinned in
+    tests/test_round15_properties.py), closed hours are evicted by an
+    event-time timeout 25 h past the window end.  Batch input takes the
+    canonical one-compress form: exact per-(hour, user) counts, the
+    per-hour (k+1)-th-largest threshold via an hour-PARTITIONED rank
+    (never a global sort), survivors emitted with the uniform deficit.
+    Stream == batch bit-exactly when each hour arrives within one
+    micro-batch; under any split the guarantee laws still hold (both
+    pinned in tests/test_streaming.py).  Emitted summaries merge
+    downstream by counter addition + compress like the batch family
+    (mg_heavy_hitters).
+
+    Oracle-checked batch readout: ``queries.sketches.events_hourly_mg``.
+    """
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        src = events.withWatermark("ts", watermark)
+        keyed = src.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "user_id",
+            "ts",
+        )
+        return keyed.groupBy("window_start").applyInPandasWithState(
+            _mg_update_hour,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    from pyspark.sql import Window
+
+    cnt = (
+        events.select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    rk = cnt.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.col("n_exact").desc(), F.col("user_id")
+            )
+        ),
+    )
+    thr = rk.filter(F.col("rn") == k + 1).select(
+        "window_start", F.col("n_exact").alias("t")
+    )
+    nh = cnt.groupBy("window_start").agg(
+        F.sum("n_exact").cast("long").alias("n_window")
+    )
+    return (
+        cnt.join(F.broadcast(thr), "window_start", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)).cast("long"))
+        .filter(F.col("n_exact") > F.col("t"))
+        .join(F.broadcast(nh), "window_start")
+        .select(
+            "window_start",
+            "user_id",
+            (F.col("n_exact") - F.col("t")).cast("long").alias("mg_count"),
+            F.col("t").alias("deficit"),
+            "n_window",
+        )
+    )
