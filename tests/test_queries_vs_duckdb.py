@@ -150,76 +150,95 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-15 rotation policy: the checked window is the 50 queries
+    # Round-16 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Staleness histogram after the round-15 additions
-    # (nineteen new queries): never:19 / r10:26 / r12:50 / r13:50 /
-    # r14:50.  The window is the nineteen never-green round-15 queries,
-    # ALL twenty-six r10-stale queries the r14 VERDICT item 2
-    # prescribed, then the 5 stalest r12-green queries in prior
-    # registry order.
+    # horizon).  Staleness histogram after the round-16 additions
+    # (three new queries): never:3 / r12:45 / r13:50 / r14:50 / r15:50.
+    # The window is the three never-green round-16 queries, ALL
+    # forty-five r12-stale queries the r15 VERDICT item 1 prescribed,
+    # then the 2 stalest r13-green queries in prior registry order.
     window = set(names[:50])
-    # The round-15 additions (never externally green) lead
-    # unconditionally, followed by the twenty-six r10-stale queries.
-    assert _PRIORITY[:45] == [
-        "events_hourly_kmv",
-        "mg_heavy_hitters",
-        "countsketch_user_freq",
-        "countsketch_f2",
-        "time_decayed_engagement",
-        "events_forward_decay",
-        "benford_digit_profile",
-        "priority_sample_subsetsum",
-        "countsketch_join_size",
-        "survival_time_to_purchase",
-        "revenue_gini_lorenz",
-        "basket_association_rules",
-        "revenue_cusum_changepoint",
-        "quality_score_auc",
-        "vocab_coverage_estimators",
-        "revenue_autocorrelation",
-        "revenue_seasonal_decomposition",
-        "market_concentration_hhi",
-        "training_negative_samples",
-        "shipping_priority_top10",
-        "large_quantity_orders",
-        "above_average_orders",
-        "pivot_status_by_year",
-        "price_percentiles",
-        "regex_math_functions",
-        "ship_delay_buckets",
-        "map_array_functions",
-        "join_right_outer",
-        "join_cross",
-        "null_ordering",
-        "window_frames_suite",
-        "grouping_sets_explicit",
-        "correlated_subquery_orders",
-        "min_price_per_type",
-        "exists_not_exists_combo",
-        "lateral_explode_embeddings",
-        "tfidf_top_terms",
-        "top_supplier_revenue",
-        "dormant_customer_balance",
-        "local_supplier_volume",
-        "customer_order_histogram",
-        "set_operations_all",
-        "orders_rfm_segments",
-        "quantize_embeddings",
-        "label_centroid_similarity",
+    # The round-16 additions (never externally green) lead
+    # unconditionally.
+    assert _PRIORITY[:3] == [
+        "survival_km_logrank",
+        "zipf_slope_fit",
+        "events_hourly_mg",
     ]
-    # The 5 stalest r12-green queries follow, in prior registry order.
-    assert _PRIORITY[45:50] == [
-        "concurrent_sessions_profile",
-        "pricing_summary",
-        "join_anti",
-        "join_full_outer",
-        "regional_revenue",
+    # The forty-five r12-stale queries follow, headed by the set the
+    # r15 VERDICT named explicitly.
+    assert _PRIORITY[3:14] == [
+        "window_topk_orders",
+        "window_running_total",
+        "top10_expensive_items",
+        "set_operations",
+        "distinct_counts",
+        "rollup_customer_geo",
+        "cube_order_status",
+        "string_functions",
+        "kmv_sketch_union",
+        "sliding_chunk_windows",
+        "bigram_pmi",
     ]
-    # Nothing green in rounds 13 or 14 re-occupies a window slot — the
-    # window is reserved for the stalest evidence.
-    r13_r14_green_sample = {
+    assert _PRIORITY[14:48] == [
+        "dup_graph_degree_hist",
+        "winsorized_price_stats",
+        "ngram_distribution_profile",
+        "cross_source_dup_matrix",
+        "scd2_user_state_history",
+        "state_as_of_label_time",
+        "mad_outlier_rate",
+        "pii_redaction_stats",
+        "dup_cluster_size_dist_star",
+        "dedup_cluster_density",
+        "text_token_entropy",
+        "doc_unigram_logprob",
+        "kmv_distinct_sketch",
+        "hll_distinct_sketch",
+        "merge_upsert_orders",
+        "weighted_sample_aes",
+        "promo_revenue_share",
+        "trailing_spend_range_frame",
+        "market_share_by_year",
+        "bilateral_trade_volume",
+        "product_profit_by_nation_year",
+        "returned_item_customers",
+        "priority_shipping_split",
+        "brand_supplier_counts",
+        "order_priority_checking",
+        "important_supplier_share",
+        "small_quantity_order_revenue",
+        "excess_shipping_suppliers",
+        "similarity_pairs",
+        "similarity_topk",
+        "similarity_pairs_blocked",
+        "similarity_lsh",
+        "similarity_topk_ivf",
+        "multimodal_features",
+    ]
+    # The 2 stalest r13-green queries fill the window, in prior
+    # registry order.
+    assert _PRIORITY[48:50] == ["date_functions", "agg_suite"]
+    # Nothing green in rounds 13-15 (other than the two r13 fillers)
+    # re-occupies a window slot — the window is reserved for the
+    # stalest evidence.
+    recent_green_sample = {
+        # r15 greens (last round's window head)
+        "events_hourly_kmv", "mg_heavy_hitters", "countsketch_user_freq",
+        "countsketch_f2", "time_decayed_engagement", "events_forward_decay",
+        "benford_digit_profile", "priority_sample_subsetsum",
+        "countsketch_join_size", "survival_time_to_purchase",
+        "revenue_gini_lorenz", "basket_association_rules",
+        "revenue_cusum_changepoint", "quality_score_auc",
+        "vocab_coverage_estimators", "revenue_autocorrelation",
+        "revenue_seasonal_decomposition", "market_concentration_hhi",
+        "training_negative_samples", "pricing_summary", "regional_revenue",
+        "join_anti", "join_full_outer", "concurrent_sessions_profile",
+        # r14 greens
+        "scalar_means", "impute_group_avg", "monthly_avg_value",
+        "join_customer_orders",
+        # r13 greens that are NOT the two stalest fillers
         "events_hourly_bloom_returns", "kmv_set_difference",
         "events_hourly_hll", "cms_selfjoin_size",
         "events_daily_hll_rollup", "events_sliding_hll",
@@ -229,18 +248,8 @@ def test_checked_window_composition():
         "bootstrap_ci_revenue", "incremental_rollup_maintenance",
         "jaccard_prefix_filter", "revenue_seasonality_regression",
         "corr_matrix_lineitem", "common_shingle_fraction",
-        "grouped_zscore_histogram", "events_funnel",
-        "events_cohort_retention", "mixture_sampling_plan",
-        "from_json_map", "asof_join_latest_order",
-        "range_join_close_events", "events_session_window",
-        "substring_dup_coverage", "retrieve_rerank_topk",
-        "dup_graph_pagerank", "cms_heavy_hitters",
-        "histogram_quantile_sketch", "kmv_jaccard_langs",
-        "events_hourly_cms", "embedding_top_pc", "bloom_semijoin_stats",
-        "events_hourly_value_quantiles", "dedup_exact",
-        "dedup_minhash_lsh", "vocab_top_ngrams", "events_hourly_anomaly",
     }
-    assert not (r13_r14_green_sample & window)
+    assert not (recent_green_sample & window)
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
 
