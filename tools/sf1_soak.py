@@ -272,6 +272,17 @@ HEAVY = [
     # anti-join are keyed — candidate volume must scale with customers,
     # never with customers x parts).
     "training_negative_samples",
+    # round 16: per-cohort KM + log-rank (10x users through the same
+    # three keyed aggregates as survival_time_to_purchase; ALL window
+    # work on the <= 31-day x 2-cohort grid, which must NOT grow), the
+    # Zipf slope (10x tokens through two stacked map-side-combining
+    # aggregates; the replica token suffix grows vocab ~10x but the
+    # counts-of-counts table obeys its sqrt(2N) bound), and the per-hour
+    # MG readout (10x events through a (hour, user)-keyed aggregate +
+    # hour-partitioned rank; the summary stays <= k rows per hour).
+    "survival_km_logrank",
+    "zipf_slope_fit",
+    "events_hourly_mg",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

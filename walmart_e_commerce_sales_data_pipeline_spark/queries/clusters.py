@@ -107,9 +107,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_components.py)",
     tags=("dedup", "iterative", "graph", "star"),
 )
-def dup_cluster_size_dist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_cluster_size_dist_star(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    # bench's shared_scan tier passes a prebuilt (persisted) pair table
+    # so the three cluster consumers can be measured against ONE pair
+    # build — measurement only, semantics identical to building inline.
+    if pairs is None:
+        pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
     labels = connected_components(pairs, algorithm="star")
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("cluster_size")
@@ -166,9 +172,15 @@ def dup_cluster_size_dist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ordering compares identical doubles in both engines",
     tags=("dedup", "iterative", "graph", "quality"),
 )
-def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical_keep(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    # bench's shared_scan tier passes a prebuilt (persisted) pair table
+    # so the three cluster consumers can be measured against ONE pair
+    # build — measurement only, semantics identical to building inline.
+    if pairs is None:
+        pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
     labels = connected_components(pairs)
     q = docs.select(
         F.col("doc_id").alias("id"),
@@ -496,11 +508,17 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles on the node id, per-iteration state one row per node",
     tags=("graph", "pagerank", "iterative"),
 )
-def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_graph_pagerank(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     from ..operators.centrality import pagerank
 
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    # bench's shared_scan tier passes a prebuilt (persisted) pair table
+    # so the three cluster consumers can be measured against ONE pair
+    # build — measurement only, semantics identical to building inline.
+    if pairs is None:
+        pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
     edges = pairs.select("x", "y")
     deg = (
         edges.selectExpr("x AS u", "y AS v")
