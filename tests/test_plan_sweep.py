@@ -115,6 +115,12 @@ BNLJ_WHITELIST = {
     # 1-row anchor timestamp and the 1-row subject total onto keyed
     # frames — the scalar-broadcast class.
     "survival_time_to_purchase",
+    # revenue_mann_kendall (round 16): the pair sign-join is an
+    # inequality join (ym_a < ym_b) over the MONTHLY aggregate —
+    # calendar-bounded (<= ~84 rows, <= ~3.5k pairs at ANY scale
+    # factor); the two crosses broadcast the 1-row S and tie frames —
+    # the scalar-broadcast class.
+    "revenue_mann_kendall",
     # survival_km_logrank (round 16): crosses broadcast the 1-row anchor
     # timestamp, the 1-row (O1, E1, V) log-rank totals, and join the
     # <= 31-row distinct-day frame onto the 2-row cohort dimension (the
@@ -218,6 +224,10 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   2x12-MA windows run over the monthly aggregate —
     #   calendar-bounded (<= ~84 rows at any SF).
     "revenue_seasonal_decomposition",
+    # - heaps_law_fit (round 16): the OLS accumulation windows run over
+    #   the per-source shard table — one row per corpus source, a
+    #   config-sized set (the mixture_sampling_plan class).
+    "heaps_law_fit",
     # - zipf_slope_fit (round 16): the rank-prefix and OLS accumulation
     #   windows run over the counts-of-counts table — <= sqrt(2N) rows
     #   by construction (ngram_distribution_profile's bound); the
@@ -292,6 +302,10 @@ SINGLE_PARTITION_WHITELIST = {
     "window_frames_suite",
     "mixture_sampling_plan",
     "ngram_distribution_profile",
+    # - heaps_law_fit (round 16): the exchange feeds the OLS windows
+    #   over the per-source FINAL aggregate — config-bounded (one row
+    #   per corpus source).
+    "heaps_law_fit",
     # - zipf_slope_fit (round 16): the exchange feeds the rank-prefix /
     #   OLS windows over the counts-of-counts FINAL aggregate —
     #   <= sqrt(2N) rows by construction (same bound as

@@ -154,21 +154,23 @@ def test_checked_window_composition():
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
     # horizon).  Staleness histogram after the round-16 additions
-    # (three new queries): never:3 / r12:45 / r13:50 / r14:50 / r15:50.
-    # The window is the three never-green round-16 queries, ALL
-    # forty-five r12-stale queries the r15 VERDICT item 1 prescribed,
-    # then the 2 stalest r13-green queries in prior registry order.
+    # (five new queries): never:5 / r12:45 / r13:50 / r14:50 / r15:50.
+    # The window is the five never-green round-16 queries, then ALL
+    # forty-five r12-stale queries the r15 VERDICT item 1 prescribed —
+    # exactly filling the 50 slots.
     window = set(names[:50])
     # The round-16 additions (never externally green) lead
     # unconditionally.
-    assert _PRIORITY[:3] == [
+    assert _PRIORITY[:5] == [
         "survival_km_logrank",
         "zipf_slope_fit",
         "events_hourly_mg",
+        "heaps_law_fit",
+        "revenue_mann_kendall",
     ]
     # The forty-five r12-stale queries follow, headed by the set the
     # r15 VERDICT named explicitly.
-    assert _PRIORITY[3:14] == [
+    assert _PRIORITY[5:16] == [
         "window_topk_orders",
         "window_running_total",
         "top10_expensive_items",
@@ -181,7 +183,7 @@ def test_checked_window_composition():
         "sliding_chunk_windows",
         "bigram_pmi",
     ]
-    assert _PRIORITY[14:48] == [
+    assert _PRIORITY[16:50] == [
         "dup_graph_degree_hist",
         "winsorized_price_stats",
         "ngram_distribution_profile",
@@ -217,12 +219,8 @@ def test_checked_window_composition():
         "similarity_topk_ivf",
         "multimodal_features",
     ]
-    # The 2 stalest r13-green queries fill the window, in prior
-    # registry order.
-    assert _PRIORITY[48:50] == ["date_functions", "agg_suite"]
-    # Nothing green in rounds 13-15 (other than the two r13 fillers)
-    # re-occupies a window slot — the window is reserved for the
-    # stalest evidence.
+    # Nothing green in rounds 13-15 re-occupies a window slot — the
+    # window is reserved for the stalest evidence.
     recent_green_sample = {
         # r15 greens (last round's window head)
         "events_hourly_kmv", "mg_heavy_hitters", "countsketch_user_freq",

@@ -339,3 +339,135 @@ def test_zipf_slope_matches_numpy_polyfit_on_corpus(spark):
     assert row.n_types == len(counts)
     assert abs(row.zipf_slope - slope) < 5e-4
     assert abs(row.log_intercept - intercept) < 5e-4
+
+
+# --- Mann-Kendall pins (revenue_mann_kendall) ---------------------------------
+
+
+def _mann_kendall_definition(xs):
+    """First-principles Mann-Kendall: pairwise sign sum, tie-corrected
+    variance, continuity-corrected Z, tau-b — the textbook formulas the
+    registered query's integer sufficient statistics must reproduce."""
+    import math
+    from collections import Counter
+
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = [t for t in Counter(xs).values() if t > 1]
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    var = var18 / 18.0
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    d = n * (n - 1) / 2.0
+    u = sum(t * (t - 1) for t in ties) / 2.0
+    tau_b = s / math.sqrt(d * (d - u)) if d * (d - u) > 0 else None
+    return s, var18, z, tau_b
+
+
+@FAST
+@given(st.lists(st.integers(0, 8), min_size=3, max_size=40))
+def test_mann_kendall_laws_for_any_series(xs):
+    """For ANY series: |S| <= n(n-1)/2 with equality iff strictly
+    monotone; tau-b in [-1, 1]; reversing the series flips S and Z."""
+    s, var18, z, tau = _mann_kendall_definition(xs)
+    n = len(xs)
+    assert abs(s) <= n * (n - 1) // 2
+    if tau is not None:
+        assert -1.0 - 1e-9 <= tau <= 1.0 + 1e-9
+    s_r, _, z_r, _ = _mann_kendall_definition(list(reversed(xs)))
+    assert s_r == -s
+    assert abs(z_r + z) < 1e-12
+    if len(set(xs)) == n and xs == sorted(xs):
+        assert s == n * (n - 1) // 2 and abs(tau - 1.0) < 1e-12
+
+
+def test_mann_kendall_spark_matches_definition_on_corpus(spark):
+    """The registered query's (S, var18, Z, tau_b) equal the pure-python
+    textbook implementation run on the SAME monthly series, rebuilt
+    independently with DuckDB from the raw parquet."""
+    import duckdb
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        revenue_mann_kendall,
+    )
+
+    row = revenue_mann_kendall(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    cents = [
+        int(r[0])
+        for r in con.sql(
+            f"""
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{SF0001}/orders.parquet')
+            GROUP BY date_trunc('month', o_orderdate)
+            ORDER BY date_trunc('month', o_orderdate)
+            """
+        ).fetchall()
+    ]
+    s, var18, z, tau = _mann_kendall_definition(cents)
+    assert row.n_months == len(cents)
+    assert row.s_statistic == s
+    assert row.var18 == var18
+    assert abs(row.z_score - z) < 5e-5
+    assert abs(row.tau_b - tau) < 5e-5
+
+
+# --- Heaps' law pins (heaps_law_fit) ------------------------------------------
+
+
+def test_heaps_law_exact_powerlaw_construction(spark, tmp_path):
+    """Shards constructed to lie EXACTLY on V = N^0.5 in log-log space
+    (N = 4, 16, 64, 256 tokens with V = 2, 4, 8, 16 distinct words) fit
+    beta = 0.5, log_k = 0, r2 = 1."""
+    docs = []
+    did = 0
+    for si, (n_tok, v) in enumerate([(4, 2), (16, 4), (64, 8), (256, 16)]):
+        words = [f"s{si}w{k}" for k in range(v)]
+        text = " ".join(words[i % v] for i in range(n_tok))
+        docs.append((did, text, "en", f"src{si}", len(text)))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        heaps_law_fit,
+    )
+
+    row = heaps_law_fit(spark, str(tmp_path)).collect()[0]
+    assert row.n_shards == 4
+    assert abs(row.beta - 0.5) < 1e-9
+    assert abs(row.log_k - 0.0) < 1e-9
+    assert abs(row.heaps_k - 1.0) < 1e-9
+    assert abs(row.r2 - 1.0) < 1e-9
+
+
+def test_heaps_law_matches_numpy_polyfit_on_corpus(spark):
+    """beta / log_k equal numpy.polyfit over the per-shard points built
+    independently from the raw parquet."""
+    import duckdb
+    import numpy as np
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        heaps_law_fit,
+    )
+
+    row = heaps_law_fit(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""
+        SELECT ln(CAST(COUNT(*) AS DOUBLE)) AS x,
+               ln(CAST(COUNT(DISTINCT token) AS DOUBLE)) AS y
+        FROM (SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+              FROM read_parquet('{SF0001}/documents.parquet'))
+        GROUP BY source
+        """
+    ).df()
+    beta, log_k = np.polyfit(pts["x"], pts["y"], 1)
+    assert row.n_shards == len(pts)
+    assert abs(row.beta - beta) < 5e-4
+    assert abs(row.log_k - log_k) < 5e-4

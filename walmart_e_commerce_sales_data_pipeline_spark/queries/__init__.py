@@ -42,22 +42,25 @@ from . import (  # noqa: F401
 # horizon: no query may project past 5 rounds without external evidence
 # under the proposed window).
 #
-# Round-16 staleness histogram (registry at 198 after this round's three
+# Round-16 staleness histogram (registry at 200 after this round's five
 # additions — ``survival_km_logrank``, the per-cohort Kaplan-Meier
-# curves with the Mantel log-rank A/B test; ``zipf_slope_fit``, the
-# rank-frequency log-log OLS over the counts-of-counts table; and
-# ``events_hourly_mg``, the batch readout of the SIXTH streaming sketch
-# family, the applyInPandasWithState Misra-Gries heavy-hitter twin):
-# 3 never-green, 45 last green externally in r12, 50 in r13, 50 in r14,
+# curves with the Mantel log-rank A/B test; ``zipf_slope_fit`` and
+# ``heaps_law_fit``, the classic corpus-profiling pair (rank-frequency
+# slope over the counts-of-counts table; vocabulary-growth exponent
+# over per-source shards); ``events_hourly_mg``, the batch readout of
+# the SIXTH streaming sketch family, the applyInPandasWithState
+# Misra-Gries heavy-hitter twin; and ``revenue_mann_kendall``, the
+# nonparametric trend-significance test beside Theil-Sen's magnitude):
+# 5 never-green, 45 last green externally in r12, 50 in r13, 50 in r14,
 # 50 in r15.  The window, computed and staleness-asserted by
 # tools/rotate_window.py, is exactly the r15 VERDICT item 1
-# prescription: the three never-green round-16 queries, then ALL
+# prescription: the five never-green round-16 queries, then ALL
 # forty-five r12-stale queries (``set_operations``, ``distinct_counts``,
 # ``rollup_customer_geo``, ``cube_order_status``, ``string_functions``,
 # ``kmv_sketch_union``, ``sliding_chunk_windows``, ``bigram_pmi``, ...
-# in prior registry order), then the 2 stalest r13-green queries
-# (projected staleness horizon after r16: worst 3 rounds —
-# case_when_tiers — inside the 5-round limit the tool asserts).
+# in prior registry order) — exactly filling the 50 slots (projected
+# staleness horizon after r16: worst 3 rounds — date_functions —
+# inside the 5-round limit the tool asserts).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -66,6 +69,8 @@ _PRIORITY = [
     "survival_km_logrank",
     "zipf_slope_fit",
     "events_hourly_mg",
+    "heaps_law_fit",
+    "revenue_mann_kendall",
     "window_topk_orders",
     "window_running_total",
     "top10_expensive_items",
@@ -111,8 +116,6 @@ _PRIORITY = [
     "similarity_lsh",
     "similarity_topk_ivf",
     "multimodal_features",
-    "date_functions",
-    "agg_suite",
 ]
 
 

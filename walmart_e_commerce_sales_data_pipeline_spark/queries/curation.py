@@ -1462,3 +1462,113 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+# --- Heaps' law fit over per-source shards -------------------------------------
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    shard AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+        FROM tok GROUP BY source
+    ),
+    pts AS (
+        SELECT source, n_tokens, vocab,
+               ln(CAST(n_tokens AS DOUBLE)) AS x,
+               ln(CAST(vocab AS DOUBLE)) AS y
+        FROM shard
+    ),
+    cum AS (
+        SELECT SUM(1.0) OVER w AS m,
+               SUM(x) OVER w AS sx,
+               SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx,
+               SUM(x * y) OVER w AS sxy,
+               SUM(y * y) OVER w AS syy,
+               ROW_NUMBER() OVER (ORDER BY source DESC) AS rn
+        FROM pts
+        WINDOW w AS (ORDER BY source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(m AS BIGINT) AS n_shards,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS beta,
+           ROUND((sy * sxx - sx * sxy) / (m * sxx - sx * sx), 4) AS log_k,
+           ROUND(exp((sy * sxx - sx * sxy) / (m * sxx - sx * sx)), 4)
+               AS heaps_k,
+           ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r2
+    FROM cum WHERE rn = 1
+    """,
+    description="Heaps' law fit V = K * N^beta over per-source corpus "
+    "shards (Heaps 1978; Herdan 1960): each source contributes one "
+    "(ln N_tokens, ln vocab) point and the OLS beta estimates how fast "
+    "vocabulary grows with corpus size — natural text reads beta ~ "
+    "0.4-0.6, and a bent or flat line flags template/boilerplate "
+    "sources exactly like zipf_slope_fit's rank-frequency screen (the "
+    "two are the classic corpus-profiling pair: Zipf within a shard, "
+    "Heaps across shard sizes — they are asymptotically equivalent, "
+    "beta ~ 1/s).  Exactness: N and V are exact BIGINTs from one "
+    "map-side-combining token aggregate + one distinct count per "
+    "shard; ln() of integer-valued doubles is deterministic, and the "
+    "OLS sufficient statistics accumulate as source-ORDERED window "
+    "sums over the config-bounded shard table (one row per corpus "
+    "source — the mixture_sampling_plan window class), so both "
+    "engines run the identical IEEE sequence before the one rounded "
+    "emit.  Pinned against numpy.polyfit over the same per-shard "
+    "points (tests/test_round16_properties.py).  Scale shape: two "
+    "corpus-sized keyed aggregates, then everything on the one-row-"
+    "per-source table; no global sort, no join",
+    tags=("text", "profiling", "regression", "corpus"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    tok = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize("text")).alias("token")
+    )
+    shard = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("token").cast("long").alias("vocab"),
+    )
+    pts = shard.select(
+        "source",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum(F.lit(1.0)).over(w).alias("m"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.row_number()
+        .over(Window.orderBy(F.col("source").desc()))
+        .alias("rn"),
+    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ) / den
+    return cum.filter(F.col("rn") == 1).select(
+        F.col("m").cast("long").alias("n_shards"),
+        F.round(num / den, 4).alias("beta"),
+        F.round(icept, 4).alias("log_k"),
+        F.round(F.exp(icept), 4).alias("heaps_k"),
+        F.round(
+            num * num / (den * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    )

@@ -2152,3 +2152,156 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ym")
     )
+
+
+# --- Mann-Kendall trend test over the monthly revenue series ------------------
+
+
+@register(
+    "revenue_mann_kendall",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM m a JOIN m b ON a.ym < b.ym
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term,
+               CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS tie_pairs2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY cents)
+        WHERE t > 1
+    )
+    SELECT n.n AS n_months, s.s AS s_statistic,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+               AS var18,
+           ROUND(CASE
+               WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0)
+                   / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                           - ties.tie_term) / 18.0)
+               WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0)
+                   / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                           - ties.tie_term) / 18.0)
+               ELSE 0.0 END, 4) AS z_score,
+           ROUND(CAST(s.s AS DOUBLE)
+                 / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0)
+                        * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0
+                           - CAST(ties.tie_pairs2 AS DOUBLE) / 2.0)), 4)
+               AS tau_b,
+           CASE WHEN s.s > 0 AND (CAST(s.s AS DOUBLE) - 1.0)
+                     / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                             - ties.tie_term) / 18.0) > 1.96
+                THEN 'increasing'
+                WHEN s.s < 0 AND (CAST(s.s AS DOUBLE) + 1.0)
+                     / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                             - ties.tie_term) / 18.0) < -1.96
+                THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM s, n, ties
+    """,
+    description="Mann-Kendall nonparametric trend test (Mann 1945; "
+    "Kendall 1975) over the monthly revenue series — the "
+    "distribution-free companion to revenue_trend_slope's OLS and "
+    "revenue_theilsen_slope (which estimates the slope MAGNITUDE this "
+    "test judges the SIGNIFICANCE of; the standard pairing in "
+    "environmental/KPI trend monitoring): S = sum over month pairs "
+    "i<j of sign(x_j - x_i), the tie-corrected variance "
+    "Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18, the continuity-"
+    "corrected Z score, and Kendall's tau-b.  Exactness: S, the "
+    "tie term, and var18 = 18*Var(S) are pure BIGINT (sign sums over "
+    "exact cent totals — order-independent integer aggregation, no "
+    "IEEE accumulation question at all); Z and tau-b are single "
+    "closed-form double expressions of those integers, mirrored "
+    "term-by-term in both engines, rounded once.  Scale shape: one "
+    "keyed monthly aggregate over the orders scan, then the pair "
+    "sign-join and tie fold run on the calendar-bounded <= ~84-row "
+    "monthly table (<= ~3.5k pairs at ANY scale factor — the "
+    "whitelisted bounded-self-join class); no window at all",
+    tags=("agg", "timeseries", "trend", "exact-cents"),
+)
+def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ym"),
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    a = m.select(F.col("ym").alias("ym_a"), F.col("cents").alias("c_a"))
+    b = m.select(F.col("ym").alias("ym_b"), F.col("cents").alias("c_b"))
+    s = (
+        a.join(b, F.col("ym_a") < F.col("ym_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("c_b") > F.col("c_a"), 1)
+                .when(F.col("c_b") < F.col("c_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        m.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+            .cast("long")
+            .alias("tie_pairs2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    sigma = F.sqrt(
+        (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+        / F.lit(18.0)
+    )
+    z = (
+        F.when(F.col("s") > 0, (sd - F.lit(1.0)) / sigma)
+        .when(F.col("s") < 0, (sd + F.lit(1.0)) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    d_pairs = nd * (F.col("n") - 1) / F.lit(2.0)
+    tau_b = sd / F.sqrt(
+        d_pairs * (d_pairs - F.col("tie_pairs2").cast("double") / F.lit(2.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_months"),
+            F.col("s").alias("s_statistic"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+            F.round(z, 4).alias("z_score"),
+            F.round(tau_b, 4).alias("tau_b"),
+            F.when((F.col("s") > 0) & (z > 1.96), F.lit("increasing"))
+            .when((F.col("s") < 0) & (z < -1.96), F.lit("decreasing"))
+            .otherwise(F.lit("no-trend"))
+            .alias("trend"),
+        )
+    )
