@@ -401,6 +401,14 @@ HEADLINE = [
     "market_concentration_hhi",
     # round 15 wave 7: deterministic negative sampling for training pairs
     "training_negative_samples",
+    # round 16: per-cohort KM + log-rank, the Zipf/Heaps corpus-profiling
+    # pair, the sixth streaming family's batch readout, and the
+    # Mann-Kendall trend test
+    "survival_km_logrank",
+    "zipf_slope_fit",
+    "heaps_law_fit",
+    "events_hourly_mg",
+    "revenue_mann_kendall",
 ]
 
 

@@ -2172,40 +2172,42 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
                              ELSE 0 END) AS BIGINT) AS s
         FROM m a JOIN m b ON a.ym < b.ym
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
     ties AS (
-        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN t > 1
+                    THEN t * (t - 1) * (2 * t + 5) END), 0) AS BIGINT)
                    AS tie_term,
-               CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS tie_pairs2
+               CAST(COALESCE(SUM(CASE WHEN t > 1
+                    THEN t * (t - 1) END), 0) AS BIGINT) AS tie_pairs2
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY cents)
-        WHERE t > 1
     )
-    SELECT n.n AS n_months, s.s AS s_statistic,
-           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+    SELECT ties.n AS n_months, s.s AS s_statistic,
+           CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie_term
+                AS BIGINT)
                AS var18,
            ROUND(CASE
                WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0)
-                   / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                   / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                            - ties.tie_term) / 18.0)
                WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0)
-                   / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                   / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                            - ties.tie_term) / 18.0)
                ELSE 0.0 END, 4) AS z_score,
            ROUND(CAST(s.s AS DOUBLE)
-                 / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0)
-                        * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0
+                 / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0)
+                        * (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0
                            - CAST(ties.tie_pairs2 AS DOUBLE) / 2.0)), 4)
                AS tau_b,
            CASE WHEN s.s > 0 AND (CAST(s.s AS DOUBLE) - 1.0)
-                     / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                     / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                              - ties.tie_term) / 18.0) > 1.96
                 THEN 'increasing'
                 WHEN s.s < 0 AND (CAST(s.s AS DOUBLE) + 1.0)
-                     / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                     / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                              - ties.tie_term) / 18.0) < -1.96
                 THEN 'decreasing'
                 ELSE 'no-trend' END AS trend
-    FROM s, n, ties
+    FROM s, ties
     """,
     description="Mann-Kendall nonparametric trend test (Mann 1945; "
     "Kendall 1975) over the monthly revenue series — the "
@@ -2239,6 +2241,12 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ym")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
+    # Materialize the <= ~84-row monthly frame once (the triangle-census
+    # localCheckpoint pattern): the pair self-join reads it twice and the
+    # tie fold a third time, and exchange reuse only collapsed two of the
+    # three — at scale that's a second full orders scan for an 84-row
+    # frame.  One scan, then every statistic reads the checkpoint.
+    m = m.localCheckpoint(eager=True)
     a = m.select(F.col("ym").alias("ym_a"), F.col("cents").alias("c_a"))
     b = m.select(F.col("ym").alias("ym_b"), F.col("cents").alias("c_b"))
     s = (
@@ -2253,19 +2261,34 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
-    n = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # n, the tie term, and the tie-pair count all fold out of ONE
+    # cents-grouped aggregate over the monthly table: keeping them in a
+    # single branch (instead of a separate COUNT(*) branch that prunes
+    # to a narrower scan) lets exchange reuse collapse the whole plan
+    # onto one orders scan — the a/b pair sides and this branch all
+    # share the monthly aggregate's exchange.
     ties = (
         m.groupBy("cents")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .filter(F.col("t") > 1)
         .agg(
+            F.sum("t").cast("long").alias("n"),
             F.coalesce(
-                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5),
+                    )
+                ),
                 F.lit(0),
             )
             .cast("long")
             .alias("tie_term"),
-            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("t") > 1, F.col("t") * (F.col("t") - 1))
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("tie_pairs2"),
         )
@@ -2286,8 +2309,7 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_pairs * (d_pairs - F.col("tie_pairs2").cast("double") / F.lit(2.0))
     )
     return (
-        s.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(ties))
+        s.crossJoin(F.broadcast(ties))
         .select(
             F.col("n").alias("n_months"),
             F.col("s").alias("s_statistic"),
