@@ -409,6 +409,7 @@ HEADLINE = [
     "heaps_law_fit",
     "events_hourly_mg",
     "revenue_mann_kendall",
+    "source_token_diversity",
 ]
 
 

@@ -471,3 +471,38 @@ def test_heaps_law_matches_numpy_polyfit_on_corpus(spark):
     assert row.n_shards == len(pts)
     assert abs(row.beta - beta) < 5e-4
     assert abs(row.log_k - log_k) < 5e-4
+
+
+# --- diversity index pins (source_token_diversity) -----------------------------
+
+
+def test_diversity_uniform_and_degenerate_sources(spark, tmp_path):
+    """Closed-form checks: a source with V distinct tokens each
+    appearing exactly c times has H = ln V EXACTLY (so evenness = 1)
+    and Simpson concentration (c-1)/(Vc-1); a single-repeated-token
+    source has H = 0 and concentration 1."""
+    import math
+
+    v, c = 8, 5
+    uniform = " ".join(f"w{k}" for k in range(v) for _ in range(c))
+    degenerate = " ".join(["only"] * 12)
+    spark.createDataFrame(
+        [(0, uniform, "en", "uni", len(uniform)),
+         (1, degenerate, "en", "deg", len(degenerate))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        source_token_diversity,
+    )
+
+    rows = {r.source: r for r in source_token_diversity(spark, str(tmp_path)).collect()}
+    uni = rows["uni"]
+    assert uni.n_tokens == v * c and uni.vocab == v
+    assert abs(uni.shannon_nats - math.log(v)) < 1e-6
+    assert abs(uni.evenness - 1.0) < 1e-6
+    assert uni.simpson_num == v * c * (c - 1)
+    assert abs(uni.simpson_concentration - (c - 1) / (v * c - 1)) < 1e-6
+    deg = rows["deg"]
+    assert deg.vocab == 1 and abs(deg.shannon_nats - 0.0) < 1e-9
+    assert abs(deg.simpson_concentration - 1.0) < 1e-9
+    assert deg.evenness is None  # ln(1) = 0 — undefined, NULL not a crash

@@ -42,25 +42,25 @@ from . import (  # noqa: F401
 # horizon: no query may project past 5 rounds without external evidence
 # under the proposed window).
 #
-# Round-16 staleness histogram (registry at 200 after this round's five
+# Round-16 staleness histogram (registry at 201 after this round's six
 # additions — ``survival_km_logrank``, the per-cohort Kaplan-Meier
 # curves with the Mantel log-rank A/B test; ``zipf_slope_fit`` and
 # ``heaps_law_fit``, the classic corpus-profiling pair (rank-frequency
 # slope over the counts-of-counts table; vocabulary-growth exponent
 # over per-source shards); ``events_hourly_mg``, the batch readout of
 # the SIXTH streaming sketch family, the applyInPandasWithState
-# Misra-Gries heavy-hitter twin; and ``revenue_mann_kendall``, the
-# nonparametric trend-significance test beside Theil-Sen's magnitude):
-# 5 never-green, 45 last green externally in r12, 50 in r13, 50 in r14,
-# 50 in r15.  The window, computed and staleness-asserted by
-# tools/rotate_window.py, is exactly the r15 VERDICT item 1
-# prescription: the five never-green round-16 queries, then ALL
-# forty-five r12-stale queries (``set_operations``, ``distinct_counts``,
+# Misra-Gries heavy-hitter twin; ``revenue_mann_kendall``, the
+# nonparametric trend-significance test beside Theil-Sen's magnitude;
+# and ``source_token_diversity``, the Shannon/Pielou/Simpson per-source
+# mixture screen): 6 never-green, 45 last green externally in r12, 50
+# in r13, 50 in r14, 50 in r15.  The window, computed and
+# staleness-asserted by tools/rotate_window.py, is the r15 VERDICT
+# item 1 prescription: the six never-green round-16 queries, then 44
+# of the 45 r12-stale queries (``set_operations``, ``distinct_counts``,
 # ``rollup_customer_geo``, ``cube_order_status``, ``string_functions``,
 # ``kmv_sketch_union``, ``sliding_chunk_windows``, ``bigram_pmi``, ...
-# in prior registry order) — exactly filling the 50 slots (projected
-# staleness horizon after r16: worst 3 rounds — date_functions —
-# inside the 5-round limit the tool asserts).
+# in prior registry order; ``multimodal_features`` carries to r17 at
+# projected staleness 4, inside the 5-round limit the tool asserts).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -71,6 +71,7 @@ _PRIORITY = [
     "events_hourly_mg",
     "heaps_law_fit",
     "revenue_mann_kendall",
+    "source_token_diversity",
     "window_topk_orders",
     "window_running_total",
     "top10_expensive_items",
@@ -115,7 +116,6 @@ _PRIORITY = [
     "similarity_pairs_blocked",
     "similarity_lsh",
     "similarity_topk_ivf",
-    "multimodal_features",
 ]
 
 

@@ -1572,3 +1572,89 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+# --- per-source token diversity indices ----------------------------------------
+
+
+@register(
+    "source_token_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(LN(SUM(f)) - SUM(f * LN(f)) / SUM(f), 6) AS shannon_nats,
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND((LN(SUM(f)) - SUM(f * LN(f)) / SUM(f))
+                     / LN(CAST(COUNT(*) AS DOUBLE)), 6)
+           END AS evenness,
+           CAST(SUM(f * (f - 1)) AS BIGINT) AS simpson_num,
+           ROUND(CAST(SUM(f * (f - 1)) AS DOUBLE)
+                 / (CAST(SUM(f) AS DOUBLE) * (SUM(f) - 1)), 6)
+               AS simpson_concentration
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="per-source token diversity indices — Shannon entropy "
+    "(nats), Pielou evenness H/ln(V), and the unbiased Simpson "
+    "concentration sum f(f-1) / (N(N-1)) (Simpson 1949; Hurlbert's PIE "
+    "complement) — the corpus-mixture screen beside zipf_slope_fit / "
+    "heaps_law_fit / vocab_coverage_estimators: a source whose evenness "
+    "collapses or whose Simpson concentration spikes is template- or "
+    "boilerplate-dominated even when its raw token count looks healthy.  "
+    "Exactness: Simpson rides PURE BIGINT sufficient statistics "
+    "(sum f(f-1) and N(N-1) — order-independent integer aggregation) "
+    "with one rounded division; Shannon uses the same algebraic "
+    "identity H = ln(N) - sum f*ln(f) / N as text_token_entropy, whose "
+    "per-group double fold rounds at 6 dp (house precedent — the "
+    "per-source folds are vocabulary-sized).  Scale shape: one shuffle "
+    "on (source, token) for counts, then a per-source aggregation over "
+    "vocabulary-sized rows; everything map-side-combinable, no "
+    "windows, no broadcast state",
+    tags=("text", "profiling", "curation", "corpus"),
+)
+def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    tok = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize("text")).alias("token")
+    )
+    tc = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    h = F.log(F.sum("f")) - F.sum(F.col("f") * F.log("f")) / F.sum("f")
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(h, 6).alias("shannon_nats"),
+            # vocab = 1 would divide by ln(1) = 0 — ANSI Spark raises
+            # while IEEE DuckDB emits inf; NULL in both instead (a
+            # single-token source has no defined evenness).
+            F.when(
+                F.count(F.lit(1)) > 1,
+                F.round(
+                    h / F.log(F.count(F.lit(1)).cast("double")), 6
+                ),
+            ).alias("evenness"),
+            F.sum(F.col("f") * (F.col("f") - 1))
+            .cast("long")
+            .alias("simpson_num"),
+            F.round(
+                F.sum(F.col("f") * (F.col("f") - 1)).cast("double")
+                / (F.sum("f").cast("double") * (F.sum("f") - 1)),
+                6,
+            ).alias("simpson_concentration"),
+        )
+        .orderBy("source")
+    )
