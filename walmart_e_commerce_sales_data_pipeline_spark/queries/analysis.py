@@ -1122,8 +1122,9 @@ def mad_outlier_rate(
            f1.n_item AS n1, f2.n_item AS n2, n.n_orders,
            ROUND(CAST(t.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
            ROUND(CAST(t.pair_cnt AS DOUBLE) / f1.n_item, 6) AS confidence,
-           ROUND(CAST(t.pair_cnt * n.n_orders AS DOUBLE)
-                 / (f1.n_item * f2.n_item), 6) AS lift
+           ROUND(CAST(t.pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(f1.n_item AS DOUBLE) * CAST(f2.n_item AS DOUBLE)),
+                 6) AS lift
     FROM top t
     JOIN freq f1 ON f1.l_partkey = t.p1
     JOIN freq f2 ON f2.l_partkey = t.p2
@@ -1227,9 +1228,13 @@ def basket_association_rules(
             F.round(F.col("pair_cnt").cast("double") / F.col("n1"), 6).alias(
                 "confidence"
             ),
+            # each factor cast to DOUBLE before multiplying (the Gini
+            # denominator lesson): pair_cnt*n_orders and n1*n2 wrap a
+            # BIGINT once n_orders passes ~3e9 at large SF
             F.round(
-                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
-                / (F.col("n1") * F.col("n2")),
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
                 6,
             ).alias("lift"),
         )

@@ -1115,7 +1115,7 @@ def cms_heavy_hitters(
         FROM cnt
     )
     SELECT n_tokens, vocab, f1, f2,
-           ROUND(vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 4)
+           ROUND(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)), 4)
                AS chao1,
            ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
            ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
@@ -1162,9 +1162,12 @@ def vocab_coverage_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         "f1",
         "f2",
+        # f1 cast to DOUBLE before the product (the Gini-denominator
+        # lesson): f1^2 wraps a BIGINT once singletons pass ~3e9
         F.round(
             F.col("vocab")
-            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
             / (2 * (F.col("f2") + 1)),
             4,
         ).alias("chao1"),
@@ -1596,8 +1599,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ROUND((LN(SUM(f)) - SUM(f * LN(f)) / SUM(f))
                      / LN(CAST(COUNT(*) AS DOUBLE)), 6)
            END AS evenness,
-           CAST(SUM(f * (f - 1)) AS BIGINT) AS simpson_num,
-           ROUND(CAST(SUM(f * (f - 1)) AS DOUBLE)
+           CAST(SUM(CAST(f AS DECIMAL(38,0)) * (f - 1)) AS DOUBLE)
+               AS simpson_num,
+           ROUND(CAST(SUM(CAST(f AS DECIMAL(38,0)) * (f - 1)) AS DOUBLE)
                  / (CAST(SUM(f) AS DOUBLE) * (SUM(f) - 1)), 6)
                AS simpson_concentration
     FROM tc
@@ -1647,11 +1651,16 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h / F.log(F.count(F.lit(1)).cast("double")), 6
                 ),
             ).alias("evenness"),
-            F.sum(F.col("f") * (F.col("f") - 1))
-            .cast("long")
+            # DECIMAL(38,0) accumulator (the HHI ssq precedent): a
+            # boilerplate type repeated ~3e9 times in one source would
+            # wrap the BIGINT sum of f(f-1); emitted as DOUBLE (exact
+            # integer-valued until 2^53, and the one consumer divides)
+            F.sum(F.col("f").cast("decimal(38,0)") * (F.col("f") - 1))
+            .cast("double")
             .alias("simpson_num"),
             F.round(
-                F.sum(F.col("f") * (F.col("f") - 1)).cast("double")
+                F.sum(F.col("f").cast("decimal(38,0)") * (F.col("f") - 1))
+                .cast("double")
                 / (F.sum("f").cast("double") * (F.sum("f") - 1)),
                 6,
             ).alias("simpson_concentration"),
