@@ -283,6 +283,14 @@ HEAVY = [
     "survival_km_logrank",
     "zipf_slope_fit",
     "events_hourly_mg",
+    # round 16 wave 2: the Mann-Kendall pair join (10x orders collapse
+    # to the SAME calendar-bounded monthly table — the localCheckpoint
+    # holds it to one scan and the <= ~3.5k-pair join must not grow)
+    # and the per-source diversity fold (10x tokens through one
+    # (source, token) aggregate; the replica token suffix grows each
+    # source's vocab ~linearly, so the fold input tracks vocab).
+    "revenue_mann_kendall",
+    "source_token_diversity",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
