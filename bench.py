@@ -625,6 +625,7 @@ def main() -> None:
         "dup_graph_pagerank",
     ]
     shared_scan: dict[str, object] = {}
+    shared_pairs = None
     try:
         from walmart_e_commerce_sales_data_pipeline_spark.operators.dedup import (
             jaccard_pairs_from_docs,
@@ -653,9 +654,13 @@ def main() -> None:
         shared_scan["trio_total_sec"] = round(
             shared_scan["pairs_build_sec"] + sum(walls.values()), 3
         )
-        shared_pairs.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["shared_scan"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        # a failed consumer must not leave the pair table pinned in
+        # executor memory through the remaining timing tiers
+        if shared_pairs is not None:
+            shared_pairs.unpersist()
 
     # Reference-parity ETL on the reference's own bundled data (matches the
     # BASELINE.md measurement boundary: extract→transform→agg→load→validate).

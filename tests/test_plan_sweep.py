@@ -115,6 +115,10 @@ BNLJ_WHITELIST = {
     # 1-row anchor timestamp and the 1-row subject total onto keyed
     # frames — the scalar-broadcast class.
     "survival_time_to_purchase",
+    # revenue_seasonal_decomposition (round 16): one cross broadcasts
+    # the 1-row gap flag (the global calendar-gap guard) onto the
+    # <= ~84-row monthly output — the scalar-broadcast class.
+    "revenue_seasonal_decomposition",
     # revenue_mann_kendall (round 16): the pair sign-join is an
     # inequality join (ym_a < ym_b) over the MONTHLY aggregate —
     # calendar-bounded (<= ~84 rows, <= ~3.5k pairs at ANY scale

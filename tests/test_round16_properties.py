@@ -81,6 +81,33 @@ def test_seasonal_decomposition_raises_on_month_gap(spark, tmp_path):
         revenue_seasonal_decomposition(spark, str(tmp_path)).collect()
 
 
+def test_seasonal_decomposition_gap_raises_even_when_gapped_row_pruned(
+    spark, tmp_path
+):
+    """The bypass a per-row guard allows (review finding, round 16): a
+    short gapped series where the post-gap row's month-of-year never
+    acquires a seasonal mean, so the seasonal inner join PRUNES exactly
+    the violating row while its neighbors would emit frames spanning
+    the gap.  The global 1-row gap flag must raise for ANY emitted
+    row."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        revenue_seasonal_decomposition,
+    )
+
+    # 20 consecutive months (2022-01..2023-08), gap, then 2023-10: the
+    # trend24 rows cover only interior months, so moy=10 never reaches
+    # the seasonal table and the gapped row is join-pruned.
+    rows = [
+        (dt.date(2022 + m // 12, m % 12 + 1, 15), 100.0 + m)
+        for m in range(20)
+    ] + [(dt.date(2023, 10, 15), 200.0)]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    with pytest.raises(Exception, match="calendar gap"):
+        revenue_seasonal_decomposition(spark, str(tmp_path)).collect()
+
+
 def test_negative_samples_no_duplicate_pairs(spark):
     """Two draw indices hashing to the same part mod the keyspace must
     collapse to one candidate (minimum draw index) — a training batch

@@ -1367,15 +1367,21 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(sw AS BIGINT) AS n_types,
            CAST(stok AS BIGINT) AS n_tokens,
-           ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
-                 / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope,
-           ROUND((sy * sxx - sx * sxy)
-                 / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4)
-               AS log_intercept,
-           ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
-                 * (CAST(sw AS DOUBLE) * sxy - sx * sy)
-                 / ((CAST(sw AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(sw AS DOUBLE) * syy - sy * sy)), 4) AS r2
+           CASE WHEN CAST(sw AS DOUBLE) * sxx - sx * sx != 0
+                THEN ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4)
+           END AS zipf_slope,
+           CASE WHEN CAST(sw AS DOUBLE) * sxx - sx * sx != 0
+                THEN ROUND((sy * sxx - sx * sxy)
+                     / (CAST(sw AS DOUBLE) * sxx - sx * sx), 4)
+           END AS log_intercept,
+           CASE WHEN CAST(sw AS DOUBLE) * sxx - sx * sx != 0
+                     AND CAST(sw AS DOUBLE) * syy - sy * sy != 0
+                THEN ROUND((CAST(sw AS DOUBLE) * sxy - sx * sy)
+                     * (CAST(sw AS DOUBLE) * sxy - sx * sy)
+                     / ((CAST(sw AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(sw AS DOUBLE) * syy - sy * sy)), 4)
+           END AS r2
     FROM cum WHERE rn = 1
     """,
     description="Zipf slope fit over the corpus rank-frequency curve "
@@ -1452,17 +1458,26 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     swd = F.col("sw").cast("double")
     den = swd * F.col("sxx") - F.col("sx") * F.col("sx")
     num = swd * F.col("sxy") - F.col("sx") * F.col("sy")
+    # den = 0 when the counts-of-counts table has ONE row (every token
+    # shares a frequency — e.g. an all-unique-token corpus): the slope
+    # is undefined, and ANSI Spark would raise DIVIDE_BY_ZERO where
+    # IEEE DuckDB emits inf/NaN.  NULL in both engines instead.
+    sse = swd * F.col("syy") - F.col("sy") * F.col("sy")
     return cum.filter(F.col("rn") == 1).select(
         F.col("sw").cast("long").alias("n_types"),
         F.col("stok").cast("long").alias("n_tokens"),
-        F.round(num / den, 4).alias("zipf_slope"),
-        F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den,
-            4,
+        F.when(den != 0, F.round(num / den, 4)).alias("zipf_slope"),
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                / den,
+                4,
+            ),
         ).alias("log_intercept"),
-        F.round(
-            num * num / (den * (swd * F.col("syy") - F.col("sy") * F.col("sy"))),
-            4,
+        F.when(
+            (den != 0) & (sse != 0),
+            F.round(num * num / (den * sse), 4),
         ).alias("r2"),
     )
 
@@ -1502,12 +1517,20 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT CAST(m AS BIGINT) AS n_shards,
-           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS beta,
-           ROUND((sy * sxx - sx * sxy) / (m * sxx - sx * sx), 4) AS log_k,
-           ROUND(exp((sy * sxx - sx * sxy) / (m * sxx - sx * sx)), 4)
-               AS heaps_k,
-           ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
-                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r2
+           CASE WHEN m * sxx - sx * sx != 0
+                THEN ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 4)
+           END AS beta,
+           CASE WHEN m * sxx - sx * sx != 0
+                THEN ROUND((sy * sxx - sx * sxy) / (m * sxx - sx * sx), 4)
+           END AS log_k,
+           CASE WHEN m * sxx - sx * sx != 0
+                THEN ROUND(exp((sy * sxx - sx * sxy)
+                     / (m * sxx - sx * sx)), 4)
+           END AS heaps_k,
+           CASE WHEN m * sxx - sx * sx != 0 AND m * syy - sy * sy != 0
+                THEN ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                     / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4)
+           END AS r2
     FROM cum WHERE rn = 1
     """,
     description="Heaps' law fit V = K * N^beta over per-source corpus "
@@ -1565,14 +1588,18 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     icept = (
         F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
     ) / den
+    # den = 0 for a one-source corpus (or equal-sized shards): the fit
+    # is undefined — NULL in both engines instead of an ANSI
+    # DIVIDE_BY_ZERO (Spark) diverging from inf (DuckDB).
+    sse = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
     return cum.filter(F.col("rn") == 1).select(
         F.col("m").cast("long").alias("n_shards"),
-        F.round(num / den, 4).alias("beta"),
-        F.round(icept, 4).alias("log_k"),
-        F.round(F.exp(icept), 4).alias("heaps_k"),
-        F.round(
-            num * num / (den * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))),
-            4,
+        F.when(den != 0, F.round(num / den, 4)).alias("beta"),
+        F.when(den != 0, F.round(icept, 4)).alias("log_k"),
+        F.when(den != 0, F.round(F.exp(icept), 4)).alias("heaps_k"),
+        F.when(
+            (den != 0) & (sse != 0),
+            F.round(num * num / (den * sse), 4),
         ).alias("r2"),
     )
 
@@ -1601,9 +1628,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS evenness,
            CAST(SUM(CAST(f AS DECIMAL(38,0)) * (f - 1)) AS DOUBLE)
                AS simpson_num,
-           ROUND(CAST(SUM(CAST(f AS DECIMAL(38,0)) * (f - 1)) AS DOUBLE)
-                 / (CAST(SUM(f) AS DOUBLE) * (SUM(f) - 1)), 6)
-               AS simpson_concentration
+           CASE WHEN SUM(f) > 1
+                THEN ROUND(CAST(SUM(CAST(f AS DECIMAL(38,0)) * (f - 1))
+                           AS DOUBLE)
+                     / (CAST(SUM(f) AS DOUBLE) * (SUM(f) - 1)), 6)
+           END AS simpson_concentration
     FROM tc
     GROUP BY source
     ORDER BY source
@@ -1658,11 +1687,17 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("f").cast("decimal(38,0)") * (F.col("f") - 1))
             .cast("double")
             .alias("simpson_num"),
-            F.round(
-                F.sum(F.col("f").cast("decimal(38,0)") * (F.col("f") - 1))
-                .cast("double")
-                / (F.sum("f").cast("double") * (F.sum("f") - 1)),
-                6,
+            # N = 1 (a single-token source) makes N(N-1) = 0 — NULL in
+            # both engines, like the evenness guard above
+            F.when(
+                F.sum("f") > 1,
+                F.round(
+                    F.sum(
+                        F.col("f").cast("decimal(38,0)") * (F.col("f") - 1)
+                    ).cast("double")
+                    / (F.sum("f").cast("double") * (F.sum("f") - 1)),
+                    6,
+                ),
             ).alias("simpson_concentration"),
         )
         .orderBy("source")

@@ -2005,14 +2005,14 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS cents
         FROM orders GROUP BY 1
     ),
+    gapchk AS (
+        SELECT MAX(CASE WHEN prev IS NULL
+                             OR datediff('month', prev, ym) = 1
+                        THEN 0 ELSE 1 END) AS has_gap
+        FROM (SELECT ym, LAG(ym) OVER (ORDER BY ym) AS prev FROM m)
+    ),
     w AS (
-        SELECT ym,
-               CASE WHEN LAG(ym) OVER (ORDER BY ym) IS NULL
-                         OR datediff('month', LAG(ym) OVER (ORDER BY ym),
-                                     ym) = 1
-                    THEN cents
-                    ELSE CAST(error('monthly series gap') AS BIGINT)
-               END AS cents,
+        SELECT ym, cents,
                CAST(EXTRACT(month FROM ym) AS INT) AS moy,
                LAG(cents, 6) OVER (ORDER BY ym) AS x_m6,
                LEAD(cents, 6) OVER (ORDER BY ym) AS x_p6,
@@ -2037,7 +2037,10 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tr WHERE trend24 IS NOT NULL
         GROUP BY moy
     )
-    SELECT tr.ym, tr.cents, tr.moy,
+    SELECT tr.ym, tr.cents,
+           CASE WHEN gapchk.has_gap = 1
+                THEN CAST(error('monthly series gap') AS INT)
+                ELSE tr.moy END AS moy,
            ROUND(CAST(tr.trend24 AS DOUBLE) / 24.0, 4) AS trend,
            ROUND(CAST(seas.snum AS DOUBLE) / (24.0 * seas.scnt), 4)
                AS seasonal,
@@ -2045,7 +2048,7 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(tr.cents - CAST(tr.trend24 AS DOUBLE) / 24.0
                      - CAST(seas.snum AS DOUBLE) / (24.0 * seas.scnt), 4)
            END AS residual
-    FROM tr JOIN seas ON seas.moy = tr.moy
+    FROM tr JOIN seas ON seas.moy = tr.moy CROSS JOIN gapchk
     ORDER BY tr.ym
     """,
     description="classical additive seasonal decomposition of the "
@@ -2063,9 +2066,13 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no full +-6 window) carry NULL trend/residual by an explicit "
     "count guard, identical in both engines.  The row-based frames "
     "assume a gap-free monthly calendar (true for TPC-H); a missing "
-    "month raises loudly in BOTH engines (raise_error / error() "
-    "threaded through the cents column) instead of silently misaligning "
-    "the centered MA.  Scale shape: one keyed "
+    "month ANYWHERE raises loudly in BOTH engines — a 1-row gap flag "
+    "aggregated over every month-to-month step, cross-joined into the "
+    "output, and threaded through every emitted row (a per-row guard "
+    "on the gapped row alone is bypassable: the seasonal join can "
+    "prune that row while its neighbors emit misaligned frames) — "
+    "instead of silently misaligning the centered MA.  Scale shape: "
+    "one keyed "
     "monthly aggregate over the orders scan; the LAG/LEAD/rolling "
     "windows and the 12-row seasonal join all run on the "
     "calendar-bounded <= ~84-row monthly table — the whitelisted "
@@ -2090,24 +2097,30 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     w11 = Window.orderBy("ym").rowsBetween(-5, 5)
     # Gap-free guard: the ROWS-based LAG/LEAD(6) and 5-preceding frames
     # assume consecutive calendar months; a missing month would silently
-    # misalign trend24 to non-adjacent months.  Fail loudly instead —
-    # threaded through the cents column (not a dropped assert column,
-    # which Catalyst would prune away unevaluated); the oracle carries
-    # the same guard via error().
+    # misalign trend24 to non-adjacent months.  Fail loudly instead.
+    # The flag is a 1-row aggregate over ALL month gaps, cross-joined
+    # into the output and threaded through every emitted row — a
+    # per-row guard on the gapped row alone is bypassable (the seasonal
+    # inner join can prune exactly that row while its neighbors emit
+    # misaligned frames); the oracle carries the same global flag via
+    # error().  With zero emitted rows nothing can be misaligned, so
+    # the vacuous case is safe by construction.
     prev_ym = F.lag("ym", 1).over(w_ord)
-    gap_free_cents = F.when(
-        prev_ym.isNull() | (F.months_between(F.col("ym"), prev_ym) == 1.0),
-        F.col("cents"),
-    ).otherwise(
-        F.expr(
-            "raise_error('revenue_seasonal_decomposition: monthly series"
-            " has a calendar gap — row-based 2x12 MA frames would"
-            " misalign')"
+    has_gap = (
+        m.select(
+            F.when(
+                prev_ym.isNull()
+                | (F.months_between(F.col("ym"), prev_ym) == 1.0),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("g")
         )
+        .agg(F.max("g").alias("has_gap"))
     )
     w = m.select(
         "ym",
-        gap_free_cents.alias("cents"),
+        "cents",
         F.month("ym").cast("int").alias("moy"),
         F.lag("cents", 6).over(w_ord).alias("x_m6"),
         F.lead("cents", 6).over(w_ord).alias("x_p6"),
@@ -2137,12 +2150,21 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     )
     trend = F.col("trend24").cast("double") / F.lit(24.0)
     seasonal = F.col("snum").cast("double") / (F.lit(24.0) * F.col("scnt"))
+    guard = F.when(
+        F.col("has_gap") == 1,
+        F.expr(
+            "raise_error('revenue_seasonal_decomposition: monthly series"
+            " has a calendar gap — row-based 2x12 MA frames would"
+            " misalign')"
+        ),
+    ).otherwise(F.col("moy"))
     return (
         tr.join(F.broadcast(seas), "moy")
+        .crossJoin(F.broadcast(has_gap))
         .select(
             "ym",
             "cents",
-            "moy",
+            guard.alias("moy"),
             F.round(trend, 4).alias("trend"),
             F.round(seasonal, 4).alias("seasonal"),
             F.when(
@@ -2193,11 +2215,14 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
                    / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                            - ties.tie_term) / 18.0)
                ELSE 0.0 END, 4) AS z_score,
-           ROUND(CAST(s.s AS DOUBLE)
-                 / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0)
-                        * (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0
-                           - CAST(ties.tie_pairs2 AS DOUBLE) / 2.0)), 4)
-               AS tau_b,
+           CASE WHEN (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0)
+                      * (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0
+                         - CAST(ties.tie_pairs2 AS DOUBLE) / 2.0) > 0
+                THEN ROUND(CAST(s.s AS DOUBLE)
+                     / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0)
+                            * (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2.0
+                               - CAST(ties.tie_pairs2 AS DOUBLE) / 2.0)), 4)
+           END AS tau_b,
            CASE WHEN s.s > 0 AND (CAST(s.s AS DOUBLE) - 1.0)
                      / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) * (2 * ties.n + 5)
                              - ties.tie_term) / 18.0) > 1.96
@@ -2305,9 +2330,13 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
     )
     d_pairs = nd * (F.col("n") - 1) / F.lit(2.0)
-    tau_b = sd / F.sqrt(
-        d_pairs * (d_pairs - F.col("tie_pairs2").cast("double") / F.lit(2.0))
+    # all months tying (u = d) or a single month zeroes the tau-b
+    # divisor — undefined, NULL in both engines (the reference
+    # implementation in tests returns None for exactly this case)
+    tb_den = d_pairs * (
+        d_pairs - F.col("tie_pairs2").cast("double") / F.lit(2.0)
     )
+    tau_b = F.when(tb_den > 0, sd / F.sqrt(tb_den))
     return (
         s.crossJoin(F.broadcast(ties))
         .select(

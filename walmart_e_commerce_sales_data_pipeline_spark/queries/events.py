@@ -955,6 +955,52 @@ def events_forward_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Kaplan-Meier time-to-conversion survival curve --------------------------
 
 
+def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared subject construction for the survival queries: one row per
+    user with a first 'view' — ``(user_id, day, ev)`` where ``day`` is
+    the duration from first view to first qualifying purchase (or to the
+    feed anchor for right-censored never-purchasers) and ``ev`` flags
+    conversion.  Both survival_time_to_purchase and survival_km_logrank
+    derive from this frame (the cohort column is the caller's), so the
+    censoring rule and the conversion predicate live in exactly one
+    place.  Catalyst prunes user_id out of callers that don't use it."""
+    ev = table(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff(
+                    F.to_date("first_purchase"), F.to_date("first_view")
+                ),
+            )
+            .otherwise(
+                F.datediff(F.to_date("anchor"), F.to_date("first_view"))
+            )
+            .cast("int")
+            .alias("day"),
+            F.when(F.col("first_purchase").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+
+
 @register(
     "survival_time_to_purchase",
     oracle="""
@@ -1042,38 +1088,7 @@ def events_forward_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
-    t0 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    anchor = ev.agg(F.max("ts").alias("anchor"))
-    conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t0, "user_id")
-        .filter(F.col("ts") >= F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    subj = (
-        t0.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            F.when(
-                F.col("first_purchase").isNotNull(),
-                F.datediff(F.to_date("first_purchase"), F.to_date("first_view")),
-            )
-            .otherwise(
-                F.datediff(F.to_date("anchor"), F.to_date("first_view"))
-            )
-            .cast("int")
-            .alias("day"),
-            F.when(F.col("first_purchase").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("ev"),
-        )
-    )
+    subj = _survival_subjects(spark, sf_dir).select("day", "ev")
     days = subj.groupBy("day").agg(
         F.sum("ev").cast("long").alias("n_event"),
         F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_censored"),
@@ -1277,40 +1292,12 @@ def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("event-time", "window", "survival", "funnel", "ab-test"),
 )
 def survival_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    t0 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    anchor = ev.agg(F.max("ts").alias("anchor"))
-    conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t0, "user_id")
-        .filter(F.col("ts") >= F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    subj = (
-        t0.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
-            .otherwise(F.lit("B"))
-            .alias("cohort"),
-            F.when(
-                F.col("first_purchase").isNotNull(),
-                F.datediff(F.to_date("first_purchase"), F.to_date("first_view")),
-            )
-            .otherwise(
-                F.datediff(F.to_date("anchor"), F.to_date("first_view"))
-            )
-            .cast("int")
-            .alias("day"),
-            F.when(F.col("first_purchase").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("ev"),
-        )
+    subj = _survival_subjects(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        "day",
+        "ev",
     )
     gd = subj.groupBy("cohort", "day").agg(
         F.sum("ev").cast("long").alias("d"),

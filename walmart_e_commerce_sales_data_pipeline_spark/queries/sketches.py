@@ -1360,7 +1360,7 @@ def _events_hourly_mg_oracle() -> str:
     "events_hourly_mg",
     oracle=_events_hourly_mg_oracle(),
     description="per-hour Misra-Gries heavy-hitter readout: for every "
-    "tumbling event-time hour, the <= k = 32 deterministic heavy-user "
+    "tumbling event-time hour, the <= k = 8 deterministic heavy-user "
     "counters with their uniform deficit, the a-priori undercount bound "
     "n/(k+1), and the survival guarantee flag — the batch twin of the "
     "SIXTH streaming sketch family, streaming.events.hourly_user_mg.  "

@@ -709,6 +709,17 @@ def hourly_user_mg(
     if events.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
+        if k != MG_STREAM_K:
+            # the state-update function is deliberately self-contained
+            # (workers may lack this package on their import path), so
+            # its k is inlined — a different k would silently diverge
+            # from the batch twin instead of compressing at the
+            # requested size
+            raise ValueError(
+                f"streaming hourly_user_mg supports only k={MG_STREAM_K}"
+                " (inlined in the self-contained state-update function);"
+                " got k=" + str(k)
+            )
         src = events.withWatermark("ts", watermark)
         keyed = src.select(
             F.date_trunc("hour", "ts").alias("window_start"),
