@@ -410,6 +410,7 @@ HEADLINE = [
     "events_hourly_mg",
     "revenue_mann_kendall",
     "source_token_diversity",
+    "survival_logrank_stratified",
 ]
 
 

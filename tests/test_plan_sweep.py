@@ -125,6 +125,11 @@ BNLJ_WHITELIST = {
     # factor); the two crosses broadcast the 1-row S and tie frames —
     # the scalar-broadcast class.
     "revenue_mann_kendall",
+    # survival_logrank_stratified (round 16): crosses broadcast the
+    # 1-row anchor timestamp and the 1-row combined (O, E, V) totals —
+    # the scalar-broadcast class; the per-stratum grid is an equi-join
+    # on stratum between two bounded distinct frames.
+    "survival_logrank_stratified",
     # survival_km_logrank (round 16): crosses broadcast the 1-row anchor
     # timestamp, the 1-row (O1, E1, V) log-rank totals, and join the
     # <= 31-row distinct-day frame onto the 2-row cohort dimension (the
@@ -209,6 +214,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   product-limit windows run over the per-day aggregate —
     #   calendar-bounded (<= 31 rows at any SF).
     "survival_time_to_purchase",
+    # - survival_logrank_stratified (round 16): the cross-stratum
+    #   combination window runs over the per-stratum totals table —
+    #   bounded by the enrollment-week count (feed span / 7, a handful
+    #   at any SF); per-stratum accumulation is stratum-PARTITIONED.
+    "survival_logrank_stratified",
     # - survival_km_logrank (round 16): the log-rank accumulation
     #   windows (O1/E1/V ordered sums + the last-row row_number) run
     #   over the per-day cell table — calendar-bounded (<= 31 rows at
@@ -280,6 +290,10 @@ SINGLE_PARTITION_WHITELIST = {
     #   calendar-bounded (<= 31 rows at any SF), the monthly-rollup
     #   window class.
     "survival_time_to_purchase",
+    # - survival_logrank_stratified (round 16): the exchange feeds the
+    #   cross-stratum combination window over the per-stratum totals —
+    #   bounded by the enrollment-week count at any SF.
+    "survival_logrank_stratified",
     # - survival_km_logrank (round 16): the exchanges feed the
     #   day-ordered log-rank accumulation windows and the per-cohort
     #   grid windows — both calendar/config-bounded (<= 31 days x 2

@@ -154,25 +154,26 @@ def test_checked_window_composition():
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
     # horizon).  Staleness histogram after the round-16 additions
-    # (six new queries): never:6 / r12:45 / r13:50 / r14:50 / r15:50.
-    # The window is the six never-green round-16 queries, then 44 of
+    # (seven new queries): never:7 / r12:45 / r13:50 / r14:50 / r15:50.
+    # The window is the seven never-green round-16 queries, then 43 of
     # the 45 r12-stale queries the r15 VERDICT item 1 prescribed
-    # (multimodal_features carries to r17 at projected staleness 4,
-    # inside the 5-round limit).
+    # (similarity_topk_ivf and multimodal_features carry to r17 at
+    # projected staleness 4, inside the 5-round limit).
     window = set(names[:50])
     # The round-16 additions (never externally green) lead
     # unconditionally.
-    assert _PRIORITY[:6] == [
+    assert _PRIORITY[:7] == [
         "survival_km_logrank",
         "zipf_slope_fit",
         "events_hourly_mg",
         "heaps_law_fit",
         "revenue_mann_kendall",
         "source_token_diversity",
+        "survival_logrank_stratified",
     ]
     # The r12-stale queries follow, headed by the set the r15 VERDICT
     # named explicitly.
-    assert _PRIORITY[6:17] == [
+    assert _PRIORITY[7:18] == [
         "window_topk_orders",
         "window_running_total",
         "top10_expensive_items",
@@ -185,7 +186,7 @@ def test_checked_window_composition():
         "sliding_chunk_windows",
         "bigram_pmi",
     ]
-    assert _PRIORITY[17:50] == [
+    assert _PRIORITY[18:50] == [
         "dup_graph_degree_hist",
         "winsorized_price_stats",
         "ngram_distribution_profile",
@@ -218,7 +219,6 @@ def test_checked_window_composition():
         "similarity_topk",
         "similarity_pairs_blocked",
         "similarity_lsh",
-        "similarity_topk_ivf",
     ]
     # Nothing green in rounds 13-15 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

@@ -533,3 +533,103 @@ def test_diversity_uniform_and_degenerate_sources(spark, tmp_path):
     assert deg.vocab == 1 and abs(deg.shannon_nats - 0.0) < 1e-9
     assert abs(deg.simpson_concentration - 1.0) < 1e-9
     assert deg.evenness is None  # ln(1) = 0 — undefined, NULL not a crash
+
+
+# --- stratified log-rank pins (survival_logrank_stratified) -------------------
+
+
+def _stratified_logrank_definition(subjects):
+    """First-principles stratified log-rank: per-stratum exact Fraction
+    O/E/V cells summed across strata, chi2 = (sum(O-E))^2 / sum(V)."""
+    strata = sorted({s for s, _, _, _ in subjects})
+    o_all, e_all, v_all = 0, Fraction(0), Fraction(0)
+    for st_ in strata:
+        sub = [(g, d, e) for s, g, d, e in subjects if s == st_]
+        o, e, v, _ = _logrank_definition(sub)
+        o_all += o
+        e_all += e
+        v_all += v
+    chi2 = float((o_all - e_all) ** 2 / v_all) if v_all > 0 else None
+    return o_all, e_all, v_all, chi2
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # stratum
+            st.sampled_from(["A", "B"]),
+            st.integers(0, 10),
+            st.integers(0, 1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_stratified_logrank_single_stratum_equals_unstratified(subjects):
+    """Collapsing every subject into ONE stratum reproduces the plain
+    log-rank exactly — the stratified statistic is a strict
+    generalization."""
+    one = [(0, g, d, e) for _s, g, d, e in subjects]
+    o_s, e_s, v_s, chi2_s = _stratified_logrank_definition(one)
+    o_u, e_u, v_u, chi2_u = _logrank_definition(
+        [(g, d, e) for _s, g, d, e in subjects]
+    )
+    assert (o_s, e_s, v_s) == (o_u, e_u, v_u)
+    assert chi2_s == chi2_u
+
+
+def test_stratified_logrank_spark_matches_definition_on_corpus(spark):
+    """The registered query's per-stratum cells and combined chi2 equal
+    the Fraction first-principles implementation on subjects rebuilt
+    independently with DuckDB."""
+    import duckdb
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.events import (
+        survival_logrank_stratified,
+    )
+
+    out = survival_logrank_stratified(spark, SF0001).toPandas()
+    con = duckdb.connect()
+    subj = con.sql(
+        f"""
+        WITH t0 AS (
+            SELECT user_id, MIN(ts) AS fv
+            FROM read_parquet('{SF0001}/events.parquet')
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        a AS (SELECT MAX(ts) AS anchor
+              FROM read_parquet('{SF0001}/events.parquet')),
+        conv AS (
+            SELECT t0.user_id, MIN(e.ts) AS fp
+            FROM t0 JOIN read_parquet('{SF0001}/events.parquet') e
+              ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+             AND e.ts >= t0.fv
+            GROUP BY t0.user_id
+        )
+        SELECT CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                    CAST(t0.fv AS DATE)) / 7.0) AS INT) AS s,
+               CASE WHEN t0.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               CAST(CASE WHEN conv.fp IS NOT NULL
+                    THEN datediff('day', CAST(t0.fv AS DATE), CAST(conv.fp AS DATE))
+                    ELSE datediff('day', CAST(t0.fv AS DATE), CAST(a.anchor AS DATE))
+               END AS INT) AS day,
+               CASE WHEN conv.fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id CROSS JOIN a
+        """
+    ).df()
+    subjects = list(zip(subj["s"], subj["g"], subj["day"], subj["ev"]))
+    o_all, e_all, v_all, chi2 = _stratified_logrank_definition(subjects)
+    assert int(out["observed_a"].sum()) == o_all
+    assert abs(float(out["expected_a"].sum()) - float(e_all)) < 1e-3
+    if chi2 is not None:
+        assert abs(float(out["stratified_chi2"].iloc[0]) - chi2) < 5e-4
+    # per-stratum cells match the per-stratum definition too
+    for _, row in out.iterrows():
+        sub = [
+            (g, d, e) for s, g, d, e in subjects if s == row["stratum"]
+        ]
+        o, e, v, _ = _logrank_definition(sub)
+        assert int(row["observed_a"]) == o
+        assert abs(float(row["expected_a"]) - float(e)) < 5e-5
+        assert abs(float(row["variance_a"]) - float(v)) < 5e-5

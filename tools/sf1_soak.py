@@ -291,6 +291,9 @@ HEAVY = [
     # source's vocab ~linearly, so the fold input tracks vocab).
     "revenue_mann_kendall",
     "source_token_diversity",
+    # round 16 wave 3: the stratified log-rank (same subject aggregates
+    # as the KM queries; ALL window work on the (weeks x 31 x 2) grid).
+    "survival_logrank_stratified",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -42,7 +42,7 @@ from . import (  # noqa: F401
 # horizon: no query may project past 5 rounds without external evidence
 # under the proposed window).
 #
-# Round-16 staleness histogram (registry at 201 after this round's six
+# Round-16 staleness histogram (registry at 202 after this round's seven
 # additions — ``survival_km_logrank``, the per-cohort Kaplan-Meier
 # curves with the Mantel log-rank A/B test; ``zipf_slope_fit`` and
 # ``heaps_law_fit``, the classic corpus-profiling pair (rank-frequency
@@ -51,16 +51,19 @@ from . import (  # noqa: F401
 # the SIXTH streaming sketch family, the applyInPandasWithState
 # Misra-Gries heavy-hitter twin; ``revenue_mann_kendall``, the
 # nonparametric trend-significance test beside Theil-Sen's magnitude;
-# and ``source_token_diversity``, the Shannon/Pielou/Simpson per-source
-# mixture screen): 6 never-green, 45 last green externally in r12, 50
-# in r13, 50 in r14, 50 in r15.  The window, computed and
-# staleness-asserted by tools/rotate_window.py, is the r15 VERDICT
-# item 1 prescription: the six never-green round-16 queries, then 44
-# of the 45 r12-stale queries (``set_operations``, ``distinct_counts``,
-# ``rollup_customer_geo``, ``cube_order_status``, ``string_functions``,
-# ``kmv_sketch_union``, ``sliding_chunk_windows``, ``bigram_pmi``, ...
-# in prior registry order; ``multimodal_features`` carries to r17 at
-# projected staleness 4, inside the 5-round limit the tool asserts).
+# ``source_token_diversity``, the Shannon/Pielou/Simpson per-source
+# mixture screen; and ``survival_logrank_stratified``, the
+# enrollment-week-stratified A/B log-rank): 7 never-green, 45 last
+# green externally in r12, 50 in r13, 50 in r14, 50 in r15.  The
+# window, computed and staleness-asserted by tools/rotate_window.py,
+# is the r15 VERDICT item 1 prescription: the seven never-green
+# round-16 queries, then 43 of the 45 r12-stale queries
+# (``set_operations``, ``distinct_counts``, ``rollup_customer_geo``,
+# ``cube_order_status``, ``string_functions``, ``kmv_sketch_union``,
+# ``sliding_chunk_windows``, ``bigram_pmi``, ... in prior registry
+# order; ``similarity_topk_ivf`` and ``multimodal_features`` carry to
+# r17 at projected staleness 4, inside the 5-round limit the tool
+# asserts).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -72,6 +75,7 @@ _PRIORITY = [
     "heaps_law_fit",
     "revenue_mann_kendall",
     "source_token_diversity",
+    "survival_logrank_stratified",
     "window_topk_orders",
     "window_running_total",
     "top10_expensive_items",
@@ -115,7 +119,6 @@ _PRIORITY = [
     "similarity_topk",
     "similarity_pairs_blocked",
     "similarity_lsh",
-    "similarity_topk_ivf",
 ]
 
 

@@ -957,7 +957,7 @@ def events_forward_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared subject construction for the survival queries: one row per
-    user with a first 'view' — ``(user_id, day, ev)`` where ``day`` is
+    user with a first 'view' — ``(user_id, first_view, day, ev)`` where ``day`` is
     the duration from first view to first qualifying purchase (or to the
     feed anchor for right-censored never-purchasers) and ``ev`` flags
     conversion.  Both survival_time_to_purchase and survival_km_logrank
@@ -983,6 +983,7 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
+            "first_view",
             F.when(
                 F.col("first_purchase").isNotNull(),
                 F.datediff(
@@ -1458,4 +1459,309 @@ def survival_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logrank_chi2"),
         )
         .orderBy("cohort", "day")
+    )
+
+
+# --- stratified log-rank test -------------------------------------------------
+
+
+@register(
+    "survival_logrank_stratified",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ),
+    a AS (SELECT MAX(ts) AS anchor FROM events),
+    conv AS (
+        SELECT t0.user_id, MIN(e.ts) AS first_purchase
+        FROM t0 JOIN events e
+          ON e.user_id = t0.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= t0.first_view
+        GROUP BY t0.user_id
+    ),
+    subj AS (
+        SELECT CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                    CAST(t0.first_view AS DATE)) / 7.0) AS INT) AS stratum,
+               CASE WHEN t0.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(CASE WHEN conv.first_purchase IS NOT NULL
+                    THEN datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(conv.first_purchase AS DATE))
+                    ELSE datediff('day', CAST(t0.first_view AS DATE),
+                                  CAST(a.anchor AS DATE)) END AS INT)
+                   AS day,
+               CASE WHEN conv.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+                   AS ev
+        FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id
+        CROSS JOIN a
+    ),
+    gd AS (
+        SELECT stratum, cohort, day,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY stratum, cohort, day
+    ),
+    grid AS (
+        SELECT g.stratum, g.cohort, dd.day,
+               COALESCE(gd.d, 0) AS d, COALESCE(gd.c, 0) AS c
+        FROM (SELECT DISTINCT stratum, day FROM subj) dd
+        JOIN (SELECT DISTINCT stratum, cohort FROM subj) g
+          ON g.stratum = dd.stratum
+        LEFT JOIN gd ON gd.stratum = g.stratum AND gd.cohort = g.cohort
+                     AND gd.day = dd.day
+    ),
+    totg AS (
+        SELECT stratum, cohort, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM subj GROUP BY stratum, cohort
+    ),
+    risk AS (
+        SELECT grid.stratum, grid.cohort, grid.day, grid.d,
+               CAST(totg.n_total - COALESCE(SUM(grid.d + grid.c) OVER (
+                    PARTITION BY grid.stratum, grid.cohort ORDER BY grid.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM grid JOIN totg ON totg.stratum = grid.stratum
+                           AND totg.cohort = grid.cohort
+    ),
+    cells AS (
+        SELECT stratum, day,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN d ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(d) AS BIGINT) AS dt,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN n_risk ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(n_risk) AS BIGINT) AS nt
+        FROM risk GROUP BY stratum, day
+    ),
+    cum AS (
+        SELECT stratum, day,
+               SUM(d1) OVER w AS o1,
+               SUM(CASE WHEN nt > 0
+                   THEN CAST(dt AS DOUBLE) * n1 / nt ELSE 0.0 END)
+                   OVER w AS e1,
+               SUM(CASE WHEN nt > 1
+                   THEN CAST(dt AS DOUBLE) * n1 * (nt - n1) * (nt - dt)
+                        / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+                   ELSE 0.0 END) OVER w AS v,
+               ROW_NUMBER() OVER (PARTITION BY stratum
+                                  ORDER BY day DESC) AS rn
+        FROM cells
+        WINDOW w AS (PARTITION BY stratum ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    per_s AS (
+        SELECT stratum, CAST(o1 AS BIGINT) AS o1, e1, v
+        FROM cum WHERE rn = 1
+    ),
+    comb AS (
+        SELECT SUM(CAST(o1 AS DOUBLE)) OVER ws AS o_all,
+               SUM(e1) OVER ws AS e_all,
+               SUM(v) OVER ws AS v_all,
+               SUM(1) OVER ws AS k,
+               ROW_NUMBER() OVER (ORDER BY stratum DESC) AS rn
+        FROM per_s
+        WINDOW ws AS (ORDER BY stratum
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT o_all, e_all, v_all, CAST(k AS BIGINT) AS n_strata
+        FROM comb WHERE rn = 1
+    ),
+    cnt AS (
+        SELECT stratum,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN n_total ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN cohort = 'B' THEN n_total ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM totg GROUP BY stratum
+    )
+    SELECT p.stratum, cnt.n_a, cnt.n_b,
+           p.o1 AS observed_a,
+           ROUND(p.e1, 4) AS expected_a,
+           ROUND(p.v, 4) AS variance_a,
+           tot.n_strata,
+           CASE WHEN tot.v_all > 0
+                THEN ROUND((tot.o_all - tot.e_all) * (tot.o_all - tot.e_all)
+                     / tot.v_all, 4)
+           END AS stratified_chi2
+    FROM per_s p
+    JOIN cnt ON cnt.stratum = p.stratum
+    CROSS JOIN tot
+    ORDER BY p.stratum
+    """,
+    description="STRATIFIED log-rank test (Mantel 1966; the multi-center "
+    "form in Kalbfleisch & Prentice): the A/B survival comparison of "
+    "survival_km_logrank re-run WITHIN enrollment-week strata (stratum "
+    "= the subject's first-view week — controlling for time-varying "
+    "conversion propensity, exactly what a staged rollout confounds) "
+    "and combined by SUMMING the per-stratum O-E and hypergeometric "
+    "variance cells: chi2 = (sum_s (O_s - E_s))^2 / sum_s V_s, 1 df.  "
+    "Emits one row per stratum (subject counts, observed/expected/"
+    "variance for cohort A) plus the combined statistic, so the "
+    "per-stratum contributions that drive the verdict are inspectable "
+    "— the standard guard against Simpson-style reversals a pooled "
+    "test hides.  Same subject construction as the other survival "
+    "queries (shared helper, one censoring rule); integer per-day "
+    "cells; per-stratum accumulation as day-ORDERED window sums "
+    "PARTITIONED by stratum, the cross-stratum combination as a "
+    "stratum-ORDERED window over the <= handful-of-weeks per-stratum "
+    "table — every double accumulates in the same order in both "
+    "engines.  Stratified == unstratified for a single stratum and == "
+    "the Fraction first-principles form for ANY input "
+    "(tests/test_round16_properties.py).  Scale shape: keyed "
+    "aggregates to per-(stratum, cohort, day) cells; ALL window work "
+    "on the (weeks x 31 days x 2 cohorts)-bounded grid; no "
+    "per-subject window",
+    tags=("event-time", "window", "survival", "ab-test", "stratified"),
+)
+def survival_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subj = _survival_subjects(spark, sf_dir).select(
+        F.floor(
+            F.datediff(
+                F.to_date("first_view"), F.lit("2024-01-01").cast("date")
+            )
+            / F.lit(7.0)
+        )
+        .cast("int")
+        .alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        "day",
+        "ev",
+    )
+    gd = subj.groupBy("stratum", "cohort", "day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    grid = (
+        subj.select("stratum", "day")
+        .distinct()
+        .join(subj.select("stratum", "cohort").distinct(), "stratum")
+        .join(gd, ["stratum", "cohort", "day"], "left")
+        .select(
+            "stratum",
+            "cohort",
+            "day",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    totg = subj.groupBy("stratum", "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    before = (
+        Window.partitionBy("stratum", "cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.join(F.broadcast(totg), ["stratum", "cohort"]).select(
+        "stratum",
+        "cohort",
+        "day",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    cells = risk.groupBy("stratum", "day").agg(
+        F.sum(F.when(F.col("cohort") == "A", F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("d").cast("long").alias("dt"),
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("n_risk").cast("long").alias("nt"),
+    )
+    wday = (
+        Window.partitionBy("stratum")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "stratum",
+        "day",
+        F.sum("d1").over(wday).alias("o1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 0,
+                F.col("dt").cast("double") * F.col("n1") / F.col("nt"),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt").cast("double")
+                * F.col("n1")
+                * (F.col("nt") - F.col("n1"))
+                * (F.col("nt") - F.col("dt"))
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("nt")
+                    * (F.col("nt") - 1)
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("stratum").orderBy(F.col("day").desc()))
+        .alias("rn"),
+    )
+    per_s = cum.filter(F.col("rn") == 1).select(
+        "stratum", F.col("o1").cast("long").alias("o1"), "e1", "v"
+    )
+    ws = Window.orderBy("stratum").rowsBetween(Window.unboundedPreceding, 0)
+    comb = per_s.select(
+        F.sum(F.col("o1").cast("double")).over(ws).alias("o_all"),
+        F.sum("e1").over(ws).alias("e_all"),
+        F.sum("v").over(ws).alias("v_all"),
+        F.sum(F.lit(1)).over(ws).alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.col("stratum").desc()))
+        .alias("rn"),
+    )
+    tot = comb.filter(F.col("rn") == 1).select(
+        "o_all", "e_all", "v_all", F.col("k").cast("long").alias("n_strata")
+    )
+    cnt = totg.groupBy("stratum").agg(
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_total")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == "B", F.col("n_total")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        per_s.join(F.broadcast(cnt), "stratum")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_a",
+            "n_b",
+            F.col("o1").alias("observed_a"),
+            F.round("e1", 4).alias("expected_a"),
+            F.round("v", 4).alias("variance_a"),
+            "n_strata",
+            F.when(
+                F.col("v_all") > 0,
+                F.round(
+                    (F.col("o_all") - F.col("e_all"))
+                    * (F.col("o_all") - F.col("e_all"))
+                    / F.col("v_all"),
+                    4,
+                ),
+            ).alias("stratified_chi2"),
+        )
+        .orderBy("stratum")
     )
