@@ -960,10 +960,12 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     user with a first 'view' — ``(user_id, first_view, day, ev)`` where ``day`` is
     the duration from first view to first qualifying purchase (or to the
     feed anchor for right-censored never-purchasers) and ``ev`` flags
-    conversion.  Both survival_time_to_purchase and survival_km_logrank
-    derive from this frame (the cohort column is the caller's), so the
-    censoring rule and the conversion predicate live in exactly one
-    place.  Catalyst prunes user_id out of callers that don't use it."""
+    conversion.  All three survival queries derive from this frame —
+    survival_time_to_purchase, survival_km_logrank, and
+    survival_logrank_stratified (which alone consumes ``first_view``,
+    for its enrollment-week stratum) — so the censoring rule and the
+    conversion predicate live in exactly one place.  Catalyst prunes
+    the columns a caller doesn't use."""
     ev = table(spark, sf_dir, "events")
     t0 = (
         ev.filter(F.col("event_type") == "view")
@@ -1149,6 +1151,115 @@ def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-cohort Kaplan-Meier curves + the log-rank test -----------------------
 
 
+def _logrank_frames(subj, strata: list[str]):
+    """Shared hypergeometric machinery for the log-rank queries: from a
+    subject frame with (``*strata``, cohort, day, ev) columns, build
+
+    - ``risk``: the per-(strata, cohort, day) grid with n_event,
+      n_censored, and the prefix-sum risk set (grid rows exist for every
+      day any cohort in the group has activity — the risk set of one
+      cohort must be evaluable at the OTHER cohort's event days);
+    - ``totg``: per-(strata, cohort) subject totals;
+    - ``cum``: the day-ORDERED cumulative (o1, e1, v) accumulation per
+      strata group with ``rn`` = 1 marking the last day — identical IEEE
+      sequence in both engines.
+
+    ``strata=[]`` is the plain two-sample test (survival_km_logrank);
+    ``strata=["stratum"]`` the stratified form — ONE copy of the cell
+    arithmetic serves both, so a future fix to the variance term cannot
+    drift the two queries apart."""
+    gd = subj.groupBy(*strata, "cohort", "day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    grid_days = subj.select(*strata, "day").distinct()
+    grid_coh = subj.select(*strata, "cohort").distinct()
+    grid = (
+        grid_days.join(grid_coh, strata)
+        if strata
+        else grid_days.crossJoin(grid_coh)
+    )
+    grid = grid.join(gd, [*strata, "cohort", "day"], "left").select(
+        *strata,
+        "cohort",
+        "day",
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    totg = subj.groupBy(*strata, "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    before = (
+        Window.partitionBy(*strata, "cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.join(F.broadcast(totg), [*strata, "cohort"]).select(
+        *strata,
+        "cohort",
+        "day",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    cells = risk.groupBy(*strata, "day").agg(
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("n_event").cast("long").alias("dt"),
+        F.sum(F.when(F.col("cohort") == "A", F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("n_risk").cast("long").alias("nt"),
+    )
+    wday = (
+        Window.partitionBy(*strata)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        *strata,
+        "day",
+        F.sum("d1").over(wday).alias("o1"),
+        F.sum("dt").over(wday).alias("dsum"),
+        F.sum(
+            F.when(
+                F.col("nt") > 0,
+                F.col("dt").cast("double") * F.col("n1") / F.col("nt"),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt").cast("double")
+                * F.col("n1")
+                * (F.col("nt") - F.col("n1"))
+                * (F.col("nt") - F.col("dt"))
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("nt")
+                    * (F.col("nt") - 1)
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wday)
+        .alias("v"),
+        F.row_number()
+        .over(Window.partitionBy(*strata).orderBy(F.col("day").desc()))
+        .alias("rn"),
+    )
+    return risk, totg, cum
+
+
 @register(
     "survival_km_logrank",
     oracle="""
@@ -1300,52 +1411,11 @@ def survival_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "ev",
     )
-    gd = subj.groupBy("cohort", "day").agg(
-        F.sum("ev").cast("long").alias("d"),
-        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
-    )
-    # Full (day x cohort) grid: the risk set of a cohort must be evaluable
-    # at OTHER cohorts' event days too (the log-rank cells need n_gt for
-    # every event day t).  Both sides are bounded: <= 31 distinct days
-    # (calendar) x 2 cohorts.
-    grid = (
-        subj.select("day")
-        .distinct()
-        .crossJoin(subj.select("cohort").distinct())
-        .join(gd, ["cohort", "day"], "left")
-        .select(
-            "cohort",
-            "day",
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-    )
-    totg = subj.groupBy("cohort").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
-    )
-    before = (
-        Window.partitionBy("cohort")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    risk, _totg, cum = _logrank_frames(subj, [])
     upto = (
         Window.partitionBy("cohort")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    risk = grid.join(F.broadcast(totg), "cohort").select(
-        "cohort",
-        "day",
-        F.col("d").alias("n_event"),
-        F.col("c").alias("n_censored"),
-        (
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("n_risk"),
     )
     km = risk.select(
         "cohort",
@@ -1373,49 +1443,6 @@ def survival_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .over(upto)
         .alias("log_s"),
-    )
-    cells = risk.groupBy("day").agg(
-        F.sum(F.when(F.col("cohort") == "A", F.col("n_event")).otherwise(0))
-        .cast("long")
-        .alias("d1"),
-        F.sum("n_event").cast("long").alias("dt"),
-        F.sum(F.when(F.col("cohort") == "A", F.col("n_risk")).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum("n_risk").cast("long").alias("nt"),
-    )
-    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select(
-        "day",
-        F.sum("d1").over(wday).alias("o1"),
-        F.sum("dt").over(wday).alias("dsum"),
-        F.sum(
-            F.when(
-                F.col("nt") > 0,
-                F.col("dt").cast("double") * F.col("n1") / F.col("nt"),
-            ).otherwise(F.lit(0.0))
-        )
-        .over(wday)
-        .alias("e1"),
-        F.sum(
-            F.when(
-                F.col("nt") > 1,
-                F.col("dt").cast("double")
-                * F.col("n1")
-                * (F.col("nt") - F.col("n1"))
-                * (F.col("nt") - F.col("dt"))
-                / (
-                    F.col("nt").cast("double")
-                    * F.col("nt")
-                    * (F.col("nt") - 1)
-                ),
-            ).otherwise(F.lit(0.0))
-        )
-        .over(wday)
-        .alias("v"),
-        F.row_number()
-        .over(Window.orderBy(F.col("day").desc()))
-        .alias("rn"),
     )
     tot = cum.filter(F.col("rn") == 1).select(
         F.col("o1").cast("long").alias("o1"),
@@ -1632,92 +1659,7 @@ def survival_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "ev",
     )
-    gd = subj.groupBy("stratum", "cohort", "day").agg(
-        F.sum("ev").cast("long").alias("d"),
-        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
-    )
-    grid = (
-        subj.select("stratum", "day")
-        .distinct()
-        .join(subj.select("stratum", "cohort").distinct(), "stratum")
-        .join(gd, ["stratum", "cohort", "day"], "left")
-        .select(
-            "stratum",
-            "cohort",
-            "day",
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-    )
-    totg = subj.groupBy("stratum", "cohort").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
-    )
-    before = (
-        Window.partitionBy("stratum", "cohort")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    risk = grid.join(F.broadcast(totg), ["stratum", "cohort"]).select(
-        "stratum",
-        "cohort",
-        "day",
-        "d",
-        (
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("n_risk"),
-    )
-    cells = risk.groupBy("stratum", "day").agg(
-        F.sum(F.when(F.col("cohort") == "A", F.col("d")).otherwise(0))
-        .cast("long")
-        .alias("d1"),
-        F.sum("d").cast("long").alias("dt"),
-        F.sum(F.when(F.col("cohort") == "A", F.col("n_risk")).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum("n_risk").cast("long").alias("nt"),
-    )
-    wday = (
-        Window.partitionBy("stratum")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = cells.select(
-        "stratum",
-        "day",
-        F.sum("d1").over(wday).alias("o1"),
-        F.sum(
-            F.when(
-                F.col("nt") > 0,
-                F.col("dt").cast("double") * F.col("n1") / F.col("nt"),
-            ).otherwise(F.lit(0.0))
-        )
-        .over(wday)
-        .alias("e1"),
-        F.sum(
-            F.when(
-                F.col("nt") > 1,
-                F.col("dt").cast("double")
-                * F.col("n1")
-                * (F.col("nt") - F.col("n1"))
-                * (F.col("nt") - F.col("dt"))
-                / (
-                    F.col("nt").cast("double")
-                    * F.col("nt")
-                    * (F.col("nt") - 1)
-                ),
-            ).otherwise(F.lit(0.0))
-        )
-        .over(wday)
-        .alias("v"),
-        F.row_number()
-        .over(Window.partitionBy("stratum").orderBy(F.col("day").desc()))
-        .alias("rn"),
-    )
+    _risk, totg, cum = _logrank_frames(subj, ["stratum"])
     per_s = cum.filter(F.col("rn") == 1).select(
         "stratum", F.col("o1").cast("long").alias("o1"), "e1", "v"
     )
