@@ -1048,3 +1048,57 @@ def test_streaming_mg_guarantees_under_multibatch_split(spark, tmp_path):
     for u, c in true.items():
         if c * (MG_STREAM_K + 1) > n_final:
             assert u in surviving  # heavy users guaranteed to survive
+
+
+def test_sliding_mg_stream_equals_batch_and_overlap_bound(spark, events_batch):
+    """Sliding-window parity for the SIXTH family: with window=2h,
+    slide=1h the MG twin assigns each event to exactly window/slide
+    overlapping windows via the explicit start expansion (the
+    arbitrary-state API groups by a real column), per-window state
+    stays <= k counters, and stream == batch bit-exactly on the
+    single-file staging — the same sliding pin the five register
+    families carry."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        MG_STREAM_K,
+        hourly_user_mg,
+    )
+
+    kw = {"window": "2 hours", "slide": "1 hour"}
+    batch_rows = hourly_user_mg(events_batch, **kw).collect()
+    batch = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in batch_rows
+    }
+    # overlap sanity: sliding windows ~= tumbling hours + 1, and every
+    # event lands in exactly 2 windows so total n_window doubles
+    tumbling = hourly_user_mg(events_batch).collect()
+    n_events = sum(
+        {str(r["window_start"]): r["n_window"] for r in tumbling}.values()
+    )
+    slid_total = sum(
+        {str(r["window_start"]): r["n_window"] for r in batch_rows}.values()
+    )
+    assert slid_total == 2 * n_events
+    per_win: dict[str, int] = {}
+    for (w, _u) in batch:
+        per_win[w] = per_win.get(w, 0) + 1
+    assert all(v <= MG_STREAM_K for v in per_win.values())
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_user_mg(stream, **kw), "mg_sliding_test", mode="update"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in spark.sql("SELECT * FROM mg_sliding_test").collect()
+    }
+    q.stop()
+    assert got == batch and len(got) > 0

@@ -674,10 +674,33 @@ def _mg_update_hour(key, pdfs, state):
     )
 
 
+def _mg_window_starts(window_sec: int, slide_sec: int):
+    """Explicit sliding-window assignment for the MG twin: each event
+    belongs to the ``window/slide`` windows whose starts are
+    ``slide * floor(unix(ts)/slide) - i*slide`` for i in
+    [0, window/slide) — the same window set ``F.window(ts, w, s)``
+    assigns, spelled out because the arbitrary-state API needs the
+    window start as an explicit GROUPING column rather than a groupBy
+    aggregate's internal window expression.  Requires slide to divide
+    window (the same constraint the register families' overlap-factor
+    argument uses)."""
+    assert window_sec % slide_sec == 0, "slide must divide window"
+    overlap = window_sec // slide_sec
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {overlap - 1}), i ->"
+            f" timestamp_seconds({slide_sec} * (unix_timestamp(ts)"
+            f" div {slide_sec}) - i * {slide_sec}))"
+        )
+    )
+
+
 def hourly_user_mg(
     events: DataFrame,
     watermark: str = "25 hours",
     k: int = MG_STREAM_K,
+    window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-hour Misra-Gries heavy-hitter summary of user activity — the
     SIXTH streaming sketch family (after CMS, histogram, Bloom, HLL, KMV).
@@ -704,8 +727,33 @@ def hourly_user_mg(
     downstream by counter addition + compress like the batch family
     (mg_heavy_hitters).
 
+    ``window``/``slide`` generalize to SLIDING windows like the five
+    register families (state multiplies by the overlap factor only):
+    each event is assigned its window/slide overlapping window starts
+    explicitly (``_mg_window_starts`` — the arbitrary-state API groups
+    by a real column, so the assignment F.window performs inside a
+    groupBy is spelled out), and each window keeps its own <= k-counter
+    summary.  Sliding == the per-window canonical compress is pinned in
+    tests/test_streaming.py beside the other families' sliding pins.
+
     Oracle-checked batch readout: ``queries.sketches.events_hourly_mg``.
     """
+    import re as _re
+
+    def _sec(spec: str) -> int:
+        m = _re.fullmatch(r"(\d+)\s*(hour|minute|second)s?", spec.strip())
+        assert m, f"unsupported window spec: {spec!r}"
+        return int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[
+            m.group(2)
+        ]
+
+    win_sec = _sec(window)
+    slide_sec = _sec(slide) if slide else win_sec
+    win_col = (
+        F.date_trunc("hour", "ts")
+        if slide is None and window == "1 hour"
+        else _mg_window_starts(win_sec, slide_sec)
+    )
     if events.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -722,7 +770,7 @@ def hourly_user_mg(
             )
         src = events.withWatermark("ts", watermark)
         keyed = src.select(
-            F.date_trunc("hour", "ts").alias("window_start"),
+            win_col.alias("window_start"),
             "user_id",
             "ts",
         )
@@ -736,9 +784,7 @@ def hourly_user_mg(
     from pyspark.sql import Window
 
     cnt = (
-        events.select(
-            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
-        )
+        events.select(win_col.alias("window_start"), "user_id")
         .groupBy("window_start", "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
