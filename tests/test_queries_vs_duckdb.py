@@ -150,103 +150,91 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-16 rotation policy: the checked window is the 50 queries
+    # Round-17 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Staleness histogram after the round-16 additions
-    # (seven new queries): never:7 / r12:45 / r13:50 / r14:50 / r15:50.
-    # The window is the seven never-green round-16 queries, then 43 of
-    # the 45 r12-stale queries the r15 VERDICT item 1 prescribed
-    # (similarity_topk_ivf and multimodal_features carry to r17 at
-    # projected staleness 4, inside the 5-round limit).
+    # horizon).  Evidence going in (all 202 ever-green, none failing):
+    # 2 last green r12, 50 @ r13, 50 @ r14, 50 @ r15, 50 @ r16.  The
+    # window is the two r12 carry-overs (staleness 4 — they must land
+    # this round) plus the stalest 48 of the 50 r13-green queries in
+    # registry order; the two r13 spill-overs head the r18 window at
+    # staleness 5, the structural refresh period.
     window = set(names[:50])
-    # The round-16 additions (never externally green) lead
-    # unconditionally.
-    assert _PRIORITY[:7] == [
-        "survival_km_logrank",
-        "zipf_slope_fit",
-        "events_hourly_mg",
-        "heaps_law_fit",
-        "revenue_mann_kendall",
-        "source_token_diversity",
-        "survival_logrank_stratified",
+    # The staleness-4 r12 carry-overs lead unconditionally.
+    assert _PRIORITY[:2] == ["similarity_topk_ivf", "multimodal_features"]
+    # The 48 stalest r13-green queries follow in registry order.
+    assert _PRIORITY[2:50] == [
+        "date_functions",
+        "agg_suite",
+        "case_when_tiers",
+        "union_all_monthly",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "decontaminate_corpus",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "substring_dup_coverage",
+        "fuzzy_name_matches",
+        "dedup_containment",
+        "text_stats",
+        "text_quality_buckets",
+        "text_lang_id",
+        "doc_fingerprint",
+        "text_bpe_tokens",
+        "text_repetition",
+        "pack_context_segments",
+        "pack_greedy_bins",
+        "vocab_top_ngrams",
+        "quality_percentile_filter",
+        "cdc_chunk_stats",
+        "token_budget_fill",
+        "dedup_clusters",
+        "dedup_canonical_keep",
+        "event_transition_matrix",
+        "dedup_embedding",
+        "dup_graph_triangles",
+        "dup_graph_pagerank",
+        "corpus_clean_pipeline",
+        "warc_roundtrip_curation",
+        "bm25_doc_retrieval",
+        "source_unigram_divergence",
+        "disjunctive_predicate_revenue",
+        "events_rolling_engagement",
+        "events_hourly_anomaly",
+        "cms_heavy_hitters",
+        "referential_integrity_audit",
+        "revenue_trend_slope",
+        "events_time_weighted_value",
+        "revenue_decline_streaks",
+        "bloom_semijoin_stats",
+        "rrf_hybrid_retrieval",
+        "retrieve_rerank_topk",
+        "embedding_top_pc",
+        "histogram_quantile_sketch",
+        "events_hourly_cms",
     ]
-    # The r12-stale queries follow, headed by the set the r15 VERDICT
-    # named explicitly.
-    assert _PRIORITY[7:18] == [
-        "window_topk_orders",
-        "window_running_total",
-        "top10_expensive_items",
-        "set_operations",
-        "distinct_counts",
-        "rollup_customer_geo",
-        "cube_order_status",
-        "string_functions",
-        "kmv_sketch_union",
-        "sliding_chunk_windows",
-        "bigram_pmi",
-    ]
-    assert _PRIORITY[18:50] == [
-        "dup_graph_degree_hist",
-        "winsorized_price_stats",
-        "ngram_distribution_profile",
-        "cross_source_dup_matrix",
-        "scd2_user_state_history",
-        "state_as_of_label_time",
-        "mad_outlier_rate",
-        "pii_redaction_stats",
-        "dup_cluster_size_dist_star",
-        "dedup_cluster_density",
-        "text_token_entropy",
-        "doc_unigram_logprob",
-        "kmv_distinct_sketch",
-        "hll_distinct_sketch",
-        "merge_upsert_orders",
-        "weighted_sample_aes",
-        "promo_revenue_share",
-        "trailing_spend_range_frame",
-        "market_share_by_year",
-        "bilateral_trade_volume",
-        "product_profit_by_nation_year",
-        "returned_item_customers",
-        "priority_shipping_split",
-        "brand_supplier_counts",
-        "order_priority_checking",
-        "important_supplier_share",
-        "small_quantity_order_revenue",
-        "excess_shipping_suppliers",
-        "similarity_pairs",
-        "similarity_topk",
-        "similarity_pairs_blocked",
-        "similarity_lsh",
-    ]
-    # Nothing green in rounds 13-15 re-occupies a window slot — the
+    # Nothing green in rounds 14-16 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
     recent_green_sample = {
-        # r15 greens (last round's window head)
+        # r16 greens (last round's window head)
+        "survival_km_logrank", "zipf_slope_fit", "events_hourly_mg",
+        "heaps_law_fit", "revenue_mann_kendall", "source_token_diversity",
+        "survival_logrank_stratified", "window_topk_orders",
+        "window_running_total", "top10_expensive_items", "set_operations",
+        "distinct_counts", "rollup_customer_geo", "cube_order_status",
+        "string_functions", "kmv_sketch_union", "sliding_chunk_windows",
+        "bigram_pmi", "mad_outlier_rate", "hll_distinct_sketch",
+        "merge_upsert_orders", "similarity_pairs", "similarity_lsh",
+        # r15 greens
         "events_hourly_kmv", "mg_heavy_hitters", "countsketch_user_freq",
-        "countsketch_f2", "time_decayed_engagement", "events_forward_decay",
-        "benford_digit_profile", "priority_sample_subsetsum",
-        "countsketch_join_size", "survival_time_to_purchase",
-        "revenue_gini_lorenz", "basket_association_rules",
-        "revenue_cusum_changepoint", "quality_score_auc",
-        "vocab_coverage_estimators", "revenue_autocorrelation",
-        "revenue_seasonal_decomposition", "market_concentration_hhi",
+        "time_decayed_engagement", "events_forward_decay",
+        "benford_digit_profile", "survival_time_to_purchase",
+        "revenue_gini_lorenz", "quality_score_auc",
         "training_negative_samples", "pricing_summary", "regional_revenue",
-        "join_anti", "join_full_outer", "concurrent_sessions_profile",
+        "join_anti", "join_full_outer",
         # r14 greens
         "scalar_means", "impute_group_avg", "monthly_avg_value",
         "join_customer_orders",
-        # r13 greens that are NOT the two stalest fillers
-        "events_hourly_bloom_returns", "kmv_set_difference",
-        "events_hourly_hll", "cms_selfjoin_size",
-        "events_daily_hll_rollup", "events_sliding_hll",
-        "cms_join_size_estimate", "multi_touch_attribution",
-        "revenue_theilsen_slope", "similarity_inverted_index",
-        "cube_distinct_hll", "pareto_frontier_parts",
-        "bootstrap_ci_revenue", "incremental_rollup_maintenance",
-        "jaccard_prefix_filter", "revenue_seasonality_regression",
-        "corr_matrix_lineitem", "common_shingle_fraction",
     }
     assert not (recent_green_sample & window)
     # every query everywhere carries an exact oracle
