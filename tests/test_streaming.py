@@ -1102,3 +1102,55 @@ def test_sliding_mg_stream_equals_batch_and_overlap_bound(spark, events_batch):
     }
     q.stop()
     assert got == batch and len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "mg_k,mg_window,mg_slide",
+    [
+        (4, "1 hour", None),
+        (16, "1 hour", None),
+        (4, "2 hours", "1 hour"),
+        (16, "2 hours", "1 hour"),
+    ],
+)
+def test_streaming_mg_parameterized_k_equals_batch(
+    spark, events_batch, mg_k, mg_window, mg_slide
+):
+    """The streaming MG twin accepts ANY k, tumbling or sliding: the
+    state-update function is generated per call with k and the window
+    length baked into its closure (``_make_mg_update``), so the
+    streamed summary matches the batch canonical compress bit-exactly
+    at k in {4, 16} just as the long-standing k=8 pins do — and the
+    eviction horizon is computed from the actual window length, so a
+    2 h sliding window is never evicted an hour early."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_user_mg,
+    )
+
+    kw = {"k": mg_k, "window": mg_window, "slide": mg_slide}
+    batch = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in hourly_user_mg(events_batch, **kw).collect()
+    }
+    per_win: dict[str, int] = {}
+    for (w, _u) in batch:
+        per_win[w] = per_win.get(w, 0) + 1
+    assert all(v <= mg_k for v in per_win.values())
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    sink = f"mg_k{mg_k}_{'slide' if mg_slide else 'tumble'}_test"
+    q = run_stream_to_memory(hourly_user_mg(stream, **kw), sink, mode="update")
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["mg_count"],
+            r["deficit"],
+            r["n_window"],
+        )
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    q.stop()
+    assert got == batch and len(got) > 0

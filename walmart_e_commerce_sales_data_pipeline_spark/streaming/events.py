@@ -627,51 +627,64 @@ MG_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-# Self-contained (workers may not have this package on their import path).
-def _mg_update_hour(key, pdfs, state):
-    import pandas as pd
+def _make_mg_update(k: int, win_sec: int):
+    """Build the streaming MG state-update function with ``k`` and the
+    window length baked into the closure at call time.
 
-    k = 8  # MG_STREAM_K inlined — the function must not close over module state
-    if state.hasTimedOut:
-        state.remove()
-        return
-    users, counts, dec, n_total = (
-        state.get if state.exists else ([], [], 0, 0)
-    )
-    merged = dict(zip(users, counts))
-    for pdf in pdfs:
-        vc = pdf["user_id"].value_counts()
-        n_total += int(vc.sum())
-        for u, c in vc.items():
-            merged[int(u)] = merged.get(int(u), 0) + int(c)
-    if len(merged) > k:
-        # one compress: subtract the (k+1)-th largest counter from every
-        # counter, keep the positive ones — at most k survive and the
-        # decrement telescopes to <= n/(k+1) across any batch split
-        t = sorted(merged.values(), reverse=True)[k]
-        dec += t
-        merged = {u: c - t for u, c in merged.items() if c > t}
-    state.update(
-        (list(merged.keys()), list(merged.values()), int(dec), int(n_total))
-    )
-    # Evict once the hour is unreachable: window end + the 25 h delay the
-    # other twins use.  Clamped above the current watermark (Spark rejects
-    # a timeout at or before it).
-    win_end_ms = int(key[0].timestamp() * 1000) + 3_600_000
-    evict_ms = max(
-        win_end_ms + 25 * 3_600_000, state.getCurrentWatermarkMs() + 60_000
-    )
-    state.setTimeoutTimestamp(evict_ms)
-    ks = list(merged.keys())
-    yield pd.DataFrame(
-        {
-            "window_start": [key[0]] * len(ks),
-            "user_id": ks,
-            "mg_count": [merged[u] for u in ks],
-            "deficit": [int(dec)] * len(ks),
-            "n_window": [int(n_total)] * len(ks),
-        }
-    )
+    The returned function must stay self-contained — workers may not
+    have this package on their import path, so it references no module
+    globals; cloudpickle ships the two closed-over ints by value, which
+    is how any streaming k (not just the default 8) and any window
+    length get a correct compress threshold and eviction horizon."""
+
+    def _mg_update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        users, counts, dec, n_total = (
+            state.get if state.exists else ([], [], 0, 0)
+        )
+        merged = dict(zip(users, counts))
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            n_total += int(vc.sum())
+            for u, c in vc.items():
+                merged[int(u)] = merged.get(int(u), 0) + int(c)
+        if len(merged) > k:
+            # one compress: subtract the (k+1)-th largest counter from
+            # every counter, keep the positive ones — at most k survive
+            # and the decrement telescopes to <= n/(k+1) across any
+            # batch split
+            t = sorted(merged.values(), reverse=True)[k]
+            dec += t
+            merged = {u: c - t for u, c in merged.items() if c > t}
+        state.update(
+            (list(merged.keys()), list(merged.values()), int(dec), int(n_total))
+        )
+        # Evict once the window is unreachable: window END (start + the
+        # actual window length, not a hardcoded hour — a 2 h sliding
+        # window stays admissible an hour longer than a tumbling one) +
+        # the 25 h delay the other twins use.  Clamped above the current
+        # watermark (Spark rejects a timeout at or before it).
+        win_end_ms = int(key[0].timestamp() * 1000) + win_sec * 1000
+        evict_ms = max(
+            win_end_ms + 25 * 3_600_000, state.getCurrentWatermarkMs() + 60_000
+        )
+        state.setTimeoutTimestamp(evict_ms)
+        ks = list(merged.keys())
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(ks),
+                "user_id": ks,
+                "mg_count": [merged[u] for u in ks],
+                "deficit": [int(dec)] * len(ks),
+                "n_window": [int(n_total)] * len(ks),
+            }
+        )
+
+    return _mg_update
 
 
 def _mg_window_starts(window_sec: int, slide_sec: int):
@@ -706,7 +719,10 @@ def hourly_user_mg(
     SIXTH streaming sketch family (after CMS, histogram, Bloom, HLL, KMV).
 
     Emits ``(window_start, user_id, mg_count, deficit, n_window)``: at
-    most k = 8 counters per hour, each undercounting its user's true
+    most k (default 8) counters per hour — the streaming path bakes the
+    requested k and window length into the self-contained state-update
+    closure (``_make_mg_update``), so any k works identically in stream
+    and batch — each counter undercounting its user's true
     event count by at most ``deficit`` (<= n_window/(k+1) a priori), with
     every user whose true count exceeds n_window/(k+1) guaranteed present
     — the deterministic frequency guarantee CMS only gives
@@ -757,17 +773,6 @@ def hourly_user_mg(
     if events.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        if k != MG_STREAM_K:
-            # the state-update function is deliberately self-contained
-            # (workers may lack this package on their import path), so
-            # its k is inlined — a different k would silently diverge
-            # from the batch twin instead of compressing at the
-            # requested size
-            raise ValueError(
-                f"streaming hourly_user_mg supports only k={MG_STREAM_K}"
-                " (inlined in the self-contained state-update function);"
-                " got k=" + str(k)
-            )
         src = events.withWatermark("ts", watermark)
         keyed = src.select(
             win_col.alias("window_start"),
@@ -775,7 +780,7 @@ def hourly_user_mg(
             "ts",
         )
         return keyed.groupBy("window_start").applyInPandasWithState(
-            _mg_update_hour,
+            _make_mg_update(k, win_sec),
             outputStructType=MG_OUTPUT_SCHEMA,
             stateStructType=MG_STATE_SCHEMA,
             outputMode="update",
