@@ -411,6 +411,8 @@ HEADLINE = [
     "revenue_mann_kendall",
     "source_token_diversity",
     "survival_logrank_stratified",
+    # round 17: the exact-ECDF Kolmogorov-Smirnov one-vs-rest drift screen
+    "source_ks_drift",
 ]
 
 

@@ -119,6 +119,12 @@ BNLJ_WHITELIST = {
     # the 1-row gap flag (the global calendar-gap guard) onto the
     # <= ~84-row monthly output — the scalar-broadcast class.
     "revenue_seasonal_decomposition",
+    # source_ks_drift (round 17): the grid cross broadcasts the
+    # DISTINCT doc-length dimension (bounded by the curation
+    # max-doc-length cap, not corpus size — the join_cross fixed-grid
+    # class) onto the per-source totals, and a second cross broadcasts
+    # the 1-row corpus total — the scalar-broadcast class.
+    "source_ks_drift",
     # revenue_mann_kendall (round 16): the pair sign-join is an
     # inequality join (ym_a < ym_b) over the MONTHLY aggregate —
     # calendar-bounded (<= ~84 rows, <= ~3.5k pairs at ANY scale

@@ -160,10 +160,15 @@ def test_checked_window_composition():
     # registry order; the two r13 spill-overs head the r18 window at
     # staleness 5, the structural refresh period.
     window = set(names[:50])
-    # The staleness-4 r12 carry-overs lead unconditionally.
-    assert _PRIORITY[:2] == ["similarity_topk_ivf", "multimodal_features"]
-    # The 48 stalest r13-green queries follow in registry order.
-    assert _PRIORITY[2:50] == [
+    # Never-green first (standing policy), then the staleness-4 r12
+    # carry-overs.
+    assert _PRIORITY[:3] == [
+        "source_ks_drift",  # round-17 addition, never externally green
+        "similarity_topk_ivf",
+        "multimodal_features",
+    ]
+    # The 47 stalest r13-green queries follow in registry order.
+    assert _PRIORITY[3:50] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -211,7 +216,6 @@ def test_checked_window_composition():
         "retrieve_rerank_topk",
         "embedding_top_pc",
         "histogram_quantile_sketch",
-        "events_hourly_cms",
     ]
     # Nothing green in rounds 14-16 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

@@ -1,0 +1,101 @@
+"""Round-17 property pins: the Kolmogorov-Smirnov two-sample drift
+screen (source_ks_drift) against a first-principles exact-Fraction ECDF
+implementation, plus closed-form planted-shift and identical-
+distribution checks."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+
+def _ks_definition(lengths_by_source):
+    """First-principles one-vs-rest KS: for each source, exact Fraction
+    ECDFs at the merged distinct values, D = max |F_s - F_rest|."""
+    out = {}
+    all_vals = sorted({v for ls in lengths_by_source.values() for v in ls})
+    for s, ls in lengths_by_source.items():
+        rest = [v for o, lo in lengths_by_source.items() if o != s for v in lo]
+        if not rest:
+            out[s] = None
+            continue
+        d = Fraction(0)
+        for v in all_vals:
+            f1 = Fraction(sum(1 for x in ls if x <= v), len(ls))
+            f2 = Fraction(sum(1 for x in rest if x <= v), len(rest))
+            d = max(d, abs(f1 - f2))
+        out[s] = d
+    return out
+
+
+def test_ks_drift_matches_definition_on_corpus(spark):
+    """Every per-source D at sf0.001 equals the exact-Fraction
+    definition: d_num / (n_docs * n_rest) == max |F_s - F_rest|."""
+    from tests.conftest import SF0001
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_ks_drift,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import table
+
+    docs = table(spark, SF0001, "documents").select("source", "n_chars").collect()
+    by_source: dict[str, list[int]] = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append(r.n_chars)
+    expect = _ks_definition(by_source)
+    rows = source_ks_drift(spark, SF0001).collect()
+    assert {r.source for r in rows} == set(by_source)
+    for r in rows:
+        assert r.n_docs == len(by_source[r.source])
+        got = Fraction(int(r.d_num), r.n_docs * r.n_rest)
+        assert got == expect[r.source], r.source
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_ks_drift_planted_shift_and_identical(spark, tmp_path):
+    """Closed forms: a source whose lengths are disjointly shifted above
+    everything else has D = 1 exactly (p ~ 0); two sources drawn from
+    the SAME length multiset both see the pooled rest differ only
+    through the third source."""
+    rows = []
+    did = 0
+    # sources "a" and "b": identical length multisets 10..29
+    for src in ("a", "b"):
+        for v in range(10, 30):
+            rows.append((did, "x" * v, "en", src, v))
+            did += 1
+    # source "shift": disjoint support 1000..1019
+    for v in range(1000, 1020):
+        rows.append((did, "y" * v, "en", "shift", v))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_ks_drift,
+    )
+
+    got = {r.source: r for r in source_ks_drift(spark, str(tmp_path)).collect()}
+    # shift vs rest: supports are disjoint -> D = 1, p ~ 0
+    sh = got["shift"]
+    assert sh.ks_d == 1.0 and int(sh.d_num) == sh.n_docs * sh.n_rest
+    assert sh.p_value < 1e-6
+    # a's rest = b + shift; b's rest = a + shift — by symmetry D_a == D_b
+    assert got["a"].ks_d == got["b"].ks_d
+    # a vs rest: within the shared support the gap is |F_a - (F_b + F_shift)/2|
+    # = F_a/2 at the top of the shared support (F_shift = 0 there,
+    # F_a = F_b = 1 at v = 29) -> D = 1/2
+    assert got["a"].ks_d == 0.5
+
+
+def test_ks_drift_single_source_is_null_not_crash(spark, tmp_path):
+    """A corpus with ONE source has no rest distribution: ks_d and
+    p_value are NULL in both engines, never a divide-by-zero."""
+    spark.createDataFrame(
+        [(0, "aaa", "en", "only", 3), (1, "bbbb", "en", "only", 4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_ks_drift,
+    )
+
+    (row,) = source_ks_drift(spark, str(tmp_path)).collect()
+    assert row.n_rest == 0 and row.ks_d is None and row.p_value is None

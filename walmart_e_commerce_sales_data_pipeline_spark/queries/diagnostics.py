@@ -2356,3 +2356,159 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "source_ks_drift",
+    oracle="""
+    WITH sv AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT v FROM sv),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM st),
+    grid AS (
+        SELECT st.source, st.n_s, vals.v, COALESCE(sv.c, 0) AS c
+        FROM st CROSS JOIN vals
+        LEFT JOIN sv ON sv.source = st.source AND sv.v = vals.v
+    ),
+    gc AS (
+        SELECT source, n_s, v,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_s
+        FROM grid
+    ),
+    ca AS (SELECT v, CAST(SUM(cum_s) AS BIGINT) AS cum_all FROM gc GROUP BY 1),
+    diffs AS (
+        SELECT gc.source, gc.n_s, tot.n_tot,
+               ABS(CAST(gc.cum_s AS DECIMAL(38,0)) * (tot.n_tot - gc.n_s)
+                   - CAST(ca.cum_all - gc.cum_s AS DECIMAL(38,0)) * gc.n_s)
+                   AS dn
+        FROM gc JOIN ca USING (v) CROSS JOIN tot
+    ),
+    per AS (
+        SELECT source, MAX(n_s) AS n_docs,
+               CAST(MAX(n_tot) - MAX(n_s) AS BIGINT) AS n_rest,
+               CAST(MAX(dn) AS DECIMAL(38,0)) AS d_num
+        FROM diffs GROUP BY source
+    ),
+    fin AS (
+        SELECT source, n_docs, n_rest, d_num,
+               CASE WHEN n_rest > 0 THEN CAST(d_num AS DOUBLE)
+                    / (CAST(n_docs AS DOUBLE) * CAST(n_rest AS DOUBLE)) END
+                   AS ks_d,
+               CASE WHEN n_rest > 0 THEN
+                    CAST(n_docs AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                    / (CAST(n_docs AS DOUBLE) + CAST(n_rest AS DOUBLE)) END
+                   AS ne
+        FROM per
+    ),
+    lamt AS (
+        SELECT *, ((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d)
+                  * ((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d) AS lam2
+        FROM fin
+    )
+    SELECT source, n_docs, n_rest, d_num, ks_d,
+           CASE WHEN n_rest > 0 THEN
+           ROUND(LEAST(1.0, GREATEST(0.0, 2.0 * (
+               EXP(-2.0 * lam2) - EXP(-8.0 * lam2) + EXP(-18.0 * lam2)
+               - EXP(-32.0 * lam2) + EXP(-50.0 * lam2) - EXP(-72.0 * lam2)
+               + EXP(-98.0 * lam2) - EXP(-128.0 * lam2)
+               + EXP(-162.0 * lam2)))), 6) END AS p_value
+    FROM lamt
+    ORDER BY source
+    """,
+    description="Kolmogorov-Smirnov two-sample drift screen: for each "
+    "source, the exact ECDF max-gap D between that source's doc-length "
+    "distribution and the pooled REST of the corpus, with the "
+    "asymptotic Kolmogorov p-value — completes the drift family beside "
+    "source_unigram_divergence (distributional JS), revenue_mann_kendall "
+    "(temporal), and events_hourly_anomaly (pointwise z). Exactness: "
+    "the ECDF cells are BIGINT cumulative counts at the merged distinct "
+    "lengths; D's numerator max|cum_s*n_rest - cum_rest*n_s| stays in "
+    "DECIMAL(38,0) (the HHI ssq precedent — n^2 outruns BIGINT at "
+    "petabyte corpus counts), so D itself is an exact integer ratio and "
+    "bit-identical cross-engine; only the p-value touches transcendental "
+    "EXP, mirrored term-by-term (nine-term alternating Kolmogorov "
+    "series, Numerical-Recipes lambda with small-sample correction, "
+    "clamped to [0,1]) and rounded once. Scale shape: one shuffle on "
+    "(source, length) for counts; the grid is |sources| x |distinct "
+    "lengths| (length domain is bounded by the curation max-doc-length "
+    "cap, not corpus size), cumulated under a source-PARTITIONED window; "
+    "the pooled ECDF folds out of the same grid by a length-keyed "
+    "aggregate instead of a second unpartitioned window; the 1-row "
+    "corpus total broadcasts",
+    tags=("text", "drift", "curation", "exact-cells"),
+)
+def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    sv = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = sv.select("v").distinct()
+    st = sv.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = st.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    grid = (
+        st.crossJoin(F.broadcast(vals))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gc = grid.withColumn("cum_s", F.sum("c").over(w).cast("long"))
+    ca = gc.groupBy("v").agg(F.sum("cum_s").cast("long").alias("cum_all"))
+    dec = "decimal(38,0)"
+    diffs = (
+        gc.join(ca, "v")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dn",
+            F.abs(
+                F.col("cum_s").cast(dec) * (F.col("n_tot") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")).cast(dec) * F.col("n_s")
+            ),
+        )
+    )
+    per = diffs.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        (F.max("n_tot") - F.max("n_s")).cast("long").alias("n_rest"),
+        F.max("dn").cast(dec).alias("d_num"),
+    )
+    nd = F.col("n_docs").cast("double")
+    nr = F.col("n_rest").cast("double")
+    fin = per.withColumn(
+        "ks_d",
+        F.when(F.col("n_rest") > 0, F.col("d_num").cast("double") / (nd * nr)),
+    ).withColumn("ne", F.when(F.col("n_rest") > 0, nd * nr / (nd + nr)))
+    lam = (F.sqrt(F.col("ne")) + F.lit(0.12) + F.lit(0.11) / F.sqrt(F.col("ne"))) * F.col(
+        "ks_d"
+    )
+    lamt = fin.withColumn("lam2", lam * lam)
+
+    def _e(j: int):
+        return F.exp(F.lit(-2.0 * j * j) * F.col("lam2"))
+
+    p_raw = F.lit(2.0) * (
+        _e(1) - _e(2) + _e(3) - _e(4) + _e(5) - _e(6) + _e(7) - _e(8) + _e(9)
+    )
+    return lamt.select(
+        "source",
+        "n_docs",
+        "n_rest",
+        "d_num",
+        "ks_d",
+        F.when(
+            F.col("n_rest") > 0,
+            # greatest/least SKIP nulls in Spark, so the no-rest case
+            # must be guarded here or NULL would silently become 0.0
+            F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_raw)), 6),
+        ).alias("p_value"),
+    ).orderBy("source")
