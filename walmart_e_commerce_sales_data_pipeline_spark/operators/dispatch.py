@@ -1,0 +1,170 @@
+"""Sketch-driven join-strategy dispatch: pick broadcast / shuffle /
+salted-skew for a configurable equi-join from two per-relation CMS
+sketches, BEFORE running the join.
+
+The planner question at 100 TB: is R JOIN S ON k broadcast-able, and if
+not, will its output explode off a hot key?  Catalyst answers the first
+from file statistics and AQE patches skew at runtime, but neither helps
+when the inputs are mid-plan frames with no stats (post-filter,
+post-explode, post-UDF) — exactly where a hand-authored pipeline
+hardcodes a hint and gets it wrong at the next data drift.  This helper
+is the bounded-dispatch posture `operators/components.py` and
+`operators/similarity.py` use for their tier choices, applied to join
+strategy:
+
+- two per-relation CMS counter matrices (depth x width cells, one
+  map-side-combined aggregate per side — the only actions this helper
+  runs; each output is <= depth*width rows regardless of input size);
+- row counts ride along as the r=0 cell sum (no extra scan);
+- estimated join cardinality = min over depth rows of the cell-count
+  inner product — the AMS/CMS join-size estimator (Alon-Matias-Szegedy
+  '96; Cormode-Muthukrishnan '05 §4.2), an overestimate in every row,
+  so est >= exact always.  The registered query twin with a DuckDB
+  oracle is ``queries.sketches.cms_join_size_estimate`` (portable-md5
+  geometry there for cross-engine bit-parity; xxhash64 here where only
+  Spark runs it).
+
+Dispatch (thresholds are row counts, deliberately conservative):
+
+1. a side's rows <= ``broadcast_limit``  -> hint ``broadcast()`` on the
+   SMALLER side (strategy ``"broadcast"``);
+2. est_join > ``explosion_factor`` * (n_left + n_right) and
+   ``salt_cols`` given -> the hot-key join shape; route the bigger side
+   through ``skew.salted_join`` (strategy ``"salted"``);
+3. otherwise a plain shuffle equi-join, leaving AQE's runtime skew
+   splitting on (strategy ``"shuffle"``).
+
+Semantics are identical on every path (pinned in
+tests/test_dispatch.py); only the physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .skew import salted_join
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(df: DataFrame, key: str) -> DataFrame:
+    """Per-relation CMS counter matrix over the join key: one
+    map-side-combined aggregate to <= CMS_DEPTH * CMS_WIDTH rows.
+
+    The key is canonicalized through a string cast before hashing:
+    xxhash64 hashes TYPED values, so an INT 0 on one side and a BIGINT 0
+    on the other would land in different buckets and the estimator would
+    miss every cross-type match the join itself (which coerces) finds.
+    """
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(
+                                F.xxhash64(F.col(key).cast("string"), F.lit(r)),
+                                F.lit(CMS_WIDTH),
+                            ).alias("b"),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def estimate_join_stats(left: DataFrame, right: DataFrame, key: str) -> dict:
+    """(n_left, n_right, est_join) from two CMS sketches — the single
+    1-row driver-side collect this helper performs (the planner-stats
+    class: the collected frame is one row of three BIGINTs, never data).
+
+    est_join >= the exact inner-join cardinality, with expected
+    overestimate <= n_left * n_right / CMS_WIDTH per depth row (min over
+    CMS_DEPTH independent rows tightens it).
+    """
+    cl = _cms_cells(left, key)
+    cr = _cms_cells(right, key).select(
+        F.col("r").alias("r2"), F.col("b").alias("b2"), F.col("c").alias("c2")
+    )
+    ip = (
+        cl.join(cr, (F.col("r2") == F.col("r")) & (F.col("b2") == F.col("b")))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("c") * F.col("c2")).cast("long").alias("inner_product")
+        )
+    )
+    est = ip.agg(F.min("inner_product").cast("long").alias("est_join"))
+    nl = cl.filter(F.col("r") == 0).agg(F.sum("c").cast("long").alias("n_left"))
+    nr = (
+        cr.filter(F.col("r2") == 0)
+        .agg(F.sum("c2").cast("long").alias("n_right"))
+    )
+    row = (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(est))
+        .collect()[0]
+    )
+    return {
+        "n_left": row["n_left"] or 0,
+        "n_right": row["n_right"] or 0,
+        "est_join": row["est_join"] if row["est_join"] is not None else 0,
+    }
+
+
+def size_dispatched_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    broadcast_limit: int = 500_000,
+    explosion_factor: float = 8.0,
+    salt_cols: list[str] | None = None,
+    buckets: int = 16,
+) -> tuple[DataFrame, str, dict]:
+    """Inner equi-join on ``key`` with the physical strategy chosen from
+    sketch-estimated sizes.  Returns (joined, strategy, stats); the
+    joined frame is row-identical to ``left.join(right, key)`` on every
+    path.
+
+    ``broadcast_limit`` is a ROW threshold for hinting a build side
+    (Catalyst's own byte threshold still applies underneath — the hint
+    can only be honored, never force an OOM-sized build).  The salted
+    path needs ``salt_cols`` (row-distinguishing columns on the BIGGER
+    side) and replicates the smaller side ``buckets`` times, so it only
+    fires when the estimator says the output explodes past
+    ``explosion_factor`` times the combined input rows — the hot-key
+    shape AQE's skew splitting cannot always rescue (it balances
+    partition bytes, not the single-key build amplification).
+    """
+    stats = estimate_join_stats(left, right, key)
+    n_left, n_right = stats["n_left"], stats["n_right"]
+    if min(n_left, n_right) <= broadcast_limit:
+        small_is_left = n_left <= n_right
+        joined = (
+            F.broadcast(left).join(right, key)
+            if small_is_left
+            else left.join(F.broadcast(right), key)
+        )
+        return joined, "broadcast", stats
+    if (
+        salt_cols
+        and stats["est_join"] > explosion_factor * (n_left + n_right)
+    ):
+        big, small = (left, right) if n_left >= n_right else (right, left)
+        joined = salted_join(big, small, key, salt_cols, buckets)
+        # restore left-side column precedence when the sides swapped
+        if n_left < n_right:
+            joined = joined.select(
+                key,
+                *[c for c in left.columns if c != key],
+                *[c for c in right.columns if c != key],
+            )
+        return joined, "salted", stats
+    return left.join(right, key), "shuffle", stats
