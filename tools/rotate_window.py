@@ -48,6 +48,34 @@ def load_history() -> dict[str, dict[int, str]]:
     return hist
 
 
+MAX_STALE_ROUNDS = 5
+
+
+def staleness_projection(
+    names: list[str], prefix: list[str], hist: dict[str, dict[int, str]]
+) -> tuple[str, int]:
+    """Worst (query, projected rounds without external evidence) after
+    the NEXT round, assuming the proposed prefix goes green.  Shared by
+    the CLI below and tests/test_rotation_policy.py so a round's query
+    additions cannot silently push any query past MAX_STALE_ROUNDS."""
+    last_green = {
+        n: max((r for r, s in hist.get(n, {}).items() if s == "green"), default=0)
+        for n in names
+    }
+    cur_round = max((r for h in hist.values() for r in h), default=0)
+    next_round = cur_round + 1
+    period = -(-len(names) // max(len(prefix), 1))
+    worst = None
+    in_prefix = set(prefix)
+    for n in names:
+        age = 0 if n in in_prefix else next_round - last_green[n]
+        if last_green[n] == 0 and n not in in_prefix:
+            age = period  # never-green outside the window: worst case
+        if worst is None or age > worst[1]:
+            worst = (n, age)
+    return worst
+
+
 def main() -> None:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     from walmart_e_commerce_sales_data_pipeline_spark import queries as q
@@ -78,7 +106,6 @@ def main() -> None:
     # query not in it keeps its current evidence age + 1 next round.  Assert
     # no query would exceed MAX_STALE_ROUNDS rounds without external
     # evidence — if this fires, widen the window or split the round.
-    MAX_STALE_ROUNDS = 5
     cur_round = max((r for h in hist.values() for r in h), default=0)
     next_round = cur_round + 1
     period = -(-len(names) // window)  # ceil: structural refresh period
@@ -86,14 +113,7 @@ def main() -> None:
         f"# staleness horizon: registry {len(names)} / window {window} -> "
         f"structural refresh period {period} rounds"
     )
-    worst = None
-    for n in names:
-        # age after the next round, assuming the proposed prefix goes green
-        age = 0 if n in set(prefix) else next_round - last_green[n]
-        if last_green[n] == 0 and n not in set(prefix):
-            age = period  # never-green outside the window: worst case
-        if worst is None or age > worst[1]:
-            worst = (n, age)
+    worst = staleness_projection(names, prefix, hist)
     print(
         f"# worst projected staleness after r{next_round}: "
         f"{worst[0]} at {worst[1]} rounds (limit {MAX_STALE_ROUNDS})"
