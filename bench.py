@@ -155,6 +155,65 @@ def per_query_trusted(
     return out
 
 
+def untrusted_segments(
+    n_queries: int,
+    probe_trusted: list[bool],
+    every_n: int = PROBE_EVERY_N,
+) -> list[int]:
+    """Segment indices whose walls the interleaved probes REFUSED — a
+    segment is untrusted unless BOTH its bracketing probes cleared the
+    gates.  These are the segments the per-segment retry (VERDICT r16
+    item 2) re-measures in the next quiet window.  Pure function so the
+    retry targeting is unit-testable (tests/test_bench_gate.py)."""
+    if not n_queries:
+        return []
+    n_segments = -(-n_queries // every_n)
+    return [
+        s
+        for s in range(n_segments)
+        if not (probe_trusted[s] and probe_trusted[s + 1])
+    ]
+
+
+def retry_spliceable(probe_pre: dict | None, probe_post: dict | None) -> bool:
+    """A retried segment's walls may be spliced into the sidecar's
+    trusted set iff BOTH retry probes bracketing it cleared the gates —
+    the identical trust criterion the first-pass walls face, so a
+    spliced wall carries exactly the same evidence as a first-pass
+    trusted wall.  Pure for unit testing."""
+    return bool(
+        probe_pre
+        and probe_pre.get("trusted")
+        and probe_post
+        and probe_post.get("trusted")
+    )
+
+
+def apply_segment_splice(
+    timings: dict,
+    all_runs: dict,
+    runtime: dict,
+    query_trusted: dict,
+    walls: dict,
+    rruns: dict,
+    rmetrics: dict,
+) -> list[str]:
+    """Splice a trusted retry's walls into the sidecar maps in place:
+    each retried query's wall/runs/metrics replace the refused
+    first-pass values and its trust verdict flips to True.  Returns the
+    spliced names.  Pure bookkeeping, unit-tested in
+    tests/test_bench_gate.py; callers gate it on retry_spliceable."""
+    spliced = []
+    for name, w in walls.items():
+        timings[name] = w
+        all_runs[name] = rruns[name]
+        if name in rmetrics:
+            runtime[name] = rmetrics[name]
+        query_trusted[name] = True
+        spliced.append(name)
+    return spliced
+
+
 def end_calibration_trusted(
     cal_end_runs: list[float],
     st_end_runs: list[float],
@@ -411,8 +470,10 @@ HEADLINE = [
     "revenue_mann_kendall",
     "source_token_diversity",
     "survival_logrank_stratified",
-    # round 17: the exact-ECDF Kolmogorov-Smirnov one-vs-rest drift screen
+    # round 17: the exact-ECDF Kolmogorov-Smirnov one-vs-rest drift
+    # screen and the two-proportion A/B z-test with Wilson intervals
     "source_ks_drift",
+    "conversion_ab_ztest",
 ]
 
 
@@ -585,10 +646,123 @@ def main() -> None:
     query_trusted = per_query_trusted(
         list(HEADLINE), [p["trusted"] for p in probes]
     )
+    all_probes_trusted = all(p["trusted"] for p in probes)
+    # First-pass state preserved verbatim (the honesty condition on the
+    # retry design): the spliced sidecar must still show what the
+    # original sweep measured and refused.
+    first_pass_queries = dict(timings)
+    first_pass_runs = {n: list(r) for n, r in all_runs.items()}
+    query_trusted_first_pass = dict(query_trusted)
+
+    # Per-segment retry (VERDICT r16 item 2): a refused probe poisons a
+    # whole ~PROBE_EVERY_N-query segment, and on this genuinely noisy box
+    # entire sweeps have come back 1/144 trusted while the judge's idle
+    # re-timings matched every wall.  Instead of re-running the full
+    # sweep (another 20+ minutes of exposure to the same waves), each
+    # refused segment is re-measured alone in the next quiet window:
+    # wait for BOTH calibration signals to go quiet, bracket the ~10
+    # re-timed queries with two fresh dual-signal probes, and splice the
+    # walls in ONLY when both probes cleared — the identical trust
+    # criterion first-pass walls face (retry_spliceable).  Both raw
+    # sweeps stay in the sidecar (first_pass_queries / segment_retries).
+    SEG_RETRY_WAIT_ATTEMPTS = int(
+        os.environ.get("SPARK_GRAFT_SEG_RETRY_ATTEMPTS", "3")
+    )
+    SEG_RETRY_BUDGET_SEC = float(
+        os.environ.get("SPARK_GRAFT_SEG_RETRY_BUDGET", "1500")
+    )
+    segment_retries: list[dict] = []
+    spliced_via_retry: list[str] = []
+    retry_deadline = time.monotonic() + SEG_RETRY_BUDGET_SEC
+    for s in untrusted_segments(len(HEADLINE), [p["trusted"] for p in probes]):
+        if time.monotonic() > retry_deadline:
+            segment_retries.append({"segment": s, "skipped": "budget"})
+            continue
+        seg_names = [
+            n
+            for n in HEADLINE[s * PROBE_EVERY_N : (s + 1) * PROBE_EVERY_N]
+            if n not in errors
+        ]
+        if not seg_names:
+            continue
+        (rcal, rst), rquiet, rhist = wait_for_quiet_machine(
+            lambda: (_calibrate(), _calibrate_single_thread()),
+            attempts=SEG_RETRY_WAIT_ATTEMPTS,
+            st_gate=CAL_ST_GATE_SEC,
+        )
+        if not rquiet:
+            segment_retries.append(
+                {"segment": s, "quiet_wait_trusted": False, "wait_history": rhist}
+            )
+            continue
+        # the retry window anchors its own relative band — the ORIGINAL
+        # start calibration says nothing about machine state this many
+        # minutes later
+        rband = round(par_band_sec(min(rcal), True), 3)
+
+        def _retry_probe() -> dict:
+            settle = _calibrate(1)[0]
+            par = _calibrate(PROBE_RUNS)
+            st = _calibrate_single_thread(PROBE_RUNS)
+            return {
+                "settle_run": settle,
+                "par_runs": par,
+                "par_min": min(par),
+                "st_runs": st,
+                "st_min": min(st),
+                "loadavg_1m": _loadavg(),
+                "par_band_sec": rband,
+                "trusted": min(par) <= rband and min(st) <= CAL_ST_GATE_SEC,
+            }
+
+        pre = _retry_probe()
+        walls: dict[str, float] = {}
+        rruns: dict[str, list[float]] = {}
+        rmetrics: dict[str, dict] = {}
+        post = None
+        if pre["trusted"]:
+            for name in seg_names:
+                fn = q.REGISTRY[name].fn
+                runs = []
+                try:
+                    for _ in range(N_RUNS):
+                        spark.catalog.clearCache()
+                        mark = execution_count(spark)
+                        t0 = time.perf_counter()
+                        rows = fn(spark, SF_DIR).collect()
+                        runs.append(round(time.perf_counter() - t0, 3))
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"{name}[retry]"] = f"{type(exc).__name__}: {exc}"[:300]
+                    continue
+                walls[name] = min(runs)
+                rruns[name] = runs
+                rmetrics[name] = {**metrics_since(spark, mark), "rows": len(rows)}
+            post = _retry_probe()
+        ok = retry_spliceable(pre, post)
+        segment_retries.append(
+            {
+                "segment": s,
+                "queries": seg_names,
+                "quiet_wait_trusted": rquiet,
+                "retry_par_band_sec": rband,
+                "probe_pre": pre,
+                "probe_post": post,
+                "walls": walls,
+                "runs": rruns,
+                "spliced": bool(ok and walls),
+            }
+        )
+        if ok:
+            spliced_via_retry.extend(
+                apply_segment_splice(
+                    timings, all_runs, runtime, query_trusted,
+                    walls, rruns, rmetrics,
+                )
+            )
+
     untrusted_queries = sorted(
         n for n, ok in query_trusted.items() if not ok and n in timings
     )
-    all_probes_trusted = all(p["trusted"] for p in probes)
 
     # Production-tier twin measurements (VERDICT r13 item 6): four of the
     # five slowest headline queries spend most of their wall on the exact-
@@ -792,7 +966,15 @@ def main() -> None:
                 "probe_every_n": PROBE_EVERY_N,
                 "interleaved_st_probes": probes,
                 "query_trusted": query_trusted,
+                "query_trusted_first_pass": query_trusted_first_pass,
                 "untrusted_queries": untrusted_queries,
+                "first_pass_queries": first_pass_queries,
+                "first_pass_runs": first_pass_runs,
+                "segment_retries": segment_retries,
+                "spliced_via_retry": sorted(spliced_via_retry),
+                "n_trusted": sum(
+                    1 for n, ok in query_trusted.items() if ok and n in timings
+                ),
                 "calibration_gate_sec": CAL_GATE_SEC,
                 "calibration_st_gate_sec": CAL_ST_GATE_SEC,
                 "probe_par_band_sec": probe_band,
@@ -832,6 +1014,7 @@ def main() -> None:
             "calibration_sec": calibration,
             "calibration_trusted": cal_trusted,
             "n_untrusted": len(untrusted_queries),
+            "n_retried": len(spliced_via_retry),
             "queries": timings,
             **({"errors": err_names} if err_names else {}),
             "ivf_pruned": ivf_pruned,
@@ -851,6 +1034,7 @@ def main() -> None:
                 "calibration_sec": calibration,
                 "calibration_trusted": cal_trusted,
                 "n_untrusted": len(untrusted_queries),
+                "n_retried": len(spliced_via_retry),
                 "queries": slim,
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,
@@ -871,6 +1055,7 @@ def main() -> None:
                 "calibration_sec": calibration,
                 "calibration_trusted": cal_trusted,
                 "n_untrusted": len(untrusted_queries),
+                "n_retried": len(spliced_via_retry),
                 "queries": {n: round(t, 2) for n, t in slowest.items()},
                 **({"errors": err_names} if err_names else {}),
                 "sf": sf_val,

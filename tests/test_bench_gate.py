@@ -325,3 +325,74 @@ def test_end_calibration_accepts_probe_band_gate():
         [0.28, 0.29, 0.30, 0.28, 0.29],
         gate=band,
     )
+
+
+# --- per-segment retry targeting + splice criterion (VERDICT r16 item 2) ---
+
+
+def test_untrusted_segments_targets_only_refused_brackets():
+    from bench import untrusted_segments
+
+    # 25 queries, every_n=10 -> 3 segments bracketed by 4 probes
+    assert untrusted_segments(25, [True, True, True, True], 10) == []
+    # one bad interior probe poisons BOTH segments it brackets
+    assert untrusted_segments(25, [True, False, True, True], 10) == [0, 1]
+    # a bad closing probe poisons only the final segment
+    assert untrusted_segments(25, [True, True, True, False], 10) == [2]
+    # everything refused
+    assert untrusted_segments(25, [False, False, False, False], 10) == [0, 1, 2]
+    # no queries: nothing to retry
+    assert untrusted_segments(0, [], 10) == []
+
+
+def test_retry_splice_requires_both_bracketing_probes():
+    from bench import retry_spliceable
+
+    quiet = {"trusted": True}
+    loaded = {"trusted": False}
+    assert retry_spliceable(quiet, quiet)
+    # a wave arriving DURING the retried segment fails the post probe —
+    # the retry walls must not be spliced
+    assert not retry_spliceable(quiet, loaded)
+    # pre-probe refused: the segment was never re-timed (post is None)
+    assert not retry_spliceable(loaded, None)
+    assert not retry_spliceable(None, quiet)
+
+
+def test_retry_trust_criterion_matches_first_pass():
+    """A spliced wall carries the same evidence as a first-pass trusted
+    wall: both require two quiet dual-signal probes around the timed
+    queries.  Equivalence shown on the pure functions."""
+    from bench import per_query_trusted, retry_spliceable
+
+    # first pass: segment 0 of 10 queries trusted iff probes 0 and 1 quiet
+    names = [f"q{i}" for i in range(10)]
+    fp = per_query_trusted(names, [True, True], every_n=10)
+    assert all(fp.values())
+    assert retry_spliceable({"trusted": True}, {"trusted": True})
+    fp_refused = per_query_trusted(names, [True, False], every_n=10)
+    assert not any(fp_refused.values())
+    assert not retry_spliceable({"trusted": True}, {"trusted": False})
+
+
+def test_apply_segment_splice_replaces_refused_walls_in_place():
+    from bench import apply_segment_splice
+
+    timings = {"q1": 9.0, "q2": 8.0, "q3": 1.0}
+    all_runs = {"q1": [9.0, 9.5], "q2": [8.0, 8.2], "q3": [1.0, 1.1]}
+    runtime = {"q1": {"shuffle": 10}, "q2": {"shuffle": 20}, "q3": {"shuffle": 30}}
+    trusted = {"q1": False, "q2": False, "q3": True}
+    spliced = apply_segment_splice(
+        timings, all_runs, runtime, trusted,
+        walls={"q1": 2.0, "q2": 2.5},
+        rruns={"q1": [2.0, 2.3], "q2": [2.5, 2.6]},
+        rmetrics={"q1": {"shuffle": 10}},  # q2's metrics failed to capture
+    )
+    assert sorted(spliced) == ["q1", "q2"]
+    assert timings == {"q1": 2.0, "q2": 2.5, "q3": 1.0}
+    assert all_runs["q1"] == [2.0, 2.3]
+    assert trusted == {"q1": True, "q2": True, "q3": True}
+    # missing retry metrics keep the first-pass metrics rather than KeyError
+    assert runtime["q2"] == {"shuffle": 20}
+    # untouched queries keep their state
+    assert runtime["q3"] == {"shuffle": 30} and all_runs["q3"] == [1.0, 1.1]

@@ -119,6 +119,10 @@ BNLJ_WHITELIST = {
     # the 1-row gap flag (the global calendar-gap guard) onto the
     # <= ~84-row monthly output — the scalar-broadcast class.
     "revenue_seasonal_decomposition",
+    # conversion_ab_ztest (round 17): one cross broadcasts the 1-row
+    # pooled (n1, x1, n2, x2, z) pivot onto the two cohort rows — the
+    # scalar-broadcast class.
+    "conversion_ab_ztest",
     # source_ks_drift (round 17): the grid cross broadcasts the
     # DISTINCT doc-length dimension (bounded by the curation
     # max-doc-length cap, not corpus size — the join_cross fixed-grid

@@ -162,13 +162,14 @@ def test_checked_window_composition():
     window = set(names[:50])
     # Never-green first (standing policy), then the staleness-4 r12
     # carry-overs.
-    assert _PRIORITY[:3] == [
-        "source_ks_drift",  # round-17 addition, never externally green
+    assert _PRIORITY[:4] == [
+        "source_ks_drift",  # round-17 additions, never externally green
+        "conversion_ab_ztest",
         "similarity_topk_ivf",
         "multimodal_features",
     ]
-    # The 47 stalest r13-green queries follow in registry order.
-    assert _PRIORITY[3:50] == [
+    # The 46 stalest r13-green queries follow in registry order.
+    assert _PRIORITY[4:50] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -215,7 +216,6 @@ def test_checked_window_composition():
         "rrf_hybrid_retrieval",
         "retrieve_rerank_topk",
         "embedding_top_pc",
-        "histogram_quantile_sketch",
     ]
     # Nothing green in rounds 14-16 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

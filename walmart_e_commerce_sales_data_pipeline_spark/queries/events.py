@@ -1707,3 +1707,161 @@ def survival_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --- two-proportion A/B z-test + Wilson intervals ------------------------------
+
+
+# conversion threshold: purchases per user at the synthetic corpus median
+REPEAT_PURCHASE_MIN = 14
+
+
+@register(
+    "conversion_ab_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) >= 14
+                         THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS x
+        FROM u GROUP BY cohort
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN cohort = 'A' THEN n END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN cohort = 'A' THEN x END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN cohort = 'B' THEN n END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN cohort = 'B' THEN x END) AS BIGINT) AS x2
+        FROM c
+    ),
+    z AS (
+        SELECT n1, x1, n2, x2,
+               CASE WHEN n1 > 0 AND n2 > 0
+                         AND (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2)
+                    THEN (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                         / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                                * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                                * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2))
+               END AS z_raw
+        FROM s
+    )
+    SELECT c.cohort, c.n AS n_users, c.x AS n_converted,
+           CAST(c.x AS DOUBLE) / c.n AS conv_rate,
+           ROUND(((CAST(c.x AS DOUBLE) / c.n) + CAST(1.9208 AS DOUBLE) / c.n
+                  - 1.96 * SQRT((CAST(c.x AS DOUBLE) / c.n)
+                                * (1.0 - CAST(c.x AS DOUBLE) / c.n) / c.n
+                                + CAST(0.9604 AS DOUBLE) / (CAST(c.n AS DOUBLE) * c.n)))
+                 / (1.0 + CAST(3.8416 AS DOUBLE) / c.n), 6) AS wilson_lo,
+           ROUND(((CAST(c.x AS DOUBLE) / c.n) + CAST(1.9208 AS DOUBLE) / c.n
+                  + 1.96 * SQRT((CAST(c.x AS DOUBLE) / c.n)
+                                * (1.0 - CAST(c.x AS DOUBLE) / c.n) / c.n
+                                + CAST(0.9604 AS DOUBLE) / (CAST(c.n AS DOUBLE) * c.n)))
+                 / (1.0 + CAST(3.8416 AS DOUBLE) / c.n), 6) AS wilson_hi,
+           ROUND(z.z_raw, 4) AS z_score,
+           CASE WHEN z.z_raw > 1.96 THEN 'A-higher'
+                WHEN z.z_raw < -1.96 THEN 'B-higher'
+                WHEN z.z_raw IS NULL THEN NULL
+                ELSE 'no-difference' END AS verdict
+    FROM c CROSS JOIN z
+    ORDER BY c.cohort
+    """,
+    description="Two-proportion A/B z-test on repeat-purchaser conversion "
+    "with per-cohort Wilson 95% intervals — the proportion-scale "
+    "companion to survival_km_logrank's time-to-event A/B test (same "
+    "deterministic user_id%%2 cohort assignment).  Conversion = a user's "
+    "purchase count >= 14, a threshold at the synthetic corpus's per-user "
+    "median (events-per-user is SF-invariant in this testdata, so the "
+    "statistic stays LIVE at every bundled SF — the binary "
+    "any-purchase definition saturates at 100%% conversion and "
+    "NULL-guards the z away).  Per cohort: the distinct-user count, "
+    "converting-user count, exact conversion-rate ratio, and the Wilson "
+    "score interval (the CI that stays inside [0,1] and behaves at small "
+    "n, unlike Wald); across cohorts the pooled two-proportion z "
+    "statistic with a 1.96 verdict, NULL-guarded for an empty cohort or "
+    "a degenerate all/none-converted pool where the pooled variance is "
+    "zero.  Exactness: the per-cohort (n, x) cells are pure BIGINT from "
+    "one user-keyed aggregate; conv_rate is an exact integer ratio; the "
+    "Wilson bounds and z are single closed-form double expressions of "
+    "those integers (1.96 constants pre-squared to literals), mirrored "
+    "term-by-term in both engines and rounded once.  Scale shape: one "
+    "shuffle on user_id for the per-user conversion flag, one tiny "
+    "cohort aggregate, a 1-row conditional-sum pivot broadcast onto the "
+    "two cohort rows; no window, no join wider than 2 rows",
+    tags=("events", "ab-test", "statistics", "exact-cells"),
+)
+def conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("cohort"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_p"),
+        )
+        .groupBy("user_id", "cohort")
+        .agg(
+            F.when(F.sum("is_p") >= REPEAT_PURCHASE_MIN, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("conv")
+        )
+    )
+    c = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    s = c.agg(
+        F.sum(F.when(F.col("cohort") == "A", F.col("n"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("cohort") == "A", F.col("x"))).cast("long").alias("x1"),
+        F.sum(F.when(F.col("cohort") == "B", F.col("n"))).cast("long").alias("n2"),
+        F.sum(F.when(F.col("cohort") == "B", F.col("x"))).cast("long").alias("x2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    pool = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z_raw = F.when(
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & ((F.col("x1") + F.col("x2")) > 0)
+        & ((F.col("x1") + F.col("x2")) < (F.col("n1") + F.col("n2"))),
+        (F.col("x1").cast("double") / F.col("n1")
+         - F.col("x2").cast("double") / F.col("n2"))
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+        ),
+    )
+    z = s.select("n1", "x1", "n2", "x2", z_raw.alias("z_raw"))
+    p = F.col("x").cast("double") / F.col("n")
+    nd = F.col("n").cast("double")
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + F.lit(0.9604) / (nd * F.col("n"))
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    center = p + F.lit(1.9208) / F.col("n")
+    return (
+        c.crossJoin(F.broadcast(z))
+        .select(
+            "cohort",
+            F.col("n").alias("n_users"),
+            F.col("x").alias("n_converted"),
+            p.alias("conv_rate"),
+            F.round((center - half) / denom, 6).alias("wilson_lo"),
+            F.round((center + half) / denom, 6).alias("wilson_hi"),
+            F.round(F.col("z_raw"), 4).alias("z_score"),
+            F.when(F.col("z_raw") > 1.96, F.lit("A-higher"))
+            .when(F.col("z_raw") < -1.96, F.lit("B-higher"))
+            .when(F.col("z_raw").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.lit("no-difference"))
+            .alias("verdict"),
+        )
+        .orderBy("cohort")
+    )
