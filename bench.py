@@ -474,6 +474,9 @@ HEADLINE = [
     # screen and the two-proportion A/B z-test with Wilson intervals
     "source_ks_drift",
     "conversion_ab_ztest",
+    # round 17: the seventh streaming family's batch readout (per-hour
+    # A-ES weighted sample)
+    "events_hourly_sample_aes",
 ]
 
 

@@ -1154,3 +1154,134 @@ def test_streaming_mg_parameterized_k_equals_batch(
     }
     q.stop()
     assert got == batch and len(got) > 0
+
+
+# --- A-ES weighted sample: the SEVENTH streaming sketch family ----------------
+
+
+def _aes_rows(rows):
+    return {
+        (str(r["window_start"]), r["rk"]): (
+            r["event_id"],
+            r["user_id"],
+            r["value"],
+            r["aes_key"],
+            r["n_seen"],
+        )
+        for r in rows
+    }
+
+
+def test_streaming_aes_sample_equals_batch_single_microbatch(spark, events_batch):
+    """Single-file staging: stream == batch bit-exactly, per-window
+    sample bounded at k rows."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        AES_SAMPLE_K,
+        hourly_sample_aes,
+    )
+
+    batch = _aes_rows(hourly_sample_aes(events_batch).collect())
+    per_win: dict[str, int] = {}
+    for (w, _rk) in batch:
+        per_win[w] = per_win.get(w, 0) + 1
+    assert all(v <= AES_SAMPLE_K for v in per_win.values())
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(hourly_sample_aes(stream), "aes_hourly_test", mode="update")
+    q.awaitTermination(120)
+    got = _aes_rows(spark.sql("SELECT * FROM aes_hourly_test").collect())
+    q.stop()
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_aes_sample_split_independent(spark, events_batch, tmp_path):
+    """The stronger-than-MG law: the A-ES top-k summary is a pure order
+    statistic, so the FINAL per-window sample is bit-identical to the
+    batch form under ANY micro-batch split — here the corpus arrives in
+    three arbitrary files.  Final emission per window = rows carrying
+    that window's maximum n_seen."""
+    import glob
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_sample_aes,
+    )
+
+    batch = _aes_rows(hourly_sample_aes(events_batch).collect())
+    rows = events_batch.orderBy("event_id").collect()
+    third = len(rows) // 3
+    files = []
+    src_cols = events_batch.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    for i in range(3):
+        part = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        pth = f"{tmp_path}/aes_batch_{i}.parquet"
+        spark.createDataFrame(
+            [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"]) for r in part],
+            src_cols.schema,
+        ).coalesce(1).write.parquet(pth)
+        files.extend(glob.glob(f"{pth}/part-*.parquet"))
+    stream = read_events_stream(spark, stage_stream_dir(*files))
+    q = run_stream_to_memory(hourly_sample_aes(stream), "aes_split_test", mode="update")
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM aes_split_test").collect()
+    q.stop()
+    assert emitted
+    final_n: dict[str, int] = {}
+    for r in emitted:
+        w = str(r["window_start"])
+        final_n[w] = max(final_n.get(w, 0), r["n_seen"])
+    final = _aes_rows(
+        r for r in emitted if r["n_seen"] == final_n[str(r["window_start"])]
+    )
+    assert final == batch
+
+
+@pytest.mark.parametrize("aes_k,aes_window,aes_slide", [(5, "1 hour", None), (2, "2 hours", "1 hour")])
+def test_streaming_aes_sample_parameterized(spark, events_batch, aes_k, aes_window, aes_slide):
+    """k and window/slide bake into the state-update closure like the MG
+    twin: stream == batch at non-default k, tumbling and sliding, and
+    every event lands in exactly window/slide windows (n_seen doubles)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_sample_aes,
+    )
+
+    kw = {"k": aes_k, "window": aes_window, "slide": aes_slide}
+    batch_rows = hourly_sample_aes(events_batch, **kw).collect()
+    batch = _aes_rows(batch_rows)
+    if aes_slide:
+        tumbling = hourly_sample_aes(events_batch).collect()
+        n_events = sum(
+            {str(r["window_start"]): r["n_seen"] for r in tumbling}.values()
+        )
+        slid_total = sum(
+            {str(r["window_start"]): r["n_seen"] for r in batch_rows}.values()
+        )
+        assert slid_total == 2 * n_events
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    sink = f"aes_k{aes_k}_{'slide' if aes_slide else 'tumble'}_test"
+    q = run_stream_to_memory(hourly_sample_aes(stream, **kw), sink, mode="update")
+    q.awaitTermination(120)
+    got = _aes_rows(spark.sql(f"SELECT * FROM {sink}").collect())
+    q.stop()
+    assert got == batch and len(got) > 0
+
+
+def test_aes_sample_rejects_nonpositive_weight(spark):
+    """A non-positive value raises loudly instead of silently inverting
+    the ranking (ln(u) <= 0: dividing by a negative weight would make
+    the WORST draws win)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_sample_aes,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 7, "view", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    with _pytest.raises(Exception, match="aes sample"):
+        hourly_sample_aes(ev).collect()

@@ -49,15 +49,17 @@ from . import (  # noqa: F401
 # window, computed and staleness-asserted by tools/rotate_window.py, is
 # the r16 VERDICT item 1 prescription: the two r12 carry-overs first,
 # then (never-green first, the standing policy) this round's new
-# ``source_ks_drift`` + ``conversion_ab_ztest`` and the stalest 46
-# of the 50 r13-green queries in registry order
+# ``source_ks_drift`` + ``conversion_ab_ztest`` +
+# ``events_hourly_sample_aes`` (the seventh streaming family's batch
+# readout) and the stalest 45 of the 50 r13-green queries in
+# registry order
 # (``date_functions``, ``agg_suite``, ``case_when_tiers``,
 # ``union_all_monthly``, the dedup/text/curation families, ...).  The
-# four r13-green queries the 50-cap excludes head the r18 window at
+# five r13-green queries the 50-cap excludes head the r18 window at
 # staleness 5 — exactly the structural refresh period for a
-# 204-query registry over a 50-row window; the tool's
+# 205-query registry over a 50-row window; the tool's
 # MAX_STALE_ROUNDS=5 assertion passed with worst projected staleness
-# 4 (``histogram_quantile_sketch``).
+# 4 (``embedding_top_pc``).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -65,6 +67,7 @@ from . import (  # noqa: F401
 _PRIORITY = [
     "source_ks_drift",
     "conversion_ab_ztest",
+    "events_hourly_sample_aes",
     "similarity_topk_ivf",
     "multimodal_features",
     "date_functions",
@@ -112,7 +115,6 @@ _PRIORITY = [
     "bloom_semijoin_stats",
     "rrf_hybrid_retrieval",
     "retrieve_rerank_topk",
-    "embedding_top_pc",
 ]
 
 

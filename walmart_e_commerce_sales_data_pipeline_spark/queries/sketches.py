@@ -2644,3 +2644,77 @@ def countsketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- per-hour A-ES weighted sample (streaming twin readout) -------------------
+
+
+def _events_hourly_sample_aes_oracle() -> str:
+    from ..operators.splits import portable_hex_value_sql
+    from ..streaming.events import AES_SAMPLE_K
+
+    hash_sql = portable_hex_value_sql("event_id", 12, "VARCHAR")
+    return f"""
+    WITH e AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_id, user_id, value,
+               ln(CAST(({hash_sql}) + 1 AS DOUBLE) / 281474976710656.0)
+                   / (CASE WHEN value > 0 THEN value
+                           ELSE error('aes sample: non-positive weight')
+                      END) AS aes_key
+        FROM events
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY hour_start ORDER BY aes_key DESC, event_id
+               ) AS rk
+        FROM e
+    )
+    SELECT hour_start, CAST(rk AS INT) AS rk, event_id, user_id, value,
+           ROUND(aes_key * CAST(1000000 AS DOUBLE), 6) AS aes_key_ppm
+    FROM r WHERE rk <= {AES_SAMPLE_K}
+    ORDER BY hour_start, rk
+    """
+
+
+@register(
+    "events_hourly_sample_aes",
+    oracle=_events_hourly_sample_aes_oracle(),
+    description="per-hour Efraimidis-Spirakis weighted event sample: the "
+    "top-3 events per tumbling event-time hour by ln(u)/value with u "
+    "from the portable 48-bit md5 of event_id — a value-proportional "
+    "sample WITHOUT replacement (P(rank 1 = i) = value_i/SUM(value) "
+    "exactly), deterministic across engines/runs/partitionings — the "
+    "batch twin of streaming.events.hourly_sample_aes, the SEVENTH "
+    "streaming sketch family (CMS, histogram, Bloom, HLL, KMV, "
+    "Misra-Gries, A-ES sample).  The A-ES summary is a pure order "
+    "statistic: per-window streaming state is the <= k best rows and "
+    "micro-batches merge by top-k of the union under the total order "
+    "(-aes_key, event_id) — associative, commutative, "
+    "split-independent, so stream == batch BIT-EXACT under ANY "
+    "micro-batch split (a stronger law than MG's per-batch form; "
+    "pinned in tests/test_streaming.py).  Non-positive weights raise "
+    "loudly in BOTH engines (ln(u) <= 0 — a negative weight would "
+    "silently invert the ranking).  Scale shape: the key is one "
+    "map-side codegen expression; the per-hour top-3 plans as "
+    "WindowGroupLimit (k-row per-partition group limits, never a full "
+    "per-group sort); streaming state is <= k rows per window",
+    tags=("sampling", "event-time", "portable", "streaming-twin", "window"),
+)
+def events_hourly_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import hourly_sample_aes
+
+    # the sample comes from the STREAMING operator itself in batch mode
+    # (one logical plan for both execution modes — the module's standing
+    # design), keyed back to the formatted hour label
+    return hourly_sample_aes(table(spark, sf_dir, "events")).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "rk",
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("aes_key") * F.lit(1000000.0), 6).alias("aes_key_ppm"),
+    ).orderBy("hour_start", "rk")

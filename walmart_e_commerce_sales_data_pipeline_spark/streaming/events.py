@@ -820,3 +820,213 @@ def hourly_user_mg(
             "n_window",
         )
     )
+
+
+# --- streaming A-ES weighted sample (seventh sketch family) -------------------
+
+# Per-window sample size.  Unlike MG's addition-then-compress, the A-ES
+# top-k summary is a pure ORDER STATISTIC: merging two summaries is
+# top-k of their union under the total order (-aes_key, event_id), which
+# is associative, commutative, and independent of how events split
+# across micro-batches — so the streaming twin is bit-exact vs the batch
+# form under ANY split, a stronger law than MG's (which is only
+# bit-exact per micro-batch-contained window).
+AES_SAMPLE_K = 3
+
+AES_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("event_ids", T.ArrayType(T.LongType())),
+        T.StructField("user_ids", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+AES_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("aes_key", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _make_aes_update(k: int, win_sec: int):
+    """Build the streaming A-ES state-update function with ``k`` and the
+    window length baked into the closure (the `_make_mg_update` pattern:
+    self-contained for workers without the package on their path;
+    cloudpickle ships the ints by value).
+
+    State per window is the <= k best (aes_key, event_id, user_id,
+    value) rows under the total order (-aes_key, event_id); each
+    micro-batch merges by union + re-truncate.  The aes_key itself is
+    computed JVM-side BEFORE the groupBy (one logical expression shared
+    with the batch form), so this function only compares doubles Spark
+    already produced — no Python float arithmetic to drift."""
+
+    def _aes_update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        keys, eids, uids, vals, n_seen = (
+            state.get if state.exists else ([], [], [], [], 0)
+        )
+        rows = list(zip(keys, eids, uids, vals))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            rows.extend(
+                zip(
+                    pdf["aes_key"].tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["user_id"].tolist(),
+                    pdf["value"].tolist(),
+                )
+            )
+        # total order: best (largest, least-negative) key first, then
+        # event_id for a deterministic tie-break
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        rows = rows[:k]
+        state.update(
+            (
+                [float(t[0]) for t in rows],
+                [int(t[1]) for t in rows],
+                [int(t[2]) for t in rows],
+                [float(t[3]) for t in rows],
+                int(n_seen),
+            )
+        )
+        win_end_ms = int(key[0].timestamp() * 1000) + win_sec * 1000
+        evict_ms = max(
+            win_end_ms + 25 * 3_600_000, state.getCurrentWatermarkMs() + 60_000
+        )
+        state.setTimeoutTimestamp(evict_ms)
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(rows),
+                "rk": list(range(1, len(rows) + 1)),
+                "event_id": [int(t[1]) for t in rows],
+                "user_id": [int(t[2]) for t in rows],
+                "value": [float(t[3]) for t in rows],
+                "aes_key": [float(t[0]) for t in rows],
+                "n_seen": [int(n_seen)] * len(rows),
+            }
+        )
+
+    return _aes_update
+
+
+def hourly_sample_aes(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    k: int = AES_SAMPLE_K,
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-hour Efraimidis-Spirakis weighted sample of events — the
+    SEVENTH streaming sketch family (after CMS, histogram, Bloom, HLL,
+    KMV, Misra-Gries): the top-k events per event-time window by
+    ``ln(u)/value`` with u from the portable 48-bit md5 hash of
+    event_id, i.e. a value-proportional sample WITHOUT replacement
+    (P(rank 1 = i) = value_i / sum(value) exactly), deterministic across
+    engines, runs, and partitionings — the reproducible-sampling
+    property ``weighted_sample_aes`` establishes for documents, applied
+    per window over a stream.
+
+    The A-ES summary is a pure order statistic, so per-window state is
+    the <= k best rows and merging micro-batches is top-k of the union
+    under the total order (-aes_key, event_id) — associative,
+    commutative, and split-independent, which makes stream == batch
+    BIT-EXACT under ANY micro-batch split (pinned in
+    tests/test_streaming.py; a stronger law than MG's per-batch form).
+    The key is one JVM-side codegen expression computed BEFORE the
+    stateful groupBy — identical in the batch plan — so the Python state
+    function only compares doubles Spark produced, never recomputes
+    them.  Weights must be strictly positive (ln(u) <= 0): a
+    non-positive ``value`` raises loudly in BOTH engines rather than
+    silently inverting the ranking.
+
+    Batch input takes the canonical form: the same key expression, a
+    window-PARTITIONED row_number (plans as WindowGroupLimit — k-row
+    group limits, never a full per-group sort), filter rk <= k.
+
+    Oracle-checked batch readout: ``queries.sketches.events_hourly_sample_aes``.
+    """
+    from ..operators.splits import aes_key_column
+
+    import re as _re
+
+    def _sec(spec: str) -> int:
+        m = _re.fullmatch(r"(\d+)\s*(hour|minute|second)s?", spec.strip())
+        assert m, f"unsupported window spec: {spec!r}"
+        return int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[
+            m.group(2)
+        ]
+
+    win_sec = _sec(window)
+    slide_sec = _sec(slide) if slide else win_sec
+    win_col = (
+        F.date_trunc("hour", "ts")
+        if slide is None and window == "1 hour"
+        else _mg_window_starts(win_sec, slide_sec)
+    )
+    weight = F.when(F.col("value") > 0, F.col("value")).otherwise(
+        F.expr(
+            "raise_error(CONCAT('aes sample: non-positive weight value ',"
+            " CAST(value AS STRING), ' — A-ES requires strictly positive"
+            " weights'))"
+        )
+    )
+    keyed = events.select(
+        win_col.alias("window_start"),
+        "event_id",
+        "user_id",
+        "value",
+        "ts",
+        aes_key_column("event_id", weight).alias("aes_key"),
+    )
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        src = keyed.withWatermark("ts", watermark)
+        return src.groupBy("window_start").applyInPandasWithState(
+            _make_aes_update(k, win_sec),
+            outputStructType=AES_OUTPUT_SCHEMA,
+            stateStructType=AES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("aes_key").desc(), "event_id"
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_seen",
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy("window_start").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= k)
+        .select(
+            "window_start",
+            "rk",
+            "event_id",
+            "user_id",
+            "value",
+            "aes_key",
+            "n_seen",
+        )
+    )
