@@ -475,8 +475,9 @@ HEADLINE = [
     "source_ks_drift",
     "conversion_ab_ztest",
     # round 17: the seventh streaming family's batch readout (per-hour
-    # A-ES weighted sample)
+    # A-ES weighted sample) and the chi-squared independence screen
     "events_hourly_sample_aes",
+    "event_dow_independence",
 ]
 
 

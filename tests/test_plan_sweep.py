@@ -32,6 +32,10 @@ BNLJ_WHITELIST = {
     "dormant_customer_balance",
     "important_supplier_share",
     "key_skew_profile",
+    # event_dow_independence (round 17): crosses broadcast the 1-row
+    # corpus total and the 1-row (n_types, n_dows) dims frame onto the
+    # single folded output row — the scalar-broadcast class.
+    "event_dow_independence",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "orders_rfm_segments",
@@ -257,6 +261,15 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   by construction (ngram_distribution_profile's bound); the
     #   corpus-sized work is the two stacked hash aggregates below it.
     "zipf_slope_fit",
+    # event_dow_independence (round 17): crosses broadcast the 1-row
+    # corpus total and the 1-row (n_types, n_dows) dims frame onto the
+    # single folded output row — the scalar-broadcast class.
+    "event_dow_independence",
+    # - event_dow_independence (round 17): the ordered chi-squared fold
+    #   and last-row rank run over the (event_type x weekday) cell table
+    #   — bounded by the type-domain x 7, never corpus size (the
+    #   survival_km_logrank day-ordered IEEE accumulation class).
+    "event_dow_independence",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -283,6 +296,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 # - ngram_distribution_profile: the counts-of-counts table — ≤ √(2N) rows
 #   by construction (d distinct count values satisfy d(d+1)/2 ≤ N).
 SINGLE_PARTITION_WHITELIST = {
+    # - event_dow_independence (round 17): the exchange feeds the
+    #   ordered chi-squared fold over the (event_type x weekday) cell
+    #   aggregate — bounded by the type-domain x 7 at any SF (the
+    #   survival day-ordered accumulation class).
+    "event_dow_independence",
     # - pareto_frontier_parts: the single-partition exchange feeds the
     #   bucket-summary prefix-max window — a FINAL aggregate over the $1
     #   price buckets, domain-bounded at <= ~1,201 rows (see the

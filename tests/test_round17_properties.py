@@ -210,3 +210,100 @@ def test_ab_ztest_degenerate_pools_are_null(spark, tmp_path):
     for r in conversion_ab_ztest(spark, str(tmp_path)).collect():
         assert r.conv_rate == 1.0
         assert r.z_score is None and r.verdict is None
+
+
+# --- event_dow_independence pins -----------------------------------------------
+
+
+def test_chi2_matches_textbook_on_corpus(spark):
+    """chi2, dof, and Cramer's V at sf0.001 match a first-principles
+    Python evaluation of the classic sum (o-e)^2/e over the full grid
+    (the query's algebraic N*sum(o^2/rc) - N form is identical by
+    expansion)."""
+    import math
+
+    from tests.conftest import SF0001
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        event_dow_independence,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import events
+
+    cells: dict[tuple[str, int], int] = {}
+    for r in events(spark, SF0001).select("event_type", "ts").collect():
+        key = (r.event_type, r.ts.weekday())
+        cells[key] = cells.get(key, 0) + 1
+    rt: dict[str, int] = {}
+    ct: dict[int, int] = {}
+    for (t, d), o in cells.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[d] = ct.get(d, 0) + o
+    n = sum(cells.values())
+    chi2 = sum(
+        (cells.get((t, d), 0) - rt[t] * ct[d] / n) ** 2 / (rt[t] * ct[d] / n)
+        for t in rt
+        for d in ct
+    )
+    (row,) = event_dow_independence(spark, SF0001).collect()
+    assert row.n_events == n
+    assert row.n_types == len(rt) and row.n_dows == len(ct)
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row.chi2 - chi2) < 1e-4
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    assert abs(row.cramers_v - v) < 1e-4
+
+
+def test_chi2_planted_dependence_and_independence(spark, tmp_path):
+    """Closed forms: a perfectly balanced grid has chi2 = 0 exactly; a
+    grid where each type fires on exactly one distinct weekday is a
+    permutation table — maximal association, Cramer's V = 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows, eid = [], 0
+    # balanced: 3 types x 4 weekdays x 5 events each
+    for ti in range(3):
+        for d in range(4):
+            for _ in range(5):
+                rows.append(
+                    (eid, base + dt.timedelta(days=d), eid, f"t{ti}", 1.0, "{}")
+                )
+                eid += 1
+    _events_df(spark, rows).write.parquet(f"{tmp_path}/ev_indep/events.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        event_dow_independence,
+    )
+
+    (ind,) = event_dow_independence(spark, f"{tmp_path}/ev_indep").collect()
+    assert ind.chi2 == 0.0 and ind.cramers_v == 0.0
+    assert ind.dof == (3 - 1) * (4 - 1)
+    rows, eid = [], 0
+    # permutation: type ti fires ONLY on weekday ti
+    for ti in range(3):
+        for _ in range(7):
+            rows.append(
+                (eid, base + dt.timedelta(days=ti), eid, f"t{ti}", 1.0, "{}")
+            )
+            eid += 1
+    _events_df(spark, rows).write.parquet(f"{tmp_path}/ev_dep/events.parquet")
+    (dep,) = event_dow_independence(spark, f"{tmp_path}/ev_dep").collect()
+    # permutation table: chi2 = N * (min_dim - 1), V = 1
+    assert dep.cramers_v == 1.0
+    assert dep.chi2 == dep.n_events * (min(dep.n_types, dep.n_dows) - 1)
+
+
+def test_chi2_single_type_degenerate(spark, tmp_path):
+    """One event type: dof = 0, chi2 = 0 (row marginal == N), V NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, base + dt.timedelta(days=i % 5), i, "only", 1.0, "{}")
+        for i in range(20)
+    ]
+    _events_df(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        event_dow_independence,
+    )
+
+    (row,) = event_dow_independence(spark, str(tmp_path)).collect()
+    assert row.dof == 0 and row.chi2 == 0.0 and row.cramers_v is None

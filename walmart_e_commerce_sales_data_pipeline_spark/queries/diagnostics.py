@@ -2512,3 +2512,135 @@ def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_raw)), 6),
         ).alias("p_value"),
     ).orderBy("source")
+
+
+@register(
+    "event_dow_independence",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INTEGER) AS dow
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+        FROM ev GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_types,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_dows
+    ),
+    terms AS (
+        SELECT cells.event_type, cells.dow,
+               (CAST(cells.o AS DOUBLE) * cells.o)
+                   / (CAST(rt.r AS DOUBLE) * ct.c) AS term
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+    ),
+    folded AS (
+        SELECT SUM(term) OVER (ORDER BY event_type, dow
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+               ROW_NUMBER() OVER (ORDER BY event_type DESC, dow DESC) AS rn
+        FROM terms
+    )
+    SELECT tot.n AS n_events, dims.n_types, dims.n_dows,
+           CAST((dims.n_types - 1) * (dims.n_dows - 1) AS BIGINT) AS dof,
+           ROUND(GREATEST(0.0,
+               CAST(tot.n AS DOUBLE) * folded.s - CAST(tot.n AS DOUBLE)), 4)
+               AS chi2,
+           CASE WHEN (dims.n_types - 1) * (dims.n_dows - 1) > 0 THEN
+               ROUND(SQRT(GREATEST(0.0,
+                   CAST(tot.n AS DOUBLE) * folded.s - CAST(tot.n AS DOUBLE))
+                   / (CAST(tot.n AS DOUBLE)
+                      * LEAST(dims.n_types - 1, dims.n_dows - 1))), 4)
+           END AS cramers_v
+    FROM folded CROSS JOIN tot CROSS JOIN dims
+    WHERE folded.rn = 1
+    """,
+    description="Pearson chi-squared test of independence between event "
+    "type and day-of-week, with Cramer's V effect size — the categorical-"
+    "association screen beside conversion_ab_ztest's two-proportion z "
+    "(proportions) and source_ks_drift's KS (continuous drift): is the "
+    "event-type mix the same on every weekday?  Exactness: the "
+    "contingency cells and both marginals are pure BIGINT; chi2 uses "
+    "the algebraic form N*(sum o^2/(r*c)) - N so empty cells contribute "
+    "nothing and no (o-e) subtraction is needed; the 35-term double sum "
+    "is accumulated under an ORDERED unpartitioned window over the "
+    "(event_type, dow) cell table (the survival_km_logrank day-ordered "
+    "IEEE pattern) so both engines add in the identical sequence — a "
+    "groupBy SUM would be partition-order-dependent and hash-diverge; "
+    "clamped at 0 before the single rounding (FP can dip epsilon "
+    "negative under perfect independence).  Scale shape: one shuffle on "
+    "(event_type, dow) — the cell table is bounded by the type-domain x "
+    "7, NOT by corpus size, so the unpartitioned fold window moves <= "
+    "~dozens of rows at any SF; marginals and the 1-row total broadcast",
+    tags=("events", "statistics", "independence", "exact-cells"),
+)
+def event_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.weekday("ts").cast("int").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_types")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).cast("long").alias("n_dows")))
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .select(
+            "event_type",
+            "dow",
+            (
+                (F.col("o").cast("double") * F.col("o"))
+                / (F.col("r").cast("double") * F.col("c"))
+            ).alias("term"),
+        )
+    )
+    wfold = Window.orderBy("event_type", "dow").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = terms.select(
+        F.sum("term").over(wfold).alias("s"),
+        F.row_number()
+        .over(Window.orderBy(F.col("event_type").desc(), F.col("dow").desc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    nd = F.col("n").cast("double")
+    chi2_raw = F.greatest(F.lit(0.0), nd * F.col("s") - nd)
+    dof = (F.col("n_types") - 1) * (F.col("n_dows") - 1)
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_types",
+            "n_dows",
+            dof.cast("long").alias("dof"),
+            F.round(chi2_raw, 4).alias("chi2"),
+            F.when(
+                dof > 0,
+                F.round(
+                    F.sqrt(
+                        chi2_raw
+                        / (
+                            nd
+                            * F.least(
+                                F.col("n_types") - 1, F.col("n_dows") - 1
+                            )
+                        )
+                    ),
+                    4,
+                ),
+            ).alias("cramers_v"),
+        )
+    )
