@@ -1266,10 +1266,11 @@ def test_streaming_aes_sample_parameterized(spark, events_batch, aes_k, aes_wind
     assert got == batch and len(got) > 0
 
 
-def test_aes_sample_rejects_nonpositive_weight(spark):
-    """A non-positive value raises loudly instead of silently inverting
-    the ranking (ln(u) <= 0: dividing by a negative weight would make
-    the WORST draws win)."""
+def test_aes_sample_zero_weight_excluded_negative_raises(spark):
+    """value == 0 means zero selection probability — the event is
+    EXCLUDED (the exact w -> 0 limit; such events exist at sf0.1), and
+    n_seen counts only sampleable events; a NEGATIVE value raises
+    loudly instead of silently inverting the ranking (ln(u) <= 0)."""
     import datetime as dt
 
     import pytest as _pytest
@@ -1278,10 +1279,17 @@ def test_aes_sample_rejects_nonpositive_weight(spark):
         hourly_sample_aes,
     )
 
-    ev = spark.createDataFrame(
-        [(1, dt.datetime(2024, 1, 1, 10, 0), 7, "view", 0.0, "{}")],
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    schema = (
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
-        " value double, props string",
+        " value double, props string"
     )
+    ev = spark.createDataFrame(
+        [(1, t, 7, "view", 0.0, "{}"), (2, t, 8, "view", 2.0, "{}")], schema
+    )
+    rows = hourly_sample_aes(ev).collect()
+    assert [r["event_id"] for r in rows] == [2]
+    assert rows[0]["n_seen"] == 1  # the zero-weight event is not sampleable
+    neg = spark.createDataFrame([(3, t, 9, "view", -1.0, "{}")], schema)
     with _pytest.raises(Exception, match="aes sample"):
-        hourly_sample_aes(ev).collect()
+        hourly_sample_aes(neg).collect()

@@ -69,6 +69,15 @@ HEAVY = [
     # vocab-bounded, not corpus-bounded)
     "kmv_sketch_union",
     "winsorized_price_stats",
+    # round 17: the KS one-vs-rest drift screen (grid = sources x
+    # distinct lengths — the length DOMAIN must stay bounded while docs
+    # grow 10x), the A/B z-test (one user-keyed shuffle), the per-hour
+    # A-ES sample (top-k window state per hour), and the chi-squared
+    # fold (cells bounded by type-domain x 7 at any SF)
+    "source_ks_drift",
+    "conversion_ab_ztest",
+    "events_hourly_sample_aes",
+    "event_dow_independence",
     "ngram_distribution_profile",
     # round 10: the WARC wire-format round trip — export (write-once,
     # Python data source writer, parallelism = write partitioning), read

@@ -2661,7 +2661,8 @@ def _events_hourly_sample_aes_oracle() -> str:
                event_id, user_id, value,
                ln(CAST(({hash_sql}) + 1 AS DOUBLE) / 281474976710656.0)
                    / (CASE WHEN value > 0 THEN value
-                           ELSE error('aes sample: non-positive weight')
+                           WHEN value < 0
+                           THEN error('aes sample: negative weight')
                       END) AS aes_key
         FROM events
     ),
@@ -2669,7 +2670,7 @@ def _events_hourly_sample_aes_oracle() -> str:
         SELECT *, ROW_NUMBER() OVER (
                    PARTITION BY hour_start ORDER BY aes_key DESC, event_id
                ) AS rk
-        FROM e
+        FROM e WHERE aes_key IS NOT NULL
     )
     SELECT hour_start, CAST(rk AS INT) AS rk, event_id, user_id, value,
            ROUND(aes_key * CAST(1000000 AS DOUBLE), 6) AS aes_key_ppm
@@ -2694,7 +2695,9 @@ def _events_hourly_sample_aes_oracle() -> str:
     "(-aes_key, event_id) — associative, commutative, "
     "split-independent, so stream == batch BIT-EXACT under ANY "
     "micro-batch split (a stronger law than MG's per-batch form; "
-    "pinned in tests/test_streaming.py).  Non-positive weights raise "
+    "pinned in tests/test_streaming.py).  Zero/NULL-value events are "
+    "EXCLUDED (zero selection probability, the exact w -> 0 limit — "
+    "live in the sf0.1 data); NEGATIVE weights raise "
     "loudly in BOTH engines (ln(u) <= 0 — a negative weight would "
     "silently invert the ranking).  Scale shape: the key is one "
     "map-side codegen expression; the per-hour top-3 plans as "

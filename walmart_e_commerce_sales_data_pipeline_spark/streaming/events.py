@@ -948,9 +948,10 @@ def hourly_sample_aes(
     The key is one JVM-side codegen expression computed BEFORE the
     stateful groupBy — identical in the batch plan — so the Python state
     function only compares doubles Spark produced, never recomputes
-    them.  Weights must be strictly positive (ln(u) <= 0): a
-    non-positive ``value`` raises loudly in BOTH engines rather than
-    silently inverting the ranking.
+    them.  Weight semantics: ``value == 0``/NULL events are EXCLUDED
+    (zero selection probability — the exact w -> 0 limit, live in the
+    sf0.1 testdata); a NEGATIVE value raises loudly in BOTH engines
+    rather than silently inverting the ranking (ln(u) <= 0).
 
     Batch input takes the canonical form: the same key expression, a
     window-PARTITIONED row_number (plans as WindowGroupLimit — k-row
@@ -976,12 +977,24 @@ def hourly_sample_aes(
         if slide is None and window == "1 hour"
         else _mg_window_starts(win_sec, slide_sec)
     )
-    weight = F.when(F.col("value") > 0, F.col("value")).otherwise(
+    # Weight semantics: value == 0 (or NULL) means ZERO selection
+    # probability — such events are EXCLUDED, the exact A-ES limit of
+    # w -> 0 (ln(u)/w -> -inf, never sampled), not an error; a NEGATIVE
+    # value would silently invert the ranking and raises loudly in both
+    # engines.  The testdata carries a handful of value = 0.0 events at
+    # sf0.1, so the zero case is live, not theoretical.  The exclusion
+    # rides the SAME CASE as the raise (zero/NULL weight -> NULL key,
+    # filtered on the computed column): a separate value pre-filter is
+    # unsafe because Catalyst may collapse the raise-bearing projection
+    # into the scan and evaluate it before the filter.  n_seen counts
+    # sampleable (positive-weight) events only.
+    weight = F.when(F.col("value") > 0, F.col("value")).when(
+        F.col("value") < 0,
         F.expr(
-            "raise_error(CONCAT('aes sample: non-positive weight value ',"
-            " CAST(value AS STRING), ' — A-ES requires strictly positive"
+            "raise_error(CONCAT('aes sample: negative weight value ',"
+            " CAST(value AS STRING), ' — A-ES requires nonnegative"
             " weights'))"
-        )
+        ),
     )
     keyed = events.select(
         win_col.alias("window_start"),
@@ -990,7 +1003,7 @@ def hourly_sample_aes(
         "value",
         "ts",
         aes_key_column("event_id", weight).alias("aes_key"),
-    )
+    ).filter(F.col("aes_key").isNotNull())
     if events.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1007,19 +1020,28 @@ def hourly_sample_aes(
     w = Window.partitionBy("window_start").orderBy(
         F.col("aes_key").desc(), "event_id"
     )
+    # n_seen via a keyed count + broadcast join, NOT a second window:
+    # an unbounded-following COUNT window would sit between the rank and
+    # its filter and defeat the WindowGroupLimit rewrite, buffering
+    # every row of the hour in the window operator.  The count branch
+    # reads the PRE-KEY frame (win_col + the value>0 sampleability
+    # filter only) so the second scan never recomputes the md5 sample
+    # key; the per-window count table is calendar-bounded (one row per
+    # hour) and map-side-combines.  The count branch evaluates the SAME
+    # raise-bearing weight CASE (cheap — no md5): with an all-negative
+    # input, AQE's empty-relation propagation can skip the rank branch
+    # entirely (its broadcast side is empty), so the guard must live in
+    # every branch that scans the data.
+    counts = (
+        events.select(win_col.alias("window_start"), weight.alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    )
     return (
         keyed.withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "n_seen",
-            F.count(F.lit(1))
-            .over(
-                Window.partitionBy("window_start").rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .cast("long"),
-        )
         .filter(F.col("rk") <= k)
+        .join(F.broadcast(counts), "window_start")
         .select(
             "window_start",
             "rk",
