@@ -1,7 +1,11 @@
 """Round-17 property pins: the Kolmogorov-Smirnov two-sample drift
 screen (source_ks_drift) against a first-principles exact-Fraction ECDF
-implementation, plus closed-form planted-shift and identical-
-distribution checks."""
+implementation with closed-form planted-shift checks; the two-proportion
+A/B z-test (conversion_ab_ztest) against the textbook pooled-z and
+Wilson-score formulas with planted-extreme and degenerate-pool cases;
+and the chi-squared independence screen (event_dow_independence)
+against the classic (o-e)^2/e evaluation with permutation-table (V=1),
+balanced-grid (chi2=0), and single-type (dof=0) closed forms."""
 
 from __future__ import annotations
 
