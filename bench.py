@@ -478,6 +478,8 @@ HEADLINE = [
     # A-ES weighted sample) and the chi-squared independence screen
     "events_hourly_sample_aes",
     "event_dow_independence",
+    # round 17: the binned PSI drift screen beside the exact-ECDF KS
+    "source_psi_drift",
 ]
 
 

@@ -127,6 +127,11 @@ BNLJ_WHITELIST = {
     # pooled (n1, x1, n2, x2, z) pivot onto the two cohort rows — the
     # scalar-broadcast class.
     "conversion_ab_ztest",
+    # source_psi_drift (round 17): crosses broadcast the nine decile
+    # edge values onto the doc scan, the 1-row corpus total, and the
+    # fixed 10-bin dimension — the scalar-broadcast / fixed-grid
+    # classes (the source_ks_drift justification applies verbatim).
+    "source_psi_drift",
     # source_ks_drift (round 17): the grid cross broadcasts the
     # DISTINCT doc-length dimension (bounded by the curation
     # max-doc-length cap, not corpus size — the join_cross fixed-grid
@@ -270,6 +275,11 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   — bounded by the type-domain x 7, never corpus size (the
     #   survival_km_logrank day-ordered IEEE accumulation class).
     "event_dow_independence",
+    # - source_psi_drift (round 17): the decile-edge cumulative window
+    #   runs over the distinct-length histogram — bounded by the length
+    #   DOMAIN (the source_ks_drift class); the PSI fold itself is
+    #   source-PARTITIONED over a 10-row grid.
+    "source_psi_drift",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -296,6 +306,10 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 # - ngram_distribution_profile: the counts-of-counts table — ≤ √(2N) rows
 #   by construction (d distinct count values satisfy d(d+1)/2 ≤ N).
 SINGLE_PARTITION_WHITELIST = {
+    # - source_psi_drift (round 17): the exchange feeds the decile-edge
+    #   cumulative window over the distinct-length histogram — bounded
+    #   by the length domain at any SF (the KS-grid class).
+    "source_psi_drift",
     # - event_dow_independence (round 17): the exchange feeds the
     #   ordered chi-squared fold over the (event_type x weekday) cell
     #   aggregate — bounded by the type-domain x 7 at any SF (the

@@ -162,16 +162,17 @@ def test_checked_window_composition():
     window = set(names[:50])
     # Never-green first (standing policy), then the staleness-4 r12
     # carry-overs.
-    assert _PRIORITY[:6] == [
+    assert _PRIORITY[:7] == [
         "source_ks_drift",  # round-17 additions, never externally green
         "conversion_ab_ztest",
         "events_hourly_sample_aes",
         "event_dow_independence",
+        "source_psi_drift",
         "similarity_topk_ivf",
         "multimodal_features",
     ]
-    # The 44 stalest r13-green queries follow in registry order.
-    assert _PRIORITY[6:50] == [
+    # The 43 stalest r13-green queries follow in registry order.
+    assert _PRIORITY[7:50] == [
         "date_functions",
         "agg_suite",
         "case_when_tiers",
@@ -215,7 +216,6 @@ def test_checked_window_composition():
         "events_time_weighted_value",
         "revenue_decline_streaks",
         "bloom_semijoin_stats",
-        "rrf_hybrid_retrieval",
     ]
     # Nothing green in rounds 14-16 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

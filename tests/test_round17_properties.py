@@ -311,3 +311,85 @@ def test_chi2_single_type_degenerate(spark, tmp_path):
 
     (row,) = event_dow_independence(spark, str(tmp_path)).collect()
     assert row.dof == 0 and row.chi2 == 0.0 and row.cramers_v is None
+
+
+# --- source_psi_drift pins -----------------------------------------------------
+
+
+def _psi_definition(lengths_by_source):
+    """First-principles PSI: pooled exact-decile edges (edge_k = smallest
+    length with cum*10 >= k*N), Laplace-smoothed (c+0.5)/(n+5) shares,
+    one-vs-rest per source."""
+    import math
+
+    pooled = sorted(v for ls in lengths_by_source.values() for v in ls)
+    n = len(pooled)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    edges = []
+    for k in range(1, 10):
+        cf = 0
+        for v in sorted(cnt):
+            cf += cnt[v]
+            if cf * 10 >= k * n:
+                edges.append(v)
+                break
+    out = {}
+    for s, ls in lengths_by_source.items():
+        rest = [v for o, lo in lengths_by_source.items() if o != s for v in lo]
+        if not rest:
+            out[s] = None
+            continue
+        psi = 0.0
+        for b in range(10):
+            c_s = sum(1 for x in ls if sum(1 for e in edges if x > e) == b)
+            c_r = sum(1 for x in rest if sum(1 for e in edges if x > e) == b)
+            p = (c_s + 0.5) / (len(ls) + 5.0)
+            q = (c_r + 0.5) / (len(rest) + 5.0)
+            psi += (p - q) * math.log(p / q)
+        out[s] = psi
+    return out
+
+
+def test_psi_matches_definition_on_corpus(spark):
+    from tests.conftest import SF0001
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_psi_drift,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.tables import table
+
+    docs = table(spark, SF0001, "documents").select("source", "n_chars").collect()
+    by_source: dict[str, list[int]] = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append(r.n_chars)
+    expect = _psi_definition(by_source)
+    rows = {r.source: r for r in source_psi_drift(spark, SF0001).collect()}
+    assert set(rows) == set(by_source)
+    for s, r in rows.items():
+        assert r.n_docs == len(by_source[s])
+        assert abs(r.psi - expect[s]) < 1e-5, s
+
+
+def test_psi_planted_shift_and_stable(spark, tmp_path):
+    """A source with a disjointly shifted length distribution reads
+    'shifted' (PSI >> 0.25); two sources drawn from the same multiset
+    read near-zero 'stable' against each other's pooled rest."""
+    rows, did = [], 0
+    for src in ("a", "b"):
+        for v in range(10, 110):
+            rows.append((did, "x" * v, "en", src, v))
+            did += 1
+    for v in range(5000, 5100):
+        rows.append((did, "y" * v, "en", "shift", v))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_psi_drift,
+    )
+
+    got = {r.source: r for r in source_psi_drift(spark, str(tmp_path)).collect()}
+    assert got["shift"].verdict == "shifted" and got["shift"].psi > 0.25
+    assert got["a"].psi == got["b"].psi  # symmetric construction

@@ -51,15 +51,15 @@ from . import (  # noqa: F401
 # then (never-green first, the standing policy) this round's new
 # ``source_ks_drift`` + ``conversion_ab_ztest`` +
 # ``events_hourly_sample_aes`` (the seventh streaming family's batch
-# readout) + ``event_dow_independence`` and the stalest 44 of the 50
-# r13-green queries in registry order
+# readout) + ``event_dow_independence`` + ``source_psi_drift`` and
+# the stalest 43 of the 50 r13-green queries in registry order
 # (``date_functions``, ``agg_suite``, ``case_when_tiers``,
 # ``union_all_monthly``, the dedup/text/curation families, ...).  The
-# six r13-green queries the 50-cap excludes head the r18 window at
+# seven r13-green queries the 50-cap excludes head the r18 window at
 # staleness 5 — exactly the structural refresh period for a
-# 206-query registry over a 50-row window; the tool's
+# 207-query registry over a 50-row window; the tool's
 # MAX_STALE_ROUNDS=5 assertion passed with worst projected staleness
-# 4 (``retrieve_rerank_topk``).
+# 4 (``rrf_hybrid_retrieval``).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -69,6 +69,7 @@ _PRIORITY = [
     "conversion_ab_ztest",
     "events_hourly_sample_aes",
     "event_dow_independence",
+    "source_psi_drift",
     "similarity_topk_ivf",
     "multimodal_features",
     "date_functions",
@@ -114,7 +115,6 @@ _PRIORITY = [
     "events_time_weighted_value",
     "revenue_decline_streaks",
     "bloom_semijoin_stats",
-    "rrf_hybrid_retrieval",
 ]
 
 

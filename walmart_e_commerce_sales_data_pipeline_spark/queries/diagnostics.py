@@ -2644,3 +2644,181 @@ def event_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "source_psi_drift",
+    oracle="""
+    WITH vt AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vt),
+    cum AS (
+        SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cf
+        FROM vt
+    ),
+    edges AS (
+        SELECT k.k, MIN(cum.v) AS edge
+        FROM cum CROSS JOIN tot
+        JOIN (SELECT UNNEST(range(1, 10)) AS k) k
+             ON cum.cf * 10 >= k.k * tot.n
+        GROUP BY k.k
+    ),
+    binned AS (
+        SELECT d.source,
+               CAST(COALESCE(SUM(CASE WHEN d.n_chars > e.edge
+                                      THEN 1 ELSE 0 END), 0) AS INTEGER)
+                   AS bin
+        FROM (SELECT doc_id, source, n_chars FROM documents) d
+        LEFT JOIN edges e ON TRUE
+        GROUP BY d.doc_id, d.source, d.n_chars
+    ),
+    sb AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2
+    ),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+    grid AS (
+        SELECT st.source, st.n_s, b.bin, COALESCE(sb.c, 0) AS c_s
+        FROM st CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b
+        LEFT JOIN sb ON sb.source = st.source AND sb.bin = b.bin
+    ),
+    bt AS (SELECT bin, CAST(SUM(c_s) AS BIGINT) AS c_all
+           FROM grid GROUP BY 1),
+    terms AS (
+        SELECT g.source, g.n_s, g.bin,
+               (CAST(g.c_s AS DOUBLE) + 0.5)
+                   / (CAST(g.n_s AS DOUBLE) + 5.0) AS p,
+               (CAST(bt.c_all - g.c_s AS DOUBLE) + 0.5)
+                   / (CAST(tot.n - g.n_s AS DOUBLE) + 5.0) AS q
+        FROM grid g JOIN bt USING (bin) CROSS JOIN tot
+        WHERE tot.n > g.n_s
+    ),
+    folded AS (
+        SELECT source, n_s,
+               SUM((p - q) * LN(p / q)) OVER (
+                   PARTITION BY source ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY bin DESC) AS rn
+        FROM terms
+    )
+    SELECT source, n_s AS n_docs, ROUND(s, 6) AS psi,
+           CASE WHEN s < 0.1 THEN 'stable'
+                WHEN s < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM folded WHERE rn = 1
+    ORDER BY source
+    """,
+    description="Population Stability Index of each source's doc-length "
+    "distribution vs the pooled REST — the BINNED drift screen beside "
+    "source_ks_drift's exact ECDF form (PSI is what production ML "
+    "monitors alarm on, with the industry-standard 0.1/0.25 bands): "
+    "bins are the pooled distribution's exact DECILE edges derived from "
+    "the length-domain cumulative table (edge_k = smallest length with "
+    "cum*10 >= k*N — integer arithmetic, no percentile interpolation to "
+    "diverge cross-engine), shares are Laplace-smoothed "
+    "(c+0.5)/(n+5) so empty cells contribute finitely instead of "
+    "ln(0) (documented convention, mirrored exactly), and the 10-term "
+    "sum folds under a source-PARTITIONED bin-ordered window so both "
+    "engines accumulate in the identical IEEE sequence.  Scale shape: "
+    "the length histogram and its decile scan are length-DOMAIN-bounded "
+    "(the source_ks_drift class); bin assignment is a broadcast of nine "
+    "edge values against the doc scan; one shuffle on (source, bin) to "
+    "a 10-row-per-source grid; every downstream frame is sources x 10",
+    tags=("text", "drift", "curation"),
+)
+def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    vt = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = vt.agg(F.sum("c").cast("long").alias("n"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vt.select("v", F.sum("c").over(wcum).cast("long").alias("cf"))
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("k"))
+    edges = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ks), F.col("cf") * 10 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").alias("edge"))
+    )
+    binned = (
+        docs.crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("source", "n_chars")
+        .agg(
+            F.sum(F.when(F.col("n_chars") > F.col("edge"), 1).otherwise(0))
+            .cast("int")
+            .alias("bin_sum"),
+            (F.count(F.lit(1)) / F.lit(9)).cast("long").alias("n_dup"),
+        )
+    )
+    # each (source, n_chars) group held its docs x 9 edge rows: bin =
+    # edges-below per doc (bin_sum / n_docs_in_group), count = group/9
+    sb = (
+        binned.select(
+            "source",
+            (F.col("bin_sum") / F.col("n_dup")).cast("int").alias("bin"),
+            F.col("n_dup").alias("c"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    st = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        st.crossJoin(F.broadcast(bins))
+        .join(sb, ["source", "bin"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c"), F.lit(0)))
+        .drop("c")
+    )
+    bt = grid.groupBy("bin").agg(F.sum("c_s").cast("long").alias("c_all"))
+    terms = (
+        grid.join(F.broadcast(bt), "bin")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("n_s"))
+        .select(
+            "source",
+            "n_s",
+            "bin",
+            (
+                (F.col("c_s").cast("double") + F.lit(0.5))
+                / (F.col("n_s").cast("double") + F.lit(5.0))
+            ).alias("p"),
+            (
+                ((F.col("c_all") - F.col("c_s")).cast("double") + F.lit(0.5))
+                / ((F.col("n") - F.col("n_s")).cast("double") + F.lit(5.0))
+            ).alias("q"),
+        )
+    )
+    wfold = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = terms.select(
+        "source",
+        "n_s",
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+        .over(wfold)
+        .alias("s"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("bin").desc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return folded.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(F.col("s"), 6).alias("psi"),
+        F.when(F.col("s") < 0.1, F.lit("stable"))
+        .when(F.col("s") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("verdict"),
+    ).orderBy("source")
