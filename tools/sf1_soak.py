@@ -75,6 +75,7 @@ HEAVY = [
     # A-ES sample (top-k window state per hour), and the chi-squared
     # fold (cells bounded by type-domain x 7 at any SF)
     "source_ks_drift",
+    "source_psi_drift",
     "conversion_ab_ztest",
     "events_hourly_sample_aes",
     "event_dow_independence",
