@@ -138,10 +138,17 @@ def size_dispatched_join(
     can only be honored, never force an OOM-sized build).  The salted
     path needs ``salt_cols`` (row-distinguishing columns on the BIGGER
     side) and replicates the smaller side ``buckets`` times, so it only
-    fires when the estimator says the output explodes past
-    ``explosion_factor`` times the combined input rows — the hot-key
-    shape AQE's skew splitting cannot always rescue (it balances
-    partition bytes, not the single-key build amplification).
+    fires when the caller OPTS IN and the estimator says the output
+    explodes past ``explosion_factor`` times the combined input rows.
+
+    Measured guidance (SCALE.md §39): with AQE skew splitting enabled —
+    this engine's default — the plain shuffle path beat the salted path
+    ~15x on a planted 20k x 20k hot key at 4e8 output rows, because AQE
+    already splits the hot partition while salting pays the buckets-x
+    small-side replication.  Leave ``salt_cols`` unset (AQE path) unless
+    the runtime lacks AQE, the skew sits under a stateful/streaming
+    aggregate AQE cannot re-plan, or the hot key amplifies a BUILD side
+    across executors — the cluster shapes the salted tier exists for.
     """
     stats = estimate_join_stats(left, right, key)
     n_left, n_right = stats["n_left"], stats["n_right"]
