@@ -327,3 +327,45 @@ def test_seasonality_regression_matches_numpy_lstsq(spark):
             (r["q4_lift_cents"], beta[2], 1e-2),
         ):
             assert abs(got - want) <= max(1e-6 * abs(want), tol), (r, beta)
+
+
+def test_ks_drift_pvalue_boundary_guard(spark):
+    """Round-18 regression pin for the r17 source_ks_drift hash-fail.
+
+    The only non-exact arithmetic in the query is the Kolmogorov p-value:
+    lambda^2 is now ROUNDed to 9 dp in BOTH engines (making the nine EXP
+    inputs bit-identical), so the residual cross-engine divergence is the
+    libm-vs-JVM exp last ulp (~1e-15 absolute).  For that divergence to
+    ever flip a hashed digit, the unrounded p would have to sit within
+    ~1e-15 of a ROUND(p, 6) half-way boundary, and the pre-pin lambda^2
+    within ~1e-15 of a ROUND(lam2, 9) boundary.  This test asserts the
+    sf0.01 data keeps a >=1e-9 guard distance on the p boundaries and
+    >=1e-11 on the lam2 boundaries — six and four orders of magnitude of
+    margin — recomputing both quantities from the query's own exact
+    (n_docs, n_rest, d_num) outputs, independent of either engine's EXP.
+    """
+    import math
+
+    rows = q.REGISTRY["source_ks_drift"].fn(spark, SF001).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        if r["n_rest"] == 0:
+            continue
+        nd, nr = float(r["n_docs"]), float(r["n_rest"])
+        ks_d = float(r["d_num"]) / (nd * nr)
+        ne = nd * nr / (nd + nr)
+        lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * ks_d
+        lam2 = lam * lam
+        # guard on the 9-dp pin's own rounding boundary
+        frac_l = abs(lam2 * 1e9 - math.floor(lam2 * 1e9) - 0.5) / 1e9
+        assert frac_l >= 1e-11, (r["source"], lam2, frac_l)
+        lam2r = round(lam2, 9)
+        p_raw = 2.0 * sum(
+            (-1) ** (j - 1) * math.exp(-2.0 * j * j * lam2r) for j in range(1, 10)
+        )
+        p = min(1.0, max(0.0, p_raw))
+        # guard on the final ROUND(p, 6) boundary
+        frac_p = abs(p * 1e6 - math.floor(p * 1e6) - 0.5) / 1e6
+        assert frac_p >= 1e-9, (r["source"], p, frac_p)
+        # and the emitted value is the round of the recomputed p
+        assert abs(r["p_value"] - round(p, 6)) <= 1e-12, r

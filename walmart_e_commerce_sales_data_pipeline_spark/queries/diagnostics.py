@@ -2406,8 +2406,8 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per
     ),
     lamt AS (
-        SELECT *, ((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d)
-                  * ((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d) AS lam2
+        SELECT *, ROUND(((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d)
+                  * ((SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * ks_d), 9) AS lam2
         FROM fin
     )
     SELECT source, n_docs, n_rest, d_num, ks_d,
@@ -2433,7 +2433,13 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine; only the p-value touches transcendental "
     "EXP, mirrored term-by-term (nine-term alternating Kolmogorov "
     "series, Numerical-Recipes lambda with small-sample correction, "
-    "clamped to [0,1]) and rounded once. Scale shape: one shuffle on "
+    "clamped to [0,1]) and rounded once.  Cross-engine pin (r18, after "
+    "the r17 hash-fail): lambda-squared is ROUNDed to 9 dp in BOTH "
+    "engines before the series, so the nine EXP inputs are bit-identical "
+    "and the only residual divergence is libm-vs-JVM exp's last ulp "
+    "(~1e-15), six orders of magnitude inside the data's 5e-7-boundary "
+    "guard distance (asserted by "
+    "tests/test_diagnostics.py::test_ks_drift_pvalue_boundary_guard). Scale shape: one shuffle on "
     "(source, length) for counts; the grid is |sources| x |distinct "
     "lengths| (length domain is bounded by the curation max-doc-length "
     "cap, not corpus size), cumulated under a source-PARTITIONED window; "
@@ -2491,7 +2497,9 @@ def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = (F.sqrt(F.col("ne")) + F.lit(0.12) + F.lit(0.11) / F.sqrt(F.col("ne"))) * F.col(
         "ks_d"
     )
-    lamt = fin.withColumn("lam2", lam * lam)
+    # 9-dp pin: makes the EXP inputs bit-identical cross-engine (the r17
+    # driver run flipped one ROUND(p,6) digit on an exp-input ulp).
+    lamt = fin.withColumn("lam2", F.round(lam * lam, 9))
 
     def _e(j: int):
         return F.exp(F.lit(-2.0 * j * j) * F.col("lam2"))
