@@ -123,3 +123,100 @@ def test_salted_swap_preserves_column_order(spark):
     plain = left.join(right, "k")
     assert joined.columns == plain.columns
     assert joined.count() == plain.count() == hot * hot
+
+
+def test_null_keys_excluded_from_estimate(spark):
+    """r17 ADVICE pin: xxhash64 ignores NULL inputs, so unfiltered NULL
+    join keys from both sides would share a bucket per depth row and the
+    estimator would gain phantom NULLxNULL matches.  NULL-key rows must
+    be invisible: counts cover joinable rows only and est_join is
+    unchanged by however many NULL-key rows ride along."""
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 600).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    clean = estimate_join_stats(left, right, "k")
+    nulls_l = spark.range(0, 5000).select(
+        F.lit(None).cast("long").alias("k"), F.col("id").alias("lv")
+    )
+    nulls_r = spark.range(0, 5000).select(
+        F.lit(None).cast("long").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    noisy = estimate_join_stats(
+        left.unionByName(nulls_l), right.unionByName(nulls_r), "k"
+    )
+    assert noisy == clean
+    assert noisy["n_left"] == 1000 and noisy["n_right"] == 600
+    exact = left.join(right, "k").count()
+    assert noisy["est_join"] >= exact > 0
+
+
+def test_bucketed_tier_skips_sketches_and_plans_shuffle_free(spark):
+    """r17 VERDICT item 5: matching bucket specs on both sides dispatch
+    to the "bucketed" strategy — no sketch aggregates run (asserted via
+    the Spark job counter), the plan has no Exchange over either scan,
+    and the result is row-identical to the plain join."""
+    import shutil
+    from pathlib import Path
+
+    from walmart_e_commerce_sales_data_pipeline_spark.operators.bucketing import (
+        table_bucket_spec,
+        write_bucketed,
+    )
+    from walmart_e_commerce_sales_data_pipeline_spark.plans import (
+        execution_count,
+        formatted_plan,
+    )
+
+    for t in ("disp_l_b", "disp_r_b", "disp_r_b6"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(Path("spark-warehouse") / t, ignore_errors=True)
+    left = spark.range(0, 3000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 1500).select(
+        (F.col("id") % 400).alias("k"), (F.col("id") * 7).alias("rv")
+    )
+    write_bucketed(left, "disp_l_b", "k", buckets=4)
+    write_bucketed(right, "disp_r_b", "k", buckets=4)
+    bl = spark.table("disp_l_b")
+    br = spark.table("disp_r_b")
+    assert table_bucket_spec(bl) == (4, ["k"])
+    # detection sees through a filter/projection on the bucketed scan
+    assert table_bucket_spec(bl.filter(F.col("lv") >= 0)) == (4, ["k"])
+    # a join result is NOT a bucketed table
+    assert table_bucket_spec(bl.join(br, "k")) is None
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        mark = execution_count(spark)
+        joined, strategy, stats = size_dispatched_join(bl, br, "k")
+        # the sketch pass runs two aggregates + a 1-row collect — the
+        # bucketed tier must not have executed ANY job yet
+        assert execution_count(spark) == mark
+        assert strategy == "bucketed"
+        assert stats["n_buckets"] == 4 and stats["est_join"] is None
+        plan = formatted_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        expect = sorted(map(tuple, left.join(right, "k").collect()))
+        assert sorted(map(tuple, joined.collect())) == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # MISMATCHED bucket counts do not co-locate: the dispatcher must
+    # fall through to the sketch tiers, not fake a "bucketed" verdict
+    write_bucketed(right, "disp_r_b6", "k", buckets=6)
+    try:
+        joined2, strategy2, stats2 = size_dispatched_join(
+            bl, spark.table("disp_r_b6"), "k"
+        )
+        assert strategy2 != "bucketed"
+        assert stats2["n_left"] == 3000 and stats2["n_right"] == 1500
+        assert sorted(map(tuple, joined2.collect())) == expect
+    finally:
+        for t in ("disp_l_b", "disp_r_b", "disp_r_b6"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
