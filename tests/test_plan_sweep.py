@@ -266,14 +266,12 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   by construction (ngram_distribution_profile's bound); the
     #   corpus-sized work is the two stacked hash aggregates below it.
     "zipf_slope_fit",
-    # event_dow_independence (round 17): crosses broadcast the 1-row
-    # corpus total and the 1-row (n_types, n_dows) dims frame onto the
-    # single folded output row — the scalar-broadcast class.
-    "event_dow_independence",
     # - event_dow_independence (round 17): the ordered chi-squared fold
     #   and last-row rank run over the (event_type x weekday) cell table
     #   — bounded by the type-domain x 7, never corpus size (the
-    #   survival_km_logrank day-ordered IEEE accumulation class).
+    #   survival_km_logrank day-ordered IEEE accumulation class); its
+    #   crosses also broadcast the 1-row corpus total and the 1-row
+    #   (n_types, n_dows) dims frame (the scalar-broadcast class).
     "event_dow_independence",
     # - source_psi_drift (round 17): the decile-edge cumulative window
     #   runs over the distinct-length histogram — bounded by the length

@@ -1718,12 +1718,12 @@ REPEAT_PURCHASE_MIN = 14
 
 @register(
     "conversion_ab_ztest",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT user_id,
                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
                CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                                       THEN 1 ELSE 0 END) >= 14
+                                       THEN 1 ELSE 0 END) >= {REPEAT_PURCHASE_MIN}
                          THEN 1 ELSE 0 END AS BIGINT) AS conv
         FROM events GROUP BY user_id
     ),
