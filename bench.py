@@ -110,6 +110,65 @@ PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "5"))
 # preserved (trusted_abs records the old verdict next to trusted), and
 # tests/test_bench_gate.py shows an r14-shape wave is still refused.
 PROBE_PAR_REL_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_REL_BAND", "1.3"))
+# Scan-path gate (VERDICT r17 item 4 — turned ON this round, one round of
+# quiet-floor data after the signal landed recorded-only in r17).  The
+# r17 diagnosis (SCALE.md §37): a host phase can degrade the parquet
+# scan/scheduling path 1.5-3x while BOTH synthetic calibrations read
+# quiet, so byte-identical queries inflate invisibly.  Quiet floor from
+# the four committed r17 sf0.1 sidecars: probe scan_min 0.086-0.196 s,
+# start-calibration scan min 0.185-0.233 s (the first scan run is cold at
+# ~1.2-1.5 s; min-of-3 absorbs it).  0.30 sits above every quiet sample
+# with ~1.5x headroom over the typical 0.10-0.13 probe floor while
+# refusing the documented 2-3x degraded phase.  NOTE the gate VALUE is
+# derived from the DEFAULT sf0.1 bench dir — a run against a different
+# SF dir must override SPARK_GRAFT_SCAN_GATE (the scan workload scales
+# with the documents table), else the relative band anchored to that
+# run's own start scan is the only meaningful signal.
+SCAN_GATE_SEC = float(os.environ.get("SPARK_GRAFT_SCAN_GATE", "0.30"))
+# Same relative-band method as the parallel gate (r15): the live
+# threshold is max(absolute gate, band * this run's trusted start scan),
+# so the policy is never stricter than the absolute rule and a box whose
+# quiet scan floor drifts up a few percent isn't blanket-refused.  1.5
+# (vs the parallel 1.3) because the scan signal's quiet min-of-3 spread
+# is wider (0.086-0.196 = 2.3x across sweeps vs ~1.2x for par).
+SCAN_REL_BAND = float(os.environ.get("SPARK_GRAFT_SCAN_REL_BAND", "1.5"))
+
+
+def scan_band_sec(
+    anchor: float,
+    anchor_trusted: bool,
+    gate: float = SCAN_GATE_SEC,
+    band: float = SCAN_REL_BAND,
+) -> float:
+    """The scan-signal trust threshold for this run's probes and end
+    calibration: ``max(gate, band * anchor)`` when the start scan
+    calibration itself cleared the absolute gate, else the absolute
+    ``gate`` (an untrusted anchor says nothing about the quiet floor —
+    falling back to absolute is conservative, the same fallback the
+    parallel band uses).  Pure for tests/test_bench_gate.py."""
+    if not anchor_trusted:
+        return gate
+    return max(gate, band * anchor)
+
+
+def probe_verdict(
+    par_min: float,
+    st_min: float,
+    scan_min: float,
+    par_band: float,
+    scan_band: float,
+    st_gate: float = CAL_ST_GATE_SEC,
+) -> bool:
+    """TRIPLE-signal probe trust (r18): 32-way shuffle throughput vs the
+    relative parallel band, single-core speed vs the absolute st gate,
+    AND the parquet scan path vs the relative scan band.  Any one signal
+    over its threshold refuses the probe — each watches a host resource
+    the other two have been measured blind to (SCALE.md §§11, 37).
+    Refusal behavior is unchanged from the dual-signal policy: a refused
+    probe untrusts its bracketing segments' walls, and the per-segment
+    retry re-measures them in the next quiet window.  Pure for
+    tests/test_bench_gate.py."""
+    return par_min <= par_band and st_min <= st_gate and scan_min <= scan_band
 
 
 def par_band_sec(
@@ -197,18 +256,26 @@ def apply_segment_splice(
     walls: dict,
     rruns: dict,
     rmetrics: dict,
+    loadavgs: dict | None = None,
+    rloads: dict | None = None,
 ) -> list[str]:
     """Splice a trusted retry's walls into the sidecar maps in place:
     each retried query's wall/runs/metrics replace the refused
-    first-pass values and its trust verdict flips to True.  Returns the
-    spliced names.  Pure bookkeeping, unit-tested in
-    tests/test_bench_gate.py; callers gate it on retry_spliceable."""
+    first-pass values and its trust verdict flips to True.  When the
+    caller passes the loadavg maps, each spliced query's recorded
+    loadavg is replaced by its RETRY-time sample too (r17 ADVICE: a
+    spliced wall paired with its first-pass loadavg mispairs the wave
+    context with the quiet-window measurement).  Returns the spliced
+    names.  Pure bookkeeping, unit-tested in tests/test_bench_gate.py;
+    callers gate it on retry_spliceable."""
     spliced = []
     for name, w in walls.items():
         timings[name] = w
         all_runs[name] = rruns[name]
         if name in rmetrics:
             runtime[name] = rmetrics[name]
+        if loadavgs is not None and rloads is not None and name in rloads:
+            loadavgs[name] = rloads[name]
         query_trusted[name] = True
         spliced.append(name)
     return spliced
@@ -480,6 +547,11 @@ HEADLINE = [
     "event_dow_independence",
     # round 17: the binned PSI drift screen beside the exact-ECDF KS
     "source_psi_drift",
+    # round 18: the cluster-keyed split (leakage-free 80/10/10) and the
+    # inverse-cluster-size training weights — both ride the shared
+    # exact-Jaccard pair generator + components composition
+    "cluster_aware_split",
+    "cluster_sampling_weights",
 ]
 
 
@@ -572,6 +644,15 @@ def main() -> None:
     # calibration (VERDICT r15 item 2): relative band anchored to this
     # run's trusted start calibration, floored by the absolute gate.
     probe_band = round(par_band_sec(calibration, cal_start_trusted), 3)
+    # Scan-path trust threshold (VERDICT r17 item 4 — GATING as of r18):
+    # anchored to this run's start scan min when that itself cleared the
+    # absolute scan gate; absolute-gate fallback otherwise.  The start
+    # scan is NOT retry-waited (the par/st quiet-wait already ran; a
+    # degraded scan phase is exactly what must be stamped, not waited
+    # out, since r17 showed it persisting for whole sweeps).
+    scan_anchor = min(cal_scan_runs)
+    scan_start_trusted = scan_anchor <= SCAN_GATE_SEC
+    scan_band = round(scan_band_sec(scan_anchor, scan_start_trusted), 3)
 
     # min of 3 runs per query: the first run of anything pays one-time JVM
     # class-loading/codegen costs that say nothing about steady-state
@@ -636,14 +717,20 @@ def main() -> None:
                 "scan_runs": scan,
                 "scan_min": min(scan),
                 "loadavg_1m": _loadavg(),
-                # dual-signal relative policy (VERDICT r15 item 2): st
-                # absolute, parallel vs the run-anchored band
+                # triple-signal relative policy (r15 par band + r18 scan
+                # band; st absolute throughout)
                 "par_band_sec": probe_band,
-                "trusted": min(par) <= probe_band
-                and min(st) <= CAL_ST_GATE_SEC,
+                "scan_band_sec": scan_band,
+                "scan_trusted": min(scan) <= scan_band,
+                "trusted": probe_verdict(
+                    min(par), min(st), min(scan), probe_band, scan_band
+                ),
                 # refusal history preserved (sign-off condition): the
-                # pre-r16 absolute verdict recorded beside the new one
+                # pre-r16 absolute verdict and the pre-r18 dual-signal
+                # verdict recorded beside the live one
                 "trusted_abs": min(par) <= CAL_GATE_SEC
+                and min(st) <= CAL_ST_GATE_SEC,
+                "trusted_dual": min(par) <= probe_band
                 and min(st) <= CAL_ST_GATE_SEC,
             }
         )
@@ -755,17 +842,27 @@ def main() -> None:
                 "scan_min": min(scan),
                 "loadavg_1m": _loadavg(),
                 "par_band_sec": rband,
-                "trusted": min(par) <= rband and min(st) <= CAL_ST_GATE_SEC,
+                # scan band stays anchored to the RUN's start scan (the
+                # retry quiet-wait re-anchors only the par band): the r18
+                # gate exists to refuse a drifted scan phase, so the
+                # retry must not re-baseline to it
+                "scan_band_sec": scan_band,
+                "scan_trusted": min(scan) <= scan_band,
+                "trusted": probe_verdict(
+                    min(par), min(st), min(scan), rband, scan_band
+                ),
             }
 
         pre = _retry_probe()
         walls: dict[str, float] = {}
         rruns: dict[str, list[float]] = {}
         rmetrics: dict[str, dict] = {}
+        rloads: dict[str, float] = {}
         post = None
         if pre["trusted"]:
             for name in seg_names:
                 fn = q.REGISTRY[name].fn
+                rloads[name] = _loadavg()
                 runs = []
                 try:
                     for _ in range(N_RUNS):
@@ -793,6 +890,11 @@ def main() -> None:
                 "probe_post": post,
                 "walls": walls,
                 "runs": rruns,
+                # retry-time loadavg per re-measured query (r17 ADVICE):
+                # recorded here verbatim AND spliced into the main
+                # loadavg map so sidecar readers never pair a spliced
+                # wall with its first-pass wave context
+                "loadavgs": rloads,
                 "spliced": bool(ok and walls),
             }
         )
@@ -800,7 +902,7 @@ def main() -> None:
             spliced_via_retry.extend(
                 apply_segment_splice(
                     timings, all_runs, runtime, query_trusted,
-                    walls, rruns, rmetrics,
+                    walls, rruns, rmetrics, loadavgs, rloads,
                 )
             )
         return bool(ok)
@@ -1005,16 +1107,25 @@ def main() -> None:
     cal_st_end_runs = _calibrate_single_thread(END_CAL_RUNS)
     cal_scan_end_runs = _calibrate_scan(END_CAL_RUNS)
     # The end gate shares the probes' argument (no retry, one shot) so it
-    # shares their parallel policy too: relative band, absolute st gate.
-    cal_end_trusted = end_calibration_trusted(
-        cal_end_runs, cal_st_end_runs, gate=probe_band
+    # shares their parallel policy too: relative band, absolute st gate —
+    # and, as of r18, the scan band (VERDICT r17 item 4): the end scan
+    # min must sit inside the same run-anchored band the probes used.
+    scan_end_trusted = min(cal_scan_end_runs) <= scan_band
+    cal_end_trusted = (
+        end_calibration_trusted(cal_end_runs, cal_st_end_runs, gate=probe_band)
+        and scan_end_trusted
     )
     # The run-level flag now covers the INTERIOR of the window too
     # (VERDICT r14 item 1): endpoints quiet + every interleaved probe
     # quiet.  A partially-noisy run still names its clean queries via
     # query_trusted, so one bad segment no longer poisons — or hides
     # behind — the whole artifact.
-    cal_trusted = cal_start_trusted and cal_end_trusted and all_probes_trusted
+    cal_trusted = (
+        cal_start_trusted
+        and scan_start_trusted
+        and cal_end_trusted
+        and all_probes_trusted
+    )
 
     total = round(sum(timings.values()), 3)
     # Coverage marker: when a query errors it drops out of `total`, which
@@ -1069,6 +1180,11 @@ def main() -> None:
                 "calibration_scan_runs": cal_scan_runs,
                 "calibration_scan_end_sec": min(cal_scan_end_runs),
                 "calibration_scan_end_runs": cal_scan_end_runs,
+                "scan_gate_sec": SCAN_GATE_SEC,
+                "scan_rel_band": SCAN_REL_BAND,
+                "scan_band_sec": scan_band,
+                "scan_start_trusted": scan_start_trusted,
+                "scan_end_trusted": scan_end_trusted,
                 "queries": timings,
                 "runs": all_runs,
                 "sketch_only_queries": sketch_only_timings,
@@ -1085,6 +1201,12 @@ def main() -> None:
         )
     # Stdout line: errors appear as names only (full messages live in the
     # sidecar) so one long exception can't blow the tail-capture budget.
+    # Error-key convention (r17 ADVICE): a plain "name" key is a
+    # first-pass failure (the query has NO wall in `queries`);
+    # "name[retry]" means the FIRST pass measured a wall (still present
+    # in `queries`, trust per query_trusted) and only the per-segment
+    # re-measurement failed; "name[sketch_only]" scopes to the
+    # production-tier twin sweep.
     err_names = sorted(errors)
     payload = json.dumps(
         {

@@ -396,3 +396,88 @@ def test_apply_segment_splice_replaces_refused_walls_in_place():
     assert runtime["q2"] == {"shuffle": 20}
     # untouched queries keep their state
     assert runtime["q3"] == {"shuffle": 30} and all_runs["q3"] == [1.0, 1.1]
+
+
+def test_scan_band_anchored_to_trusted_start_floored_by_absolute_gate():
+    """r18 scan gate (VERDICT r17 item 4): same relative-band method as
+    the parallel gate — max(absolute, band * trusted anchor), absolute
+    fallback when the start scan itself never cleared the gate."""
+    from bench import SCAN_GATE_SEC, SCAN_REL_BAND, scan_band_sec
+
+    assert SCAN_GATE_SEC == 0.30 and SCAN_REL_BAND == 1.5
+    # quiet r17 anchors (start scan min 0.185-0.233): band floored by abs
+    assert scan_band_sec(0.185, True) == 0.30
+    assert scan_band_sec(0.211, True) == max(0.30, 1.5 * 0.211)
+    # untrusted anchor: conservative absolute fallback
+    assert scan_band_sec(0.9, False) == 0.30
+    # never stricter than the absolute rule
+    for anchor in (0.05, 0.15, 0.25, 0.40):
+        assert scan_band_sec(anchor, True) >= SCAN_GATE_SEC
+
+
+def test_probe_verdict_triple_signal_catches_r17_scan_phase():
+    """The r17 degraded phase's exact shape: parallel and single-thread
+    calibrations quiet (0.306/0.224 — matching the r16 sidecar) while
+    byte-identical queries inflated 2-3x on the scan path.  The
+    dual-signal verdict accepted that probe; the r18 triple-signal
+    verdict must refuse it on the scan signal alone."""
+    from bench import CAL_ST_GATE_SEC, probe_verdict, scan_band_sec
+
+    par_band, scan_band = 0.398, scan_band_sec(0.211, True)  # quiet anchors
+    # quiet probe (r17 committed-sidecar floor): all three inside
+    assert probe_verdict(0.306, 0.224, 0.13, par_band, scan_band) is True
+    # the r17 phase: par/st quiet, scan 2-3x the 0.10-0.20 quiet floor
+    assert probe_verdict(0.306, 0.224, 0.45, par_band, scan_band) is False
+    # dual-signal refusals still refuse (scan adds, never removes)
+    assert probe_verdict(0.55, 0.224, 0.13, par_band, scan_band) is False
+    assert probe_verdict(0.306, 0.55, 0.13, par_band, scan_band) is False
+    # st gate stays absolute
+    assert (
+        probe_verdict(0.306, CAL_ST_GATE_SEC + 0.01, 0.13, par_band, scan_band)
+        is False
+    )
+
+
+def test_quiet_r17_sidecar_probes_pass_the_new_scan_band():
+    """Regression guard against over-refusal (the r15 band saga): every
+    probe scan_min in the four committed r17 sf0.1 sidecars (0.086-0.196)
+    must pass the r18 band under its own run's start anchor, so turning
+    the gate on cannot have refused any wall the r17 policy trusted."""
+    from bench import probe_verdict, scan_band_sec
+
+    runs = {  # start scan min -> probe scan_mins (committed sidecars)
+        0.211: [0.17, 0.155, 0.154, 0.147, 0.147, 0.148, 0.113, 0.185,
+                0.116, 0.102, 0.132, 0.167, 0.123, 0.179, 0.111, 0.123],
+        0.185: [0.177, 0.125, 0.122, 0.095, 0.106, 0.1, 0.099, 0.099,
+                0.096, 0.105, 0.104, 0.092, 0.117, 0.116, 0.091, 0.097],
+        0.220: [0.17, 0.128, 0.115, 0.095, 0.117, 0.105, 0.139, 0.109,
+                0.196, 0.191, 0.175, 0.116, 0.133, 0.093, 0.092, 0.11],
+        0.205: [0.155, 0.136, 0.133, 0.129, 0.107, 0.127, 0.114, 0.106,
+                0.105, 0.11, 0.126, 0.091, 0.086, 0.114, 0.09, 0.099],
+    }
+    for anchor, mins in runs.items():
+        band = scan_band_sec(anchor, anchor <= 0.30)
+        for m in mins:
+            assert probe_verdict(0.1, 0.1, m, 0.398, band), (anchor, m)
+
+
+def test_apply_segment_splice_updates_retry_loadavg():
+    """r17 ADVICE: a spliced wall must carry its retry-time loadavg, not
+    the first-pass wave sample a reader would mispair it with."""
+    from bench import apply_segment_splice
+
+    timings = {"q1": 9.0, "q2": 8.0}
+    all_runs = {"q1": [9.0], "q2": [8.0]}
+    runtime = {"q1": {}, "q2": {}}
+    trusted = {"q1": False, "q2": False}
+    loadavgs = {"q1": 14.2, "q2": 13.9}  # first-pass wave context
+    spliced = apply_segment_splice(
+        timings, all_runs, runtime, trusted,
+        walls={"q1": 2.0},
+        rruns={"q1": [2.0]},
+        rmetrics={},
+        loadavgs=loadavgs,
+        rloads={"q1": 0.4},
+    )
+    assert spliced == ["q1"]
+    assert loadavgs == {"q1": 0.4, "q2": 13.9}
