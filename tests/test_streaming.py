@@ -1293,3 +1293,46 @@ def test_aes_sample_zero_weight_excluded_negative_raises(spark):
     neg = spark.createDataFrame([(3, t, 9, "view", -1.0, "{}")], schema)
     with _pytest.raises(Exception, match="aes sample"):
         hourly_sample_aes(neg).collect()
+
+
+def test_streaming_aes_sample_sliding_24h_6h_bounds_state(spark, events_batch):
+    """r17 VERDICT item 6 — the A-ES sliding form at the rolling-actives
+    shape (24h window / 6h slide, the events_sliding_hll protocol):
+    stream == batch bit-exact, per-window state stays <= k rows however
+    many events arrive, each event feeds exactly window/slide = 4
+    windows (the ONLY state multiplier — n_seen totals prove it against
+    the tumbling form), and the window count is the calendar's slide
+    grid, nothing more."""
+    from walmart_e_commerce_sales_data_pipeline_spark.streaming.events import (
+        hourly_sample_aes,
+    )
+
+    k = 3
+    kw = dict(k=k, window="24 hours", slide="6 hours")
+    batch_rows = hourly_sample_aes(events_batch, **kw).collect()
+    batch = _aes_rows(batch_rows)
+    # overlap factor: every positive-weight event lands in exactly 4
+    # sliding windows, so the summed per-window n_seen is 4x the
+    # tumbling total — state grows by the overlap factor and nothing else
+    tumbling = hourly_sample_aes(events_batch).collect()
+    n_events = sum(
+        {str(r["window_start"]): r["n_seen"] for r in tumbling}.values()
+    )
+    slid_total = sum(
+        {str(r["window_start"]): r["n_seen"] for r in batch_rows}.values()
+    )
+    assert slid_total == 4 * n_events
+    stream = read_events_stream(spark, stage_stream_dir(f"{SF0001}/events.parquet"))
+    q = run_stream_to_memory(
+        hourly_sample_aes(stream, **kw), "aes_sliding_24h_test", mode="update"
+    )
+    q.awaitTermination(120)
+    got = _aes_rows(spark.sql("SELECT * FROM aes_sliding_24h_test").collect())
+    q.stop()
+    assert got == batch and len(got) > 0
+    per_window: dict[str, int] = {}
+    for (w, _rk) in got:
+        per_window[w] = per_window.get(w, 0) + 1
+    # 30-day corpus / 6h slide + 3 edge windows (the sliding-HLL grid)
+    assert len(per_window) == 123
+    assert all(v <= k for v in per_window.values())

@@ -56,7 +56,7 @@ def physical_join(df) -> str:
     return joins[0] if joins else "none"
 
 
-def run(factor: int, spark) -> dict:
+def run(factor: int, spark, single_file: bool = True) -> dict:
     from walmart_e_commerce_sales_data_pipeline_spark import pipeline as P
 
     if factor == 1:
@@ -74,7 +74,7 @@ def run(factor: int, spark) -> dict:
     skeleton = plan_skeleton(full)
     join_strategy = physical_join(full)
     t0 = time.monotonic()
-    P.main(spark, csv_in, pq_in, output_dir=out)
+    P.main(spark, csv_in, pq_in, output_dir=out, single_file=single_file)
     wall = time.monotonic() - t0
     agg = sorted(
         l.strip()
@@ -95,12 +95,21 @@ def run(factor: int, spark) -> dict:
         "rows_per_sec": round(clean_rows / wall),
         "golden_means_identical": golden_ok,
         "join_strategy": join_strategy,
+        "single_file_sink": single_file,
         "skeleton": skeleton,
     }
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    # --partitioned-sink: after the reference-parity (single to_csv file)
+    # measurement, re-run each factor with the PRODUCTION sink
+    # (load(single_file=False) — one CSV part per partition, parallel
+    # write) and record that wall beside the parity number, so the
+    # sink-dominated 100x parity wall is never mistaken for the engine's
+    # ceiling (r17 VERDICT item 7 / SCALE.md §36).
+    args = sys.argv[1:]
+    partitioned = "--partitioned-sink" in args
+    factors = [int(a) for a in args if a != "--partitioned-sink"] or [1, 10, 100]
     from walmart_e_commerce_sales_data_pipeline_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -118,6 +127,22 @@ def main() -> None:
         )
         assert r["golden_means_identical"], f"golden drift at x{r['factor']}"
         assert flat, f"plan shape changed at x{r['factor']}"
+    if partitioned:
+        for f, r in zip(factors, results):
+            pr = run(f, spark, single_file=False)
+            assert pr["golden_means_identical"], f"golden drift at x{f} (partitioned)"
+            r["wall_partitioned_sec"] = pr["wall_sec"]
+            print(
+                json.dumps(
+                    {
+                        "factor": f,
+                        "wall_parity_sec": r["wall_sec"],
+                        "wall_partitioned_sec": pr["wall_sec"],
+                        "clean_rows": pr["clean_rows"],
+                        "join_strategy": pr["join_strategy"],
+                    }
+                )
+            )
     print(
         json.dumps(
             {

@@ -185,6 +185,7 @@ def load(
     output_dir: str = ".",
     jdbc_url: str | None = None,
     jdbc_properties: dict[str, str] | None = None,
+    single_file: bool = True,
 ) -> list[str]:
     """Write each table to ``{output_dir}/{name}.csv`` (single file, header)
     and optionally to a JDBC database with overwrite semantics.
@@ -199,6 +200,16 @@ def load(
     part is correct; large fact-table sinks in this engine go through
     ``sources.writers.write_parquet`` with ``partitionBy`` instead.
 
+    ``single_file=False`` is the PRODUCTION sink variant (r17 VERDICT
+    item 7): each table writes one CSV part per partition in parallel
+    instead of serializing through a single coalesced task.  The
+    reference-parity contract (one ``to_csv`` file) stays the default —
+    the flag exists so the ETL scale soak can record what the
+    single-file contract costs at volume (SCALE.md §36: the 100x wall
+    is sink-dominated) without changing parity behavior.  Readers are
+    unaffected either way: ``validation`` and ``spark.read.csv`` both
+    take the directory.
+
     The CSV sink jobs are independent of each other, so they are submitted
     concurrently from driver threads — the standard multi-sink pattern
     (Spark's scheduler interleaves the jobs; with a shared persisted
@@ -211,7 +222,8 @@ def load(
     def _write_csv(item: tuple[str, DataFrame]) -> str:
         name, df = item
         path = str(Path(output_dir) / f"{name}.csv")
-        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        out = df.coalesce(1) if single_file else df
+        out.write.mode("overwrite").option("header", True).csv(path)
         logger.info("%s saved successfully.", path)
         return path
 
@@ -263,12 +275,14 @@ def main(
     file_2: str,
     output_dir: str = ".",
     jdbc_url: str | None = None,
+    single_file: bool = True,
 ) -> dict[str, DataFrame]:
     """Full pipeline (reference: wallmart_pipeline.py:171-201).
 
     extract → transform → aggregate → load → validate.  Under Spark the
     stages compose into one lazy plan; actions happen only at the fill-mean
-    collect and the sinks.
+    collect and the sinks.  ``single_file=False`` selects the production
+    (partitioned) CSV sink — see ``load``.
     """
     try:
         logger.info("Starting data pipeline execution.")
@@ -285,7 +299,12 @@ def main(
 
         tables = {"clean_data": clean_data, "agg_data": agg_data}
         try:
-            written = load(tables, output_dir=output_dir, jdbc_url=jdbc_url)
+            written = load(
+                tables,
+                output_dir=output_dir,
+                jdbc_url=jdbc_url,
+                single_file=single_file,
+            )
             validation(spark, written)
         finally:
             # always release the caches — a failed sink must not pin the
