@@ -150,95 +150,95 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-17 rotation policy: the checked window is the 50 queries
+    # Round-18 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Evidence going in (all 202 ever-green, none failing):
-    # 2 last green r12, 50 @ r13, 50 @ r14, 50 @ r15, 50 @ r16.  The
-    # window is the two r12 carry-overs (staleness 4 — they must land
-    # this round) plus the stalest 48 of the 50 r13-green queries in
-    # registry order; the two r13 spill-overs head the r18 window at
-    # staleness 5, the structural refresh period.
+    # horizon).  Evidence going in: 1 never-green (source_ks_drift, the
+    # r17 hash-fail — now pinned, see queries/diagnostics.py) plus the
+    # two new round-18 cluster-composition queries (never-green by
+    # construction), 7 last green r13 at staleness 5 (the structural
+    # refresh horizon — the suite gate in tests/test_rotation_policy.py
+    # forces them in), 50 @ r14, 50 @ r15, 50 @ r16, 49 @ r17.  The
+    # window is the three never-green queries first (standing policy),
+    # the seven staleness-5 r13 queries, then the stalest 40 of the 50
+    # r14-green queries in registry order (similarity_inverted_index
+    # and kmv_set_difference spill to the r19 head).
     window = set(names[:50])
-    # Never-green first (standing policy), then the staleness-4 r12
-    # carry-overs.
-    assert _PRIORITY[:7] == [
-        "source_ks_drift",  # round-17 additions, never externally green
-        "conversion_ab_ztest",
-        "events_hourly_sample_aes",
-        "event_dow_independence",
-        "source_psi_drift",
-        "similarity_topk_ivf",
-        "multimodal_features",
+    assert _PRIORITY[:10] == [
+        "source_ks_drift",  # never externally green (r17 hash-fail)
+        "cluster_aware_split",  # new this round — never-green
+        "cluster_sampling_weights",  # new this round — never-green
+        "rrf_hybrid_retrieval",  # the seven staleness-5 r13 greens
+        "retrieve_rerank_topk",
+        "embedding_top_pc",
+        "histogram_quantile_sketch",
+        "events_hourly_cms",
+        "kmv_jaccard_langs",
+        "events_hourly_value_quantiles",
     ]
-    # The 43 stalest r13-green queries follow in registry order.
-    assert _PRIORITY[7:50] == [
-        "date_functions",
-        "agg_suite",
-        "case_when_tiers",
-        "union_all_monthly",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "decontaminate_corpus",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "substring_dup_coverage",
-        "fuzzy_name_matches",
-        "dedup_containment",
-        "text_stats",
-        "text_quality_buckets",
-        "text_lang_id",
-        "doc_fingerprint",
-        "text_bpe_tokens",
-        "text_repetition",
-        "pack_context_segments",
-        "pack_greedy_bins",
-        "vocab_top_ngrams",
-        "quality_percentile_filter",
-        "cdc_chunk_stats",
-        "token_budget_fill",
-        "dedup_clusters",
-        "dedup_canonical_keep",
-        "event_transition_matrix",
-        "dedup_embedding",
-        "dup_graph_triangles",
-        "dup_graph_pagerank",
-        "corpus_clean_pipeline",
-        "warc_roundtrip_curation",
-        "bm25_doc_retrieval",
-        "source_unigram_divergence",
-        "disjunctive_predicate_revenue",
-        "events_rolling_engagement",
-        "events_hourly_anomaly",
-        "cms_heavy_hitters",
-        "referential_integrity_audit",
-        "revenue_trend_slope",
-        "events_time_weighted_value",
-        "revenue_decline_streaks",
-        "bloom_semijoin_stats",
+    # The 40 stalest r14-green queries follow in registry order.
+    assert _PRIORITY[10:50] == [
+        "monthly_avg_value",
+        "events_hourly_window",
+        "events_sessionization",
+        "events_sliding_window",
+        "events_json_extract",
+        "user_event_paths",
+        "time_series_gap_fill",
+        "key_skew_profile",
+        "latest_record_compaction",
+        "events_dow_hour_heatmap",
+        "event_interarrival_profile",
+        "multi_touch_attribution",
+        "scalar_means",
+        "impute_group_avg",
+        "join_customer_orders",
+        "join_left_outer",
+        "join_semi",
+        "jaccard_prefix_filter",
+        "warc_curation_by_day",
+        "common_shingle_fraction",
+        "vocab_oov_rate",
+        "prefix_dup_groups",
+        "events_hourly_bloom_returns",
+        "revenue_theilsen_slope",
+        "bootstrap_ci_revenue",
+        "revenue_seasonality_regression",
+        "grouped_zscore_histogram",
+        "incremental_rollup_maintenance",
+        "events_funnel",
+        "events_cohort_retention",
+        "profile_documents",
+        "stratified_sample_stats",
+        "mixture_sampling_plan",
+        "train_val_test_split",
+        "embedding_dim_profile",
+        "corr_matrix_lineitem",
+        "forecast_revenue",
+        "from_json_map",
+        "asof_join_latest_order",
+        "range_join_close_events",
     ]
-    # Nothing green in rounds 14-16 re-occupies a window slot — the
+    # Nothing green in rounds 15-17 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
     recent_green_sample = {
-        # r16 greens (last round's window head)
+        # r17 greens (last round's window head)
+        "conversion_ab_ztest", "events_hourly_sample_aes",
+        "event_dow_independence", "source_psi_drift",
+        "similarity_topk_ivf", "multimodal_features", "date_functions",
+        "agg_suite", "case_when_tiers", "union_all_monthly",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "text_stats", "doc_fingerprint", "text_bpe_tokens",
+        "cms_heavy_hitters", "bloom_semijoin_stats",
+        "revenue_decline_streaks", "events_rolling_engagement",
+        # r16 greens
         "survival_km_logrank", "zipf_slope_fit", "events_hourly_mg",
         "heaps_law_fit", "revenue_mann_kendall", "source_token_diversity",
-        "survival_logrank_stratified", "window_topk_orders",
-        "window_running_total", "top10_expensive_items", "set_operations",
-        "distinct_counts", "rollup_customer_geo", "cube_order_status",
-        "string_functions", "kmv_sketch_union", "sliding_chunk_windows",
-        "bigram_pmi", "mad_outlier_rate", "hll_distinct_sketch",
-        "merge_upsert_orders", "similarity_pairs", "similarity_lsh",
+        "window_topk_orders", "merge_upsert_orders", "similarity_lsh",
         # r15 greens
         "events_hourly_kmv", "mg_heavy_hitters", "countsketch_user_freq",
-        "time_decayed_engagement", "events_forward_decay",
-        "benford_digit_profile", "survival_time_to_purchase",
-        "revenue_gini_lorenz", "quality_score_auc",
-        "training_negative_samples", "pricing_summary", "regional_revenue",
+        "benford_digit_profile", "pricing_summary", "regional_revenue",
         "join_anti", "join_full_outer",
-        # r14 greens
-        "scalar_means", "impute_group_avg", "monthly_avg_value",
-        "join_customer_orders",
     }
     assert not (recent_green_sample & window)
     # every query everywhere carries an exact oracle

@@ -42,79 +42,81 @@ from . import (  # noqa: F401
 # horizon: no query may project past 5 rounds without external evidence
 # under the proposed window).
 #
-# Round-17 staleness histogram (registry at 202 going in; CORRECTNESS_r16
-# went 50/50 green, so evidence now reads 2 last-green r12
-# (``similarity_topk_ivf``, ``multimodal_features`` — staleness 4, they
-# MUST land this round), 50 @ r13, 50 @ r14, 50 @ r15, 50 @ r16.  The
-# window, computed and staleness-asserted by tools/rotate_window.py, is
-# the r16 VERDICT item 1 prescription: the two r12 carry-overs first,
-# then (never-green first, the standing policy) this round's new
-# ``source_ks_drift`` + ``conversion_ab_ztest`` +
-# ``events_hourly_sample_aes`` (the seventh streaming family's batch
-# readout) + ``event_dow_independence`` + ``source_psi_drift`` and
-# the stalest 43 of the 50 r13-green queries in registry order
-# (``date_functions``, ``agg_suite``, ``case_when_tiers``,
-# ``union_all_monthly``, the dedup/text/curation families, ...).  The
-# seven r13-green queries the 50-cap excludes head the r18 window at
-# staleness 5 — exactly the structural refresh period for a
-# 207-query registry over a 50-row window; the tool's
-# MAX_STALE_ROUNDS=5 assertion passed with worst projected staleness
-# 4 (``rrf_hybrid_retrieval``).
+# Round-18 staleness histogram going in (CORRECTNESS_r17 went 49/50
+# green): 1 never-green (``source_ks_drift`` — the one r17 hash-fail, a
+# cross-engine EXP ulp on a ROUND(p,6) boundary, now pinned by rounding
+# lambda^2 to 9 dp in both engines) plus this round's two new
+# registrations (never-green by construction), 7 last-green r13 at
+# staleness 5 (the structural refresh horizon), 50 @ r14, 50 @ r15,
+# 50 @ r16, 49 @ r17.  The window, computed by tools/rotate_window.py and
+# staleness-asserted (MAX_STALE_ROUNDS=5 passed, worst projected
+# staleness 4 at ``similarity_inverted_index``), is exactly the r17
+# VERDICT items 1+2 plus this round's additions: the three never-green
+# queries first (``source_ks_drift`` — the one r17 hash-fail — and the
+# two new round-18 cluster-composition queries ``cluster_aware_split``
+# and ``cluster_sampling_weights``; never-green heads the window,
+# standing policy), then the seven staleness-5 r13 queries
+# (``rrf_hybrid_retrieval``, ``retrieve_rerank_topk``,
+# ``embedding_top_pc``, ``histogram_quantile_sketch``,
+# ``events_hourly_cms``, ``kmv_jaccard_langs``,
+# ``events_hourly_value_quantiles``), then the stalest 40 of the 50
+# r14-green queries in registry order (``similarity_inverted_index``
+# and ``kmv_set_difference`` spill to the r19 head).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     "source_ks_drift",
-    "conversion_ab_ztest",
-    "events_hourly_sample_aes",
-    "event_dow_independence",
-    "source_psi_drift",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "date_functions",
-    "agg_suite",
-    "case_when_tiers",
-    "union_all_monthly",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "decontaminate_corpus",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "substring_dup_coverage",
-    "fuzzy_name_matches",
-    "dedup_containment",
-    "text_stats",
-    "text_quality_buckets",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "text_repetition",
-    "pack_context_segments",
-    "pack_greedy_bins",
-    "vocab_top_ngrams",
-    "quality_percentile_filter",
-    "cdc_chunk_stats",
-    "token_budget_fill",
-    "dedup_clusters",
-    "dedup_canonical_keep",
-    "event_transition_matrix",
-    "dedup_embedding",
-    "dup_graph_triangles",
-    "dup_graph_pagerank",
-    "corpus_clean_pipeline",
-    "warc_roundtrip_curation",
-    "bm25_doc_retrieval",
-    "source_unigram_divergence",
-    "disjunctive_predicate_revenue",
-    "events_rolling_engagement",
-    "events_hourly_anomaly",
-    "cms_heavy_hitters",
-    "referential_integrity_audit",
-    "revenue_trend_slope",
-    "events_time_weighted_value",
-    "revenue_decline_streaks",
-    "bloom_semijoin_stats",
+    "cluster_aware_split",
+    "cluster_sampling_weights",
+    "rrf_hybrid_retrieval",
+    "retrieve_rerank_topk",
+    "embedding_top_pc",
+    "histogram_quantile_sketch",
+    "events_hourly_cms",
+    "kmv_jaccard_langs",
+    "events_hourly_value_quantiles",
+    "monthly_avg_value",
+    "events_hourly_window",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_json_extract",
+    "user_event_paths",
+    "time_series_gap_fill",
+    "key_skew_profile",
+    "latest_record_compaction",
+    "events_dow_hour_heatmap",
+    "event_interarrival_profile",
+    "multi_touch_attribution",
+    "scalar_means",
+    "impute_group_avg",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_semi",
+    "jaccard_prefix_filter",
+    "warc_curation_by_day",
+    "common_shingle_fraction",
+    "vocab_oov_rate",
+    "prefix_dup_groups",
+    "events_hourly_bloom_returns",
+    "revenue_theilsen_slope",
+    "bootstrap_ci_revenue",
+    "revenue_seasonality_regression",
+    "grouped_zscore_histogram",
+    "incremental_rollup_maintenance",
+    "events_funnel",
+    "events_cohort_retention",
+    "profile_documents",
+    "stratified_sample_stats",
+    "mixture_sampling_plan",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "corr_matrix_lineitem",
+    "forecast_revenue",
+    "from_json_map",
+    "asof_join_latest_order",
+    "range_join_close_events",
 ]
 
 

@@ -536,3 +536,168 @@ def dup_graph_pagerank(
         )
         .orderBy("doc_id")
     )
+
+
+# 80/10/10 of the 65,536-bucket space — the same exact-integer thresholds
+# train_val_test_split uses (queries/profiling.py), reused so the two
+# split queries differ ONLY in what they hash (doc vs cluster).
+_CL_TRAIN_HI = 52_429
+_CL_VAL_HI = 58_982
+
+
+def _cluster_split_oracle() -> str:
+    from ..operators.splits import portable_bucket_sql
+
+    b = portable_bucket_sql("COALESCE(c.component, d.doc_id)", "VARCHAR")
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
+    SELECT CASE WHEN {b} < {_CL_TRAIN_HI} THEN 'train'
+                WHEN {b} < {_CL_VAL_HI} THEN 'val' ELSE 'test' END AS split,
+           d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT COALESCE(c.component, d.doc_id)) AS BIGINT)
+               AS n_groups,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    GROUP BY split, d.source
+    ORDER BY split, d.source
+    """
+
+
+@register(
+    "cluster_aware_split",
+    oracle=_cluster_split_oracle(),
+    description="leakage-free train/val/test assignment: the 80/10/10 "
+    "portable-md5 bucket decision is made on the NEAR-DUPLICATE CLUSTER "
+    "id (min-label connected component of the exact-Jaccard J >= 0.5 "
+    "graph; a doc outside every pair is its own group), so near-dups "
+    "can never straddle train and test — the split-contamination failure "
+    "train_val_test_split's per-doc hashing cannot prevent and every "
+    "serious LLM corpus pipeline guards against (the decontamination "
+    "argument applied to the corpus's own splits).  Membership is a "
+    "pure function of the cluster key: stable across runs, partitioning, "
+    "engines, and corpus growth.  Exactness: integer bucket thresholds, "
+    "BIGINT counts; the recursive-CTE oracle recomputes the identical "
+    "labeling.  Scale shape: the pair generator is the blocked/bounded "
+    "jaccard_pairs_from_docs; labels are one row per CLUSTERED doc "
+    "(dup fraction of the corpus, never all of it), left-joined back on "
+    "doc_id; one map-side-combined aggregate emits the (split, source) "
+    "grid — no window, no unbounded shuffle",
+    tags=("dedup", "sampling", "splits", "graph"),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import portable_bucket_sql
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    joined = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("group_id", F.coalesce(F.col("component"), F.col("doc_id")))
+    bucket = F.expr(portable_bucket_sql("group_id", "STRING"))
+    split = (
+        F.when(bucket < _CL_TRAIN_HI, "train")
+        .when(bucket < _CL_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        joined.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "cluster_sampling_weights",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.id AS x, b.id AS y, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT x, y
+        FROM inter JOIN sizes sa ON sa.id = x JOIN sizes sb ON sb.id = y
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    walk(id, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+    csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT d.doc_id,
+           d.source,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           COALESCE(s.cluster_size, 1) AS group_size,
+           ROUND(1.0 / COALESCE(s.cluster_size, 1), 6) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN csize s ON s.component = c.component
+    ORDER BY d.doc_id
+    """,
+    description="duplication-corrected training-sample weights: every "
+    "document weighs 1/|its near-duplicate cluster| (exact-Jaccard "
+    "J >= 0.5 components; singletons weigh 1), so a sampler drawing by "
+    "these weights sees each distinct CONTENT with equal total mass "
+    "however many copies survived dedup — the soft alternative to "
+    "hard canonical-keep (dedup_canonical_keep) that keeps every copy "
+    "available while removing the duplication bias from the training "
+    "mixture (the repetition-reweighting practice of large-corpus "
+    "curation).  Exactness: group ids and sizes are BIGINT; the weight "
+    "is one exact integer reciprocal rounded once at 6 dp in both "
+    "engines.  Scale shape: identical to cluster_aware_split — bounded "
+    "pair generator, labels one row per clustered doc, the per-cluster "
+    "size aggregate is cluster-count-sized and joins back broadcastable; "
+    "the per-doc output is the corpus size, written not collected at "
+    "production scale",
+    tags=("dedup", "sampling", "graph"),
+)
+def cluster_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_docs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(sizes), "component", "left")
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+            "group_size"
+        ),
+        F.round(F.lit(1.0) / F.coalesce(F.col("cluster_size"), F.lit(1)), 6).alias(
+            "weight"
+        ),
+    ).orderBy("doc_id")
