@@ -552,6 +552,10 @@ HEADLINE = [
     # exact-Jaccard pair generator + components composition
     "cluster_aware_split",
     "cluster_sampling_weights",
+    # round 18: the perplexity-proxy LM quality filter and the
+    # rank-correlation (Spearman) member of the correlation family
+    "bigram_lm_quality",
+    "spearman_rank_corr",
 ]
 
 

@@ -27,6 +27,9 @@ BNLJ_WHITELIST = {
     # 1-row global-aggregate broadcasts (scalar-subquery shape): the
     # build side is a single row of corpus/group statistics.
     "bigram_pmi",
+    # bigram_lm_quality (round 18): crosses broadcast the 1-row vocab
+    # total onto the term stream — the scalar-broadcast class.
+    "bigram_lm_quality",
     "bm25_doc_retrieval",
     "doc_unigram_logprob",
     "dormant_customer_balance",
@@ -278,6 +281,13 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   DOMAIN (the source_ks_drift class); the PSI fold itself is
     #   source-PARTITIONED over a 10-row grid.
     "source_psi_drift",
+    # - spearman_rank_corr (round 18): the two midrank prefix windows
+    #   run over per-column distinct-VALUE count tables — quantity's
+    #   domain is 50 values and discount's 11 by the TPC-H pricing spec
+    #   at any SF (the zipf counts-of-counts class); the corpus-sized
+    #   pass is the single map-side-combined sufficient-statistics
+    #   aggregate below them.
+    "spearman_rank_corr",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -308,6 +318,11 @@ SINGLE_PARTITION_WHITELIST = {
     #   cumulative window over the distinct-length histogram — bounded
     #   by the length domain at any SF (the KS-grid class).
     "source_psi_drift",
+    # - spearman_rank_corr (round 18): the exchanges feed the two
+    #   midrank prefix windows over per-column distinct-value count
+    #   tables — 50- and 11-row domains by spec at any SF (see the
+    #   unpartitioned-window entry above).
+    "spearman_rank_corr",
     # - event_dow_independence (round 17): the exchange feeds the
     #   ordered chi-squared fold over the (event_type x weekday) cell
     #   aggregate — bounded by the type-domain x 7 at any SF (the

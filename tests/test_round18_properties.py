@@ -150,3 +150,140 @@ def test_cluster_split_and_weights_on_planted_duplicates(spark, tmp_path):
     a = [r for r in rows if r["source"] == "a"]
     # both copies of the cluster land in ONE (split, source) cell
     assert len(a) == 1 and a[0]["n_docs"] == 2 and a[0]["n_groups"] == 1
+
+
+# --- bigram_lm_quality pins ----------------------------------------------------
+
+
+def _lm_reference(docs):
+    """First-principles add-one bigram LM scorer over (doc_id, text)."""
+    import math
+
+    toks = {d: t.lower().split(" ") for d, t in docs}
+    uni: dict[str, int] = {}
+    bic: dict[tuple, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(t) - 1):
+            bic[(t[i], t[i + 1])] = bic.get((t[i], t[i + 1]), 0) + 1
+    v = len(uni)
+    out = {}
+    for d, t in toks.items():
+        if len(t) < 2:
+            continue
+        s = 0.0
+        for i in range(len(t) - 1):  # position order — the query's fold
+            s += math.log((bic[(t[i], t[i + 1])] + 1) / (uni[t[i]] + v))
+        out[d] = (len(t) - 1, round(s / (len(t) - 1), 6))
+    return out
+
+
+def test_bigram_lm_matches_reference_and_ranks_garble_low(spark, tmp_path):
+    """The per-doc score equals a first-principles python scorer on a
+    planted corpus, and liveness: a natural doc built from corpus-common
+    bigrams outscores a garbled doc of the same length made of
+    never-repeated token transitions — exactly the separation the
+    LM-quality filter exists to make (heuristic length/punct ratios
+    can't see it: both docs have identical token counts)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        bigram_lm_quality,
+    )
+
+    natural = "the cat sat on the mat " * 10 + "the cat sat on the mat"
+    garbled = " ".join(f"tok{i} tok{i+40}" for i in range(0, 40, 2))
+    docs = [
+        (1, natural.strip()),
+        (2, natural.strip()),
+        (3, garbled),
+        (4, "single"),  # one token -> no bigrams -> no row
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in bigram_lm_quality(spark, str(tmp_path)).collect()}
+    ref = _lm_reference(docs)
+    assert set(got) == set(ref) == {1, 2, 3}
+    for d, (nb, avg) in ref.items():
+        assert got[d]["n_bigrams"] == nb
+        assert abs(got[d]["avg_logprob"] - avg) <= 1e-9, (d, got[d], avg)
+        assert abs(got[d]["ppl_proxy"] - round(__import__("math").exp(-avg), 4)) <= 1e-9
+    assert got[1]["avg_logprob"] > got[3]["avg_logprob"]
+    assert got[1]["ppl_proxy"] < got[3]["ppl_proxy"]
+
+
+def test_bigram_lm_scores_real_corpus(spark):
+    """Sanity on the real corpus: every doc with >= 2 tokens gets a row,
+    avg_logprob is negative (probabilities < 1), ppl_proxy > 1, and the
+    smoothed model never assigns -inf."""
+    import math
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        bigram_lm_quality,
+    )
+
+    rows = bigram_lm_quality(spark, SF0001).collect()
+    docs_n = table(spark, SF0001, "documents").count()
+    assert 0 < len(rows) <= docs_n
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["avg_logprob"] < 0 and math.isfinite(r["avg_logprob"])
+        assert r["ppl_proxy"] > 1
+
+
+# --- spearman_rank_corr pins ---------------------------------------------------
+
+
+def test_spearman_matches_pandas_midrank_reference(spark):
+    """rho at sf0.001 equals Pearson-on-average-ranks computed
+    independently by pandas rank(method='average') + numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        spearman_rank_corr,
+    )
+
+    (row,) = spearman_rank_corr(spark, SF0001).collect()
+    pdf = (
+        table(spark, SF0001, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+        .dropna()
+    )
+    ra = pdf["l_quantity"].rank(method="average").to_numpy()
+    rb = pdf["l_discount"].rank(method="average").to_numpy()
+    want = float(np.corrcoef(ra, rb)[0, 1])
+    assert row["n"] == len(pdf)
+    assert abs(row["spearman_rho"] - round(want, 6)) <= 2e-6, (row, want)
+
+
+def test_spearman_closed_forms(spark, tmp_path):
+    """Closed forms: a strictly increasing monotone relation has rho = 1
+    exactly, strictly decreasing -1, and an all-tied column NULLs the
+    statistic (zero variance) instead of dividing by zero."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.analysis import (
+        spearman_rank_corr,
+    )
+
+    def run(pairs):
+        import pyspark.sql.functions as SF
+
+        cols = [
+            "l_orderkey bigint, l_quantity double, l_discount double",
+        ]
+        spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(pairs)],
+            cols[0],
+        ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+        (row,) = spearman_rank_corr(spark, str(tmp_path)).collect()
+        return row
+
+    up = run([(q, q * q) for q in range(1, 9)])  # monotone, nonlinear
+    assert up["spearman_rho"] == 1.0
+    down = run([(q, -3 * q) for q in range(1, 9)])
+    assert down["spearman_rho"] == -1.0
+    tied = run([(q, 7) for q in range(1, 9)])
+    assert tied["spearman_rho"] is None
+    assert int(tied["var_b_num"]) == 0

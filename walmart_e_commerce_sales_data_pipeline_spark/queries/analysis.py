@@ -1331,3 +1331,283 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (perplexity-proxy filter).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks)
+        GROUP BY tok
+    ),
+    voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    inst AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+               t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bic AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM inst GROUP BY w1, w2
+    ),
+    term AS (
+        SELECT inst.doc_id, inst.source, inst.i,
+               LN(CAST(bic.c_xy + 1 AS DOUBLE) / (uni.c + voc.v)) AS lp
+        FROM inst
+        JOIN bic ON bic.w1 = inst.w1 AND bic.w2 = inst.w2
+        JOIN uni ON uni.tok = inst.w1
+        CROSS JOIN voc
+    ),
+    fold AS (
+        SELECT doc_id, source, i,
+               SUM(lp) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_lp,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i DESC)
+                   AS from_end,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_bigrams
+        FROM term
+    ),
+    per AS (
+        SELECT doc_id, source, n_bigrams,
+               ROUND(cum_lp / n_bigrams, 6) AS avg_logprob
+        FROM fold WHERE from_end = 1
+    )
+    SELECT doc_id, source, n_bigrams, avg_logprob,
+           ROUND(EXP(-avg_logprob), 4) AS ppl_proxy
+    FROM per
+    ORDER BY doc_id
+    """,
+    description="perplexity-proxy quality scoring: each document's mean "
+    "add-one-smoothed bigram log-probability under the corpus's own MLE "
+    "bigram model — p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) — plus "
+    "exp(-mean) as the perplexity-style readout; low scorers are the "
+    "boilerplate/garbled/outlier docs an LLM curation pipeline filters "
+    "with a (Ken)LM score where the heuristic ratios (text_quality_"
+    "buckets) are blind.  Self-trained so the query is closed over the "
+    "corpus: no external model artifact, fully reproducible.  Exactness: "
+    "all counts BIGINT; each term is LN of one exact integer ratio "
+    "(single IEEE division), summed per document under a doc-PARTITIONED "
+    "position-ORDERED window so both engines add the identical term "
+    "sequence; mean rounded once at 6 dp and the ppl readout is EXP of "
+    "that ROUNDED value, so the second transcendental's input is "
+    "bit-identical cross-engine (the source_ks_drift lambda pin).  Docs "
+    "with fewer than two tokens have no bigrams and no row — in both "
+    "engines.  Scale shape: one shuffle for corpus bigram counts, one "
+    "for the instance-to-count join on (w1, w2); unigram counts and the "
+    "1-row vocab total are vocab-bounded and broadcast; the fold window "
+    "is doc-partitioned; nothing unbounded, no driver collect",
+    tags=("text", "curation", "quality", "lm"),
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokenize("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    voc = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    # sequence(1, 0) DESCENDS in Spark — exclude single-token docs first
+    inst = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("i").cast("long").alias("i"),
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bic = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    term = (
+        inst.join(bic, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.log(
+                (F.col("c_xy") + 1).cast("double") / (F.col("c") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("doc_id")
+    fold = term.select(
+        "doc_id",
+        "source",
+        F.sum("lp").over(wcum).alias("cum_lp"),
+        F.row_number().over(Window.partitionBy("doc_id").orderBy(F.col("i").desc())).alias("from_end"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_bigrams"),
+    )
+    per = fold.filter(F.col("from_end") == 1).select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        F.round(F.col("cum_lp") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tied midranks, exact integer cells).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_rank_corr",
+    oracle="""
+    WITH base AS (
+        SELECT l_quantity AS a, l_discount AS b FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    ra AS (
+        SELECT a,
+               2 * (CAST(SUM(c) OVER (ORDER BY a
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - c) + c + 1 AS mr2
+        FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY a)
+    ),
+    rb AS (
+        SELECT b,
+               2 * (CAST(SUM(c) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - c) + c + 1 AS mr2
+        FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY b)
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(ra.mr2) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(rb.mr2) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(ra.mr2 AS DECIMAL(38,0)) * ra.mr2)
+                    AS DECIMAL(38,0)) AS s11,
+               CAST(SUM(CAST(rb.mr2 AS DECIMAL(38,0)) * rb.mr2)
+                    AS DECIMAL(38,0)) AS s22,
+               CAST(SUM(CAST(ra.mr2 AS DECIMAL(38,0)) * rb.mr2)
+                    AS DECIMAL(38,0)) AS s12
+        FROM base JOIN ra USING (a) JOIN rb USING (b)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * s12 - s1 * s2 AS DECIMAL(38,0)) AS cov_num,
+           CAST(n * s11 - s1 * s1 AS DECIMAL(38,0)) AS var_a_num,
+           CAST(n * s22 - s2 * s2 AS DECIMAL(38,0)) AS var_b_num,
+           CASE WHEN n * s11 > s1 * s1 AND n * s22 > s2 * s2 THEN
+               ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                     / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                        * SQRT(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM cells
+    """,
+    description="Spearman rank correlation between quantity and discount "
+    "with full tie handling — the rank-based member completing the "
+    "correlation family (corr_matrix_lineitem is Pearson on raw values; "
+    "revenue_mann_kendall is Kendall's tau-b on the monthly series): "
+    "monotone association robust to any monotone transform of either "
+    "measure, here the pricing-independence screen (TPC-H draws "
+    "quantity and discount independently; rho ~ 0 confirms the "
+    "generator, and the same query is the drift screen a pricing "
+    "pipeline re-runs when a promo engine starts coupling them).  "
+    "Exactness: ties make ranks HALF-integers, so everything runs on "
+    "DOUBLED midranks mr2 = 2*cum_before + cnt + 1 — pure BIGINT — and "
+    "Pearson-on-midranks uses DECIMAL(38,0) sufficient statistics "
+    "(headroom: n*s11 <= 4n^4 < 10^38 to n ~ 10^9 rows; the "
+    "corr_matrix_lineitem documentation pattern); the four exact "
+    "DECIMAL numerators ride along so the oracle pins the estimator "
+    "arithmetic bit-for-bit, and rho itself is one closed-form double "
+    "expression rounded once (degenerate all-tied columns NULL-guarded "
+    "in both engines).  Scale shape: midranks come from per-column "
+    "distinct-value count tables — quantity's domain is 50 values and "
+    "discount's 11 BY SPEC at any SF, so the two rank windows run over "
+    "domain-bounded inputs (the zipf counts-of-counts class) and "
+    "broadcast back onto one map-side-combined pass over lineitem; "
+    "1-row output",
+    tags=("statistics", "correlation", "exact-cells"),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("a"), F.col("l_discount").alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+
+    def midranks(df, col):
+        cnt = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return cnt.select(
+            col,
+            (
+                F.lit(2) * (F.sum("c").over(w).cast("long") - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            ).alias("mr2"),
+        )
+
+    dec = "decimal(38,0)"
+    ra = midranks(li.select("a"), "a").withColumnRenamed("mr2", "mr2_a")
+    rb = midranks(li.select("b"), "b").withColumnRenamed("mr2", "mr2_b")
+    cells = (
+        li.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("mr2_a").cast(dec).alias("s1"),
+            F.sum("mr2_b").cast(dec).alias("s2"),
+            F.sum(F.col("mr2_a").cast(dec) * F.col("mr2_a")).cast(dec).alias("s11"),
+            F.sum(F.col("mr2_b").cast(dec) * F.col("mr2_b")).cast(dec).alias("s22"),
+            F.sum(F.col("mr2_a").cast(dec) * F.col("mr2_b")).cast(dec).alias("s12"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    cov = (n * s12 - s1 * s2).cast(dec)
+    va = (n * s11 - s1 * s1).cast(dec)
+    vb = (n * s22 - s2 * s2).cast(dec)
+    return cells.select(
+        n.cast("long").alias("n"),
+        cov.alias("cov_num"),
+        va.alias("var_a_num"),
+        vb.alias("var_b_num"),
+        F.when(
+            (n * s11 > s1 * s1) & (n * s22 > s2 * s2),
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
