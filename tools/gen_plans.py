@@ -338,6 +338,21 @@ COMMENT = {
     "supplier)-keyed aggregate behind a broadcast supplier dim, one "
     "nation rollup with DECIMAL(38,0) squared-share cells, a broadcast "
     "25-row nation join — no window, no self-join",
+    "cluster_aware_split": "round 18: bounded jaccard pair generator + "
+    "iterative components feed a left join back onto documents; the "
+    "split decision is one codegen md5 expression and the output is a "
+    "single map-side-combined (split, source) aggregate",
+    "cluster_sampling_weights": "round 18: same pair/components shape; "
+    "the cluster-size aggregate is cluster-count-sized and broadcasts "
+    "back onto the per-doc projection — no window",
+    "bigram_lm_quality": "round 18: one shuffle for corpus bigram "
+    "counts, one for the instance join on (w1, w2); vocab-bounded "
+    "unigram counts and the 1-row vocab total broadcast; the logprob "
+    "fold window is doc-PARTITIONED",
+    "spearman_rank_corr": "round 18: midrank prefix windows over the "
+    "50-value quantity and 11-value discount DOMAIN tables, broadcast "
+    "back onto ONE map-side-combined sufficient-statistics pass; 1-row "
+    "output",
 }
 
 

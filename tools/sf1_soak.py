@@ -304,6 +304,15 @@ HEAVY = [
     # round 16 wave 3: the stratified log-rank (same subject aggregates
     # as the KM queries; ALL window work on the (weeks x 31 x 2) grid).
     "survival_logrank_stratified",
+    # round 18: the cluster-composition pair (ride the measured
+    # jaccard-pairs + components shape), the bigram LM scorer (corpus
+    # bigram counts + doc-partitioned fold) and the Spearman rank
+    # correlation (domain-bounded midrank windows + one sufficient-
+    # statistics pass).
+    "cluster_aware_split",
+    "cluster_sampling_weights",
+    "bigram_lm_quality",
+    "spearman_rank_corr",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.
