@@ -556,6 +556,8 @@ HEADLINE = [
     # rank-correlation (Spearman) member of the correlation family
     "bigram_lm_quality",
     "spearman_rank_corr",
+    # round 18: per-doc n-gram novelty under ingestion order
+    "ngram_novelty_rate",
 ]
 
 

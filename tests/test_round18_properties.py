@@ -287,3 +287,100 @@ def test_spearman_closed_forms(spark, tmp_path):
     tied = run([(q, 7) for q in range(1, 9)])
     assert tied["spearman_rho"] is None
     assert int(tied["var_b_num"]) == 0
+
+
+# --- ngram_novelty_rate pins ---------------------------------------------------
+
+
+def test_ngram_novelty_matches_reference_and_closed_forms(spark, tmp_path):
+    """Planted corpus: the first doc is all-novel (novelty 1.0), a
+    verbatim copy is all-seen (0.0), a half-spliced doc sits strictly
+    between, and every value equals a first-principles dict scorer."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        ngram_novelty_rate,
+    )
+
+    fresh = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, fresh),
+        (2, fresh),                       # verbatim copy of doc 1
+        (3, fresh + " " + other),         # half old, half new
+        (4, "too short"),                 # 2 tokens -> no trigrams
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def ref():
+        first: dict[str, int] = {}
+        insts: dict[int, list[str]] = {}
+        for d, t in sorted(docs):
+            toks = t.lower().split(" ")
+            gs = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            insts[d] = gs
+            for g in gs:
+                first.setdefault(g, d)
+        return {
+            d: (len(gs), sum(1 for g in gs if first[g] == d))
+            for d, gs in insts.items()
+            if gs
+        }
+
+    got = {r["doc_id"]: r for r in ngram_novelty_rate(spark, str(tmp_path)).collect()}
+    want = ref()
+    assert set(got) == set(want) == {1, 2, 3}
+    for d, (n, novel) in want.items():
+        assert got[d]["n_grams"] == n and got[d]["n_novel"] == novel
+        assert got[d]["novelty"] == round(novel / n, 6)
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0
+    assert 0.0 < got[3]["novelty"] < 1.0
+
+
+def test_ngram_novelty_conservation_on_corpus(spark):
+    """Conservation law at sf0.001: summed n_novel equals the total
+    instance count of trigrams WITHIN their first document — i.e. every
+    trigram's novelty mass is attributed exactly once, to its
+    introducing document; and the minimum doc_id present always reads
+    novelty 1.0 (nothing precedes it)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.curation import (
+        ngram_novelty_rate,
+    )
+
+    rows = ngram_novelty_rate(spark, SF0001).collect()
+    assert rows
+    first_doc = min(r["doc_id"] for r in rows)
+    by = {r["doc_id"]: r for r in rows}
+    assert by[first_doc]["novelty"] == 1.0
+    total_novel = sum(r["n_novel"] for r in rows)
+    toks = (
+        table(spark, SF0001, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("g"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    expect = (
+        toks.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("g")))
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .count()
+    )
+    assert total_novel == expect
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]

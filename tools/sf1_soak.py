@@ -313,6 +313,9 @@ HEAVY = [
     "cluster_sampling_weights",
     "bigram_lm_quality",
     "spearman_rank_corr",
+    # round 18: the trigram first-doc attribution (shingle-keyed
+    # min-doc aggregate + instance join — the standard dedup shape).
+    "ngram_novelty_rate",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -46,24 +46,25 @@ from . import (  # noqa: F401
 # green): 1 never-green (``source_ks_drift`` — the one r17 hash-fail, a
 # cross-engine EXP ulp on a ROUND(p,6) boundary, now pinned by rounding
 # lambda^2 to 9 dp in both engines) plus this round's two new
-# registrations (never-green by construction — four by end of round),
+# registrations (never-green by construction — five by end of round),
 # 7 last-green r13 at staleness 5 (the structural refresh horizon),
 # 50 @ r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window, computed by
 # tools/rotate_window.py and staleness-asserted (MAX_STALE_ROUNDS=5
 # passed, worst projected staleness 4 at ``asof_join_latest_order``),
 # is exactly the r17 VERDICT items 1+2 plus this round's additions: the
-# five never-green queries first (``source_ks_drift`` — the one r17
-# hash-fail — and the four new round-18 queries ``cluster_aware_split``,
+# six never-green queries first (``source_ks_drift`` — the one r17
+# hash-fail — and the five new round-18 queries ``cluster_aware_split``,
 # ``cluster_sampling_weights``, ``bigram_lm_quality``,
-# ``spearman_rank_corr``; never-green heads the window, standing
-# policy), then the seven staleness-5 r13 queries
+# ``spearman_rank_corr``, ``ngram_novelty_rate``; never-green heads the
+# window, standing policy), then the seven staleness-5 r13 queries
 # (``rrf_hybrid_retrieval``, ``retrieve_rerank_topk``,
 # ``embedding_top_pc``, ``histogram_quantile_sketch``,
 # ``events_hourly_cms``, ``kmv_jaccard_langs``,
-# ``events_hourly_value_quantiles``), then the stalest 38 of the 50
-# r14-green queries in registry order (``asof_join_latest_order``,
-# ``range_join_close_events``, ``similarity_inverted_index``,
-# ``kmv_set_difference`` spill to the r19 head).
+# ``events_hourly_value_quantiles``), then the stalest 37 of the 50
+# r14-green queries in registry order (``from_json_map``,
+# ``asof_join_latest_order``, ``range_join_close_events``,
+# ``similarity_inverted_index``, ``kmv_set_difference`` spill to the
+# r19 head).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -74,6 +75,7 @@ _PRIORITY = [
     "cluster_sampling_weights",
     "bigram_lm_quality",
     "spearman_rank_corr",
+    "ngram_novelty_rate",
     "rrf_hybrid_retrieval",
     "retrieve_rerank_topk",
     "embedding_top_pc",
@@ -118,7 +120,6 @@ _PRIORITY = [
     "embedding_dim_profile",
     "corr_matrix_lineitem",
     "forecast_revenue",
-    "from_json_map",
 ]
 
 

@@ -1702,3 +1702,96 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    inst AS (
+        SELECT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM inst GROUP BY g),
+    per AS (
+        SELECT i.doc_id, i.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM inst i JOIN first f USING (g)
+        GROUP BY i.doc_id, i.source
+    )
+    SELECT doc_id, source, n_grams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+    FROM per
+    ORDER BY doc_id
+    """,
+    description="per-document n-gram novelty: the fraction of each "
+    "document's word-trigram INSTANCES whose trigram first appears in "
+    "THIS document under the doc_id ingestion order (first_doc = min "
+    "doc_id over the corpus) — the new-content-per-document curve a "
+    "curation pipeline watches while ingesting a crawl: novelty near 1 "
+    "means fresh text, near 0 means the document is assembled from "
+    "already-seen n-grams (template/boilerplate/near-dup tail), the "
+    "instance-level complement to substring_dup_coverage's verbatim "
+    "islands and heaps_law_fit's corpus-level vocabulary curve.  "
+    "Repeats WITHIN the first document containing a trigram count as "
+    "novel (the document introduced them); docs under 3 tokens have no "
+    "trigram instances and no row, in both engines.  Exactness: counts "
+    "are pure BIGINT, one exact integer ratio rounded once.  Scale "
+    "shape: one shuffle keyed on the trigram for the min-doc aggregate "
+    "(map-side combining; the same shingle-keyed shape every dedup "
+    "operator here ships), one shuffle for the instance join back on "
+    "the trigram, one map-side-combined per-doc rollup; no window, no "
+    "driver collect",
+    tags=("text", "curation", "dedup", "profiling"),
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokenize("text").alias("t"))
+    # sequence(1, 0) DESCENDS in Spark — exclude sub-trigram docs first
+    inst = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("g"),
+        )
+    )
+    first = inst.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        inst.join(first, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
