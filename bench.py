@@ -558,6 +558,8 @@ HEADLINE = [
     "spearman_rank_corr",
     # round 18: per-doc n-gram novelty under ingestion order
     "ngram_novelty_rate",
+    # round 18: k-sample rank test (Kruskal-Wallis) across sources
+    "source_length_kruskal",
 ]
 
 

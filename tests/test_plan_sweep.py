@@ -130,6 +130,11 @@ BNLJ_WHITELIST = {
     # pooled (n1, x1, n2, x2, z) pivot onto the two cohort rows — the
     # scalar-broadcast class.
     "conversion_ab_ztest",
+    # source_length_kruskal (round 18): crosses broadcast the 1-row
+    # (n, tie_term) corpus total and the 1-row source count onto the
+    # single folded output row — the scalar-broadcast class (the
+    # event_dow_independence justification applies verbatim).
+    "source_length_kruskal",
     # source_psi_drift (round 17): crosses broadcast the nine decile
     # edge values onto the doc scan, the 1-row corpus total, and the
     # fixed 10-bin dimension — the scalar-broadcast / fixed-grid
@@ -288,6 +293,14 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   pass is the single map-side-combined sufficient-statistics
     #   aggregate below them.
     "spearman_rank_corr",
+    # - source_length_kruskal (round 18): the midrank prefix window runs
+    #   over the distinct-length count table — bounded by the length
+    #   DOMAIN (the source_ks_drift / source_psi_drift class) — and the
+    #   ordered H fold + last-row rank over the per-source rank-sum
+    #   table — one row per corpus source, a config-sized set; the
+    #   corpus-sized work is the two map-side-combined hash aggregates
+    #   below them.
+    "source_length_kruskal",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -323,6 +336,12 @@ SINGLE_PARTITION_WHITELIST = {
     #   tables — 50- and 11-row domains by spec at any SF (see the
     #   unpartitioned-window entry above).
     "spearman_rank_corr",
+    # - source_length_kruskal (round 18): the exchanges feed the midrank
+    #   prefix window over the distinct-length count table (length-DOMAIN
+    #   bounded) and the ordered H fold over the per-source rank-sum
+    #   aggregate (one row per source) — see the unpartitioned-window
+    #   entry above.
+    "source_length_kruskal",
     # - event_dow_independence (round 17): the exchange feeds the
     #   ordered chi-squared fold over the (event_type x weekday) cell
     #   aggregate — bounded by the type-domain x 7 at any SF (the

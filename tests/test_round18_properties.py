@@ -384,3 +384,117 @@ def test_ngram_novelty_conservation_on_corpus(spark):
     assert total_novel == expect
     for r in rows:
         assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+# --- source_length_kruskal pins ------------------------------------------------
+
+
+def _kw_reference(groups):
+    """First-principles Kruskal-Wallis on {group: [values]}: midranks,
+    H, and the tie-corrected H, all in plain Python floats."""
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    # midrank of each distinct value
+    from collections import Counter
+
+    cnt = Counter(allv)
+    mid, cum = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        mid[v] = cum + (c + 1) / 2
+        cum += c
+    sum_term = 0.0
+    for g in sorted(groups):
+        vs = groups[g]
+        rg = sum(mid[v] for v in vs)
+        sum_term += rg * rg / len(vs)
+    h = 12.0 / (n * (n + 1)) * sum_term - 3.0 * (n + 1)
+    tie = sum(c**3 - c for c in cnt.values())
+    denom = 1.0 - tie / (n**3 - n)
+    return h, (h / denom if denom > 0 else None), tie
+
+
+def test_kruskal_planted_shift_and_closed_forms(spark, tmp_path):
+    """A planted location shift between two sources produces the
+    first-principles H (both raw and tie-corrected); a third singleton
+    source exercises the unequal-n path."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_kruskal,
+    )
+
+    groups = {
+        "a": [10, 12, 12, 15, 18],
+        "b": [30, 31, 31, 35, 40, 44],
+        "c": [12],
+    }
+    rows = [
+        (i, "x", "en", src, v)
+        for i, (src, v) in enumerate(
+            (s, v) for s, vs in sorted(groups.items()) for v in vs
+        )
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = source_length_kruskal(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    h, h_tied, tie = _kw_reference(groups)
+    assert r["n_docs"] == 12 and r["n_sources"] == 3 and r["dof"] == 2
+    assert int(r["tie_term"]) == tie
+    assert abs(r["h"] - round(h, 6)) < 2e-6
+    assert abs(r["h_tied"] - round(h_tied, 6)) < 2e-6
+    # a clean two-group shift with no overlap drives H near its max
+    assert r["h"] > 6.0
+
+
+def test_kruskal_degenerate_cases(spark, tmp_path):
+    """All-values-tied: H clamps to 0 and the tie correction divides by
+    zero, so h_tied is NULL and tie_term equals N^3 - N exactly.  A
+    single source: dof = 0 and H ~ 0 (clamped, never negative)."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_kruskal,
+    )
+
+    base = tmp_path / "tied"
+    base.mkdir()
+    spark.createDataFrame(
+        [(i, "x", "en", f"s{i % 3}", 7) for i in range(9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{base}/documents.parquet")
+    r = source_length_kruskal(spark, str(base)).collect()[0]
+    assert r["h"] == 0.0 and r["h_tied"] is None
+    assert int(r["tie_term"]) == 9**3 - 9
+
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    spark.createDataFrame(
+        [(i, "x", "en", "only", 10 + i) for i in range(5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{solo}/documents.parquet")
+    r = source_length_kruskal(spark, str(solo)).collect()[0]
+    assert r["n_sources"] == 1 and r["dof"] == 0
+    assert r["h"] == 0.0 and r["h_tied"] == 0.0
+
+
+def test_kruskal_rank_sum_conservation(spark):
+    """On the real sf0.001 corpus the hidden doubled rank sums must
+    conserve: sum over sources of s2_g = 2 * N(N+1)/2 = N(N+1); proven
+    by recomputing the per-source rank sums from first principles and
+    comparing against the emitted H via the reference scorer."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_kruskal,
+    )
+
+    docs = table(spark, SF0001, "documents").select("source", "n_chars").collect()
+    groups = {}
+    for row in docs:
+        groups.setdefault(row["source"], []).append(row["n_chars"])
+    h, h_tied, tie = _kw_reference(groups)
+    r = source_length_kruskal(spark, SF0001).collect()[0]
+    assert r["n_docs"] == sum(len(v) for v in groups.values())
+    assert r["n_sources"] == len(groups)
+    assert int(r["tie_term"]) == tie
+    assert abs(r["h"] - h) < 1e-6
+    assert abs(r["h_tied"] - h_tied) < 1e-6

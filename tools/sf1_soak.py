@@ -316,6 +316,9 @@ HEAVY = [
     # round 18: the trigram first-doc attribution (shingle-keyed
     # min-doc aggregate + instance join — the standard dedup shape).
     "ngram_novelty_rate",
+    # round 18: the k-sample rank test (domain-bounded midrank window +
+    # per-source fold — state must stay flat as the corpus grows).
+    "source_length_kruskal",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -2830,3 +2830,174 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("shifted"))
         .alias("verdict"),
     ).orderBy("source")
+
+
+@register(
+    "source_length_kruskal",
+    oracle="""
+    WITH vt AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    mr AS (
+        SELECT v,
+               2 * (CAST(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - c) + c + 1 AS mr2
+        FROM vt
+    ),
+    cells AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT cells.source,
+               CAST(SUM(cells.c) AS BIGINT) AS n_g,
+               CAST(SUM(cells.c * mr.mr2) AS BIGINT) AS s2_g
+        FROM cells JOIN mr USING (v)
+        GROUP BY cells.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                    AS DECIMAL(38,0)) AS tie_term
+        FROM vt
+    ),
+    dims AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+    folded AS (
+        SELECT SUM((CAST(s2_g AS DOUBLE) / 2) * (CAST(s2_g AS DOUBLE) / 2)
+                   / n_g)
+                   OVER (ORDER BY source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s,
+               ROW_NUMBER() OVER (ORDER BY source DESC) AS rn
+        FROM grp
+    ),
+    stat AS (
+        SELECT tot.n, dims.k, tot.tie_term,
+               GREATEST(0.0,
+                   12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1)) * folded.s
+                   - 3.0 * (tot.n + 1)) AS h_raw,
+               CAST(tot.n AS DECIMAL(38,0)) * tot.n * tot.n - tot.n
+                   AS n3_minus_n
+        FROM folded CROSS JOIN tot CROSS JOIN dims
+        WHERE folded.rn = 1
+    )
+    SELECT n AS n_docs, k AS n_sources,
+           CAST(k - 1 AS BIGINT) AS dof,
+           tie_term,
+           ROUND(h_raw, 6) AS h,
+           CASE WHEN tie_term < n3_minus_n THEN
+               ROUND(h_raw / (1.0 - CAST(tie_term AS DOUBLE)
+                                    / CAST(n3_minus_n AS DOUBLE)), 6)
+           END AS h_tied
+    FROM stat
+    """,
+    description="Kruskal-Wallis H test of document length across sources "
+    "with the tie correction — the K-SAMPLE member completing the "
+    "hypothesis-test family (conversion_ab_ztest compares two "
+    "proportions, event_dow_independence two categoricals, "
+    "source_ks_drift each source's continuous shape one-vs-rest; this "
+    "asks the omnibus question those screens decompose: is the length "
+    "distribution the same across ALL sources at once?), rank-based so "
+    "it is robust to the heavy right tail document lengths always "
+    "have.  Exactness: ties make ranks half-integers, so rank sums run "
+    "on DOUBLED midranks mr2 = 2*cum_before + cnt + 1 — pure BIGINT "
+    "(s2_g = 2*R_g fits BIGINT to N ~ 2e9: s2_g <= 2N^2 < 9.2e18); the "
+    "tie term sum(t^3 - t) and N^3 - N are DECIMAL(38,0); H folds the "
+    "per-source (S_g/2)^2/n_g terms under an ORDERED unpartitioned "
+    "window over the source table (the event_dow_independence IEEE "
+    "pattern — a groupBy SUM would be partition-order-dependent and "
+    "hash-diverge), clamps the epsilon-negative all-equal case at 0, "
+    "and rounds once; the tie-corrected H divides by 1 - T/(N^3-N), "
+    "NULL-guarded on the all-values-tied degeneracy by an EXACT "
+    "decimal comparison.  Scale shape: midranks live on the distinct-"
+    "length table (domain-bounded — the zipf counts-of-counts class) "
+    "and broadcast onto the (source, length) cell table, itself "
+    "bounded by sources x length-domain, NOT corpus size; the "
+    "unpartitioned fold window moves one row per source; two map-side-"
+    "combined shuffles total, 1-row output, no driver collect",
+    tags=("statistics", "drift", "exact-cells", "text"),
+)
+def source_length_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    vt = docs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mr = vt.select(
+        "v",
+        (
+            F.lit(2) * (F.sum("c").over(wcum).cast("long") - F.col("c"))
+            + F.col("c")
+            + F.lit(1)
+        ).alias("mr2"),
+    )
+    cells = docs.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = (
+        cells.join(F.broadcast(mr), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("mr2")).cast("long").alias("s2_g"),
+        )
+    )
+    dec = "decimal(38,0)"
+    tot = vt.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c"))
+        .cast(dec)
+        .alias("tie_term"),
+    )
+    dims = grp.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    s2d = F.col("s2_g").cast("double")
+    wfold = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = (
+        grp.select(
+            F.sum((s2d / 2) * (s2d / 2) / F.col("n_g")).over(wfold).alias("s"),
+            F.row_number()
+            .over(Window.orderBy(F.col("source").desc()))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.greatest(
+        F.lit(0.0),
+        F.lit(12.0) / (nd * (F.col("n") + 1)) * F.col("s")
+        - F.lit(3.0) * (F.col("n") + 1),
+    )
+    n3_minus_n = (
+        F.col("n").cast(dec) * F.col("n") * F.col("n") - F.col("n")
+    ).cast(dec)
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("k").alias("n_sources"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            "tie_term",
+            F.round(h_raw, 6).alias("h"),
+            F.when(
+                F.col("tie_term") < n3_minus_n,
+                F.round(
+                    h_raw
+                    / (
+                        F.lit(1.0)
+                        - F.col("tie_term").cast("double")
+                        / n3_minus_n.cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("h_tied"),
+        )
+    )
