@@ -353,6 +353,14 @@ COMMENT = {
     "50-value quantity and 11-value discount DOMAIN tables, broadcast "
     "back onto ONE map-side-combined sufficient-statistics pass; 1-row "
     "output",
+    "ngram_novelty_rate": "round 18: trigram instances shuffle once on "
+    "the shingle for the min-doc aggregate and once for the instance "
+    "join back (the standard dedup shingle shape), then one map-side-"
+    "combined per-doc rollup; no window, no collect",
+    "source_length_kruskal": "round 18: midrank prefix window over the "
+    "length-DOMAIN count table broadcasts onto the (source x length) "
+    "cell table; the H fold is an ordered window over the per-source "
+    "rank sums (one row per source); 1-row output",
 }
 
 
