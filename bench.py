@@ -560,6 +560,8 @@ HEADLINE = [
     "ngram_novelty_rate",
     # round 18: k-sample rank test (Kruskal-Wallis) across sources
     "source_length_kruskal",
+    # round 18: classifier-eval layer (per-class P/R/F1) over lang-id
+    "lang_id_precision_recall",
 ]
 
 

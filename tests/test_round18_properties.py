@@ -498,3 +498,63 @@ def test_kruskal_rank_sum_conservation(spark):
     assert int(r["tie_term"]) == tie
     assert abs(r["h"] - h) < 1e-6
     assert abs(r["h_tied"] - h_tied) < 1e-6
+
+
+# --- lang_id_precision_recall pins ---------------------------------------------
+
+
+def test_lang_eval_planted_confusion_matrix(spark, tmp_path):
+    """A planted corpus with a known confusion matrix: en 2/3 recall,
+    one es->en confusion, a labeled-only class (zh: NULL precision) and
+    a predicted-only class (und: NULL recall); P/R/F1 match hand
+    arithmetic exactly."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.text import (
+        lang_id_precision_recall,
+    )
+
+    docs = [
+        (1, "the cat sat", "en"),        # predicted en  (tp)
+        (2, "the dog ran", "en"),        # predicted en  (tp)
+        (3, "xyzzy plugh", "en"),        # predicted und (miss)
+        (4, "the tapas bar", "es"),      # predicted en  (es->en confusion)
+        (5, "mystery words here", "zh"), # predicted und; zh never predicted
+    ]
+    spark.createDataFrame(
+        [(d, t, l, "s", len(t)) for d, t, l in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {r["lang"]: r for r in lang_id_precision_recall(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"en", "es", "zh", "und"}
+    en = rows["en"]
+    assert (en["support"], en["n_pred"], en["tp"]) == (3, 3, 2)
+    assert en["precision"] == en["recall"] == round(2 / 3, 6)
+    assert en["f1"] == round(2 * 2 / 6, 6)
+    es = rows["es"]
+    assert (es["support"], es["n_pred"], es["tp"]) == (1, 0, 0)
+    assert es["precision"] is None and es["recall"] == 0.0 and es["f1"] == 0.0
+    zh = rows["zh"]
+    assert zh["precision"] is None and zh["recall"] == 0.0
+    und = rows["und"]
+    assert (und["support"], und["n_pred"]) == (0, 2)
+    assert und["recall"] is None and und["precision"] == 0.0 and und["f1"] == 0.0
+
+
+def test_lang_eval_consistent_with_confusion_matrix(spark):
+    """On the real corpus the eval must be derivable from text_lang_id's
+    confusion cells: supports sum to the corpus, predicted counts sum to
+    the corpus, and each class's tp matches the diagonal."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.text import (
+        lang_id_precision_recall,
+        text_lang_id,
+    )
+
+    cm = text_lang_id(spark, SF0001).collect()
+    ev = lang_id_precision_recall(spark, SF0001).collect()
+    n_docs = sum(r["n"] for r in cm)
+    assert sum(r["support"] for r in ev) == n_docs
+    assert sum(r["n_pred"] for r in ev) == n_docs
+    diag = {r["labeled_lang"]: r["n"] for r in cm
+            if r["labeled_lang"] == r["predicted_lang"]}
+    for r in ev:
+        assert r["tp"] == diag.get(r["lang"], 0)

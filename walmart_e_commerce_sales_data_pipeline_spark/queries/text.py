@@ -124,6 +124,111 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_id_precision_recall",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang AS labeled,
+               CASE WHEN {_marker_sql("en")} THEN 'en'
+                    WHEN {_marker_sql("es")} THEN 'es'
+                    WHEN {_marker_sql("de")} THEN 'de'
+                    WHEN {_marker_sql("fr")} THEN 'fr'
+                    ELSE 'und' END AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    sup AS (SELECT labeled AS lang, CAST(SUM(n) AS BIGINT) AS support
+            FROM cells GROUP BY 1),
+    prd AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM cells GROUP BY 1),
+    tp AS (SELECT labeled AS lang, CAST(SUM(n) AS BIGINT) AS tp
+           FROM cells WHERE labeled = predicted GROUP BY 1),
+    cls AS (
+        SELECT COALESCE(sup.lang, prd.lang) AS lang,
+               COALESCE(sup.support, 0) AS support,
+               COALESCE(prd.n_pred, 0) AS n_pred
+        FROM sup FULL OUTER JOIN prd ON sup.lang = prd.lang
+    )
+    SELECT cls.lang, cls.support, cls.n_pred,
+           COALESCE(tp.tp, 0) AS tp,
+           CASE WHEN cls.n_pred > 0 THEN
+               ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / cls.n_pred, 6)
+           END AS "precision",
+           CASE WHEN cls.support > 0 THEN
+               ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / cls.support, 6)
+           END AS recall,
+           ROUND(2.0 * COALESCE(tp.tp, 0) / (cls.support + cls.n_pred), 6)
+               AS f1
+    FROM cls LEFT JOIN tp ON cls.lang = tp.lang
+    ORDER BY cls.lang
+    """,
+    description="per-class precision / recall / F1 of the stopword-marker "
+    "language classifier against the labeled lang column — the "
+    "classifier-eval layer over text_lang_id's confusion matrix (the "
+    "threshold-free companion to quality_score_auc's ranking eval): the "
+    "class list is the FULL OUTER union of labeled and predicted "
+    "classes, so 'und' (predicted-only, support 0) appears with NULL "
+    "recall and labeled-only classes appear with NULL precision — the "
+    "NULL guards a model-eval harness needs for absent classes.  "
+    "Exactness: support / n_pred / tp are pure BIGINT confusion-cell "
+    "sums; precision and recall are one exact-integer division each, "
+    "rounded once; F1 uses the algebraic single-division form "
+    "2*tp/(support + n_pred) — identical to 2PR/(P+R) when both are "
+    "defined, and never 0/0 because every class appears on at least "
+    "one side.  Scale shape: one shuffle on the (labeled, predicted) "
+    "cell key — bounded by the 5x5 language domain, never corpus size; "
+    "the marginal full-outer join and the tp left join run on "
+    "domain-sized frames; per-doc work is one codegen marker scan",
+    tags=("text", "langid", "evaluation"),
+)
+def lang_id_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        F.col("lang").alias("labeled"), lang_id("text").alias("predicted")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sup = cells.groupBy(F.col("labeled").alias("lang")).agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    prd = cells.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = (
+        cells.filter(F.col("labeled") == F.col("predicted"))
+        .groupBy(F.col("labeled").alias("lang"))
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    cls = (
+        sup.join(prd, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        )
+    )
+    tpc = F.coalesce("tp", F.lit(0)).cast("long")
+    return (
+        cls.join(tp, "lang", "left")
+        .select(
+            "lang",
+            "support",
+            "n_pred",
+            tpc.alias("tp"),
+            F.when(
+                F.col("n_pred") > 0,
+                F.round(tpc.cast("double") / F.col("n_pred"), 6),
+            ).alias("precision"),
+            F.when(
+                F.col("support") > 0,
+                F.round(tpc.cast("double") / F.col("support"), 6),
+            ).alias("recall"),
+            F.round(
+                F.lit(2.0) * tpc / (F.col("support") + F.col("n_pred")), 6
+            ).alias("f1"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     WITH fp AS (
