@@ -562,6 +562,8 @@ HEADLINE = [
     "source_length_kruskal",
     # round 18: classifier-eval layer (per-class P/R/F1) over lang-id
     "lang_id_precision_recall",
+    # round 18: the eighth streaming sketch family's batch readout
+    "events_hourly_countsketch",
 ]
 
 

@@ -361,6 +361,11 @@ COMMENT = {
     "length-DOMAIN count table broadcasts onto the (source x length) "
     "cell table; the H fold is an ordered window over the per-source "
     "rank sums (one row per source); 1-row output",
+    "events_hourly_countsketch": "round 18: the signed (hour, r, b) "
+    "cell aggregate is bounded at depth*width per hour; the top-user "
+    "rank window is hour-PARTITIONED; the probe join is a "
+    "(hour, r, b)-keyed equi-join — the eighth streaming family's "
+    "batch readout",
 }
 
 

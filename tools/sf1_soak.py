@@ -319,6 +319,10 @@ HEAVY = [
     # round 18: the k-sample rank test (domain-bounded midrank window +
     # per-source fold — state must stay flat as the corpus grows).
     "source_length_kruskal",
+    # round 18: the Count-Sketch hourly readout — the signed cell table
+    # is bounded at depth*width per hour, so shuffle must stay flat per
+    # hour as event volume grows.
+    "events_hourly_countsketch",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -45,27 +45,29 @@ from . import (  # noqa: F401
 # Round-18 staleness histogram going in (CORRECTNESS_r17 went 49/50
 # green): 1 never-green (``source_ks_drift`` — the one r17 hash-fail, a
 # cross-engine EXP ulp on a ROUND(p,6) boundary, now pinned by rounding
-# lambda^2 to 9 dp in both engines) plus this round's seven new
+# lambda^2 to 9 dp in both engines) plus this round's eight new
 # registrations (never-green by construction),
 # 7 last-green r13 at staleness 5 (the structural refresh horizon),
 # 50 @ r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window, computed by
 # tools/rotate_window.py and staleness-asserted (MAX_STALE_ROUNDS=5
-# passed, worst projected staleness 4 at ``corr_matrix_lineitem``),
+# passed, worst projected staleness 4 at ``embedding_dim_profile``),
 # is exactly the r17 VERDICT items 1+2 plus this round's additions: the
-# eight never-green queries first (``source_ks_drift`` — the one r17
-# hash-fail — and the seven new round-18 queries
+# nine never-green queries first (``source_ks_drift`` — the one r17
+# hash-fail — and the eight new round-18 queries
 # ``cluster_aware_split``, ``cluster_sampling_weights``,
 # ``bigram_lm_quality``, ``spearman_rank_corr``, ``ngram_novelty_rate``,
-# ``source_length_kruskal``, ``lang_id_precision_recall``; never-green
+# ``source_length_kruskal``, ``lang_id_precision_recall``,
+# ``events_hourly_countsketch``; never-green
 # heads the window, standing policy), then the seven staleness-5 r13
 # queries (``rrf_hybrid_retrieval``, ``retrieve_rerank_topk``,
 # ``embedding_top_pc``, ``histogram_quantile_sketch``,
 # ``events_hourly_cms``, ``kmv_jaccard_langs``,
-# ``events_hourly_value_quantiles``), then the stalest 35 of the 50
-# r14-green queries in registry order (``corr_matrix_lineitem``,
-# ``forecast_revenue``, ``from_json_map``, ``asof_join_latest_order``,
-# ``range_join_close_events``, ``similarity_inverted_index``,
-# ``kmv_set_difference`` spill to the r19 head).
+# ``events_hourly_value_quantiles``), then the stalest 34 of the 50
+# r14-green queries in registry order (``embedding_dim_profile``,
+# ``corr_matrix_lineitem``, ``forecast_revenue``, ``from_json_map``,
+# ``asof_join_latest_order``, ``range_join_close_events``,
+# ``similarity_inverted_index``, ``kmv_set_difference`` spill to the
+# r19 head).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -79,6 +81,7 @@ _PRIORITY = [
     "ngram_novelty_rate",
     "source_length_kruskal",
     "lang_id_precision_recall",
+    "events_hourly_countsketch",
     "rrf_hybrid_retrieval",
     "retrieve_rerank_topk",
     "embedding_top_pc",
@@ -120,7 +123,6 @@ _PRIORITY = [
     "stratified_sample_stats",
     "mixture_sampling_plan",
     "train_val_test_split",
-    "embedding_dim_profile",
 ]
 
 

@@ -2396,6 +2396,175 @@ def countsketch_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _events_hourly_countsketch_oracle() -> str:
+    cell_branches = " UNION ALL ".join(
+        f"SELECT hour_start, {r} AS r, {_cs_bucket_sql('h', r)} AS b,"
+        f" {_cs_sign_sql('h', r)} AS s FROM ev"
+        for r in range(_CS_DEPTH)
+    )
+    th = "md5(CAST(t.top_user AS VARCHAR))"
+    bucket_case = " ".join(
+        f"WHEN {r} THEN {_cs_bucket_sql(th, r)}" for r in range(_CS_DEPTH)
+    )
+    sign_case = " ".join(
+        f"WHEN {r} THEN {_cs_sign_sql(th, r)}" for r in range(_CS_DEPTH)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               user_id, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    cells AS (
+        SELECT hour_start, r, b, CAST(SUM(s) AS BIGINT) AS c
+        FROM ({cell_branches})
+        GROUP BY hour_start, r, b
+    ),
+    nc AS (
+        SELECT hour_start, CAST(COUNT(*) AS BIGINT) AS cells_used
+        FROM cells GROUP BY hour_start
+    ),
+    exact AS (
+        SELECT hour_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM ev GROUP BY hour_start, user_id
+    ),
+    top AS (
+        SELECT hour_start, user_id AS top_user, n_exact FROM (
+            SELECT exact.*,
+                   ROW_NUMBER() OVER (PARTITION BY hour_start
+                                      ORDER BY n_exact DESC, user_id) AS rk
+            FROM exact
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT t.hour_start, t.top_user, t.n_exact,
+               (CASE c.r {sign_case} END) * c.c AS est
+        FROM top t
+        JOIN cells c
+          ON c.hour_start = t.hour_start
+         AND c.b = CASE c.r {bucket_case} END
+    )
+    SELECT p.hour_start, p.top_user, p.n_exact,
+           CAST(list_sort(list(p.est))[{_CS_DEPTH // 2 + 1}] AS BIGINT)
+               AS cs_est,
+           CAST(list_sort(list(p.est))[{_CS_DEPTH // 2 + 1}] - p.n_exact
+                AS BIGINT) AS err,
+           nc.cells_used
+    FROM probes p JOIN nc ON nc.hour_start = p.hour_start
+    GROUP BY p.hour_start, p.top_user, p.n_exact, nc.cells_used
+    ORDER BY p.hour_start
+    """
+
+
+@register(
+    "events_hourly_countsketch",
+    oracle=_events_hourly_countsketch_oracle(),
+    description="per-hour Count-Sketch heavy-hitter readout: for every "
+    "tumbling event-time hour, the busiest user's exact count next to "
+    "the median-of-5 SIGNED estimate probed from THAT hour's signed "
+    "counter matrix (same depth-5 x width-256 portable-md5 geometry as "
+    "countsketch_user_freq: buckets from hex chars 1-10, Rademacher "
+    "signs from chars 11-15), plus the hour's occupied-cell count — "
+    "the batch twin of the EIGHTH streaming sketch family, "
+    "streaming.events.hourly_user_countsketch (stream == batch pinned "
+    "in tests/test_streaming.py), giving the streaming sketch an "
+    "external oracle and completing the streamed frequency triangle: "
+    "the CMS twin only OVERestimates, the Misra-Gries twin only "
+    "UNDERestimates, this one's signed cells make the error two-sided "
+    "and centered (the signed err column).  Exactness: signed cells "
+    "are integer sums, the median of five integers is an integer — no "
+    "float anywhere, so the oracle pins the estimator cell-for-cell.  "
+    "Scale shape: the sketch aggregation's key domain is (hour, r, b) "
+    "— bounded at depth*width signed cells per hour however many users "
+    "or events arrive, which is exactly the state-size claim of the "
+    "streaming twin; the per-hour top-user rank window is keyed by "
+    "hour; the probe join is a (hour, r, b)-keyed equi-join",
+    tags=("sketch", "event-time", "frequency", "portable", "streaming-twin"),
+)
+def events_hourly_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                F.expr(_cs_sign_sql("h", r)).alias("s"),
+            )
+            for r in range(_CS_DEPTH)
+        ]
+    )
+    cells = (
+        ev.select("hour_start", F.explode(probe_structs).alias("cell"))
+        .groupBy(
+            "hour_start", F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+        )
+        .agg(F.sum("cell.s").cast("long").alias("c"))
+    )
+    nc = cells.groupBy("hour_start").agg(
+        F.count(F.lit(1)).cast("long").alias("cells_used")
+    )
+    exact = ev.groupBy("hour_start", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    wh = Window.partitionBy("hour_start").orderBy(
+        F.col("n_exact").desc(), "user_id"
+    )
+    top = (
+        exact.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") == 1)
+        .select(
+            "hour_start",
+            F.col("user_id").alias("top_user"),
+            "n_exact",
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    probes = top.select(
+        "hour_start",
+        "top_user",
+        "n_exact",
+        F.explode(probe_structs).alias("probe"),
+    ).select(
+        "hour_start", "top_user", "n_exact", "probe.r", "probe.b", "probe.s"
+    )
+    ests = (
+        probes.join(cells, ["hour_start", "r", "b"])
+        .select(
+            "hour_start",
+            "top_user",
+            "n_exact",
+            (F.col("s") * F.col("c")).alias("est"),
+        )
+        .groupBy("hour_start", "top_user", "n_exact")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("est")), _CS_DEPTH // 2 + 1
+            )
+            .cast("long")
+            .alias("cs_est")
+        )
+    )
+    return (
+        ests.join(nc, "hour_start")
+        .select(
+            "hour_start",
+            "top_user",
+            "n_exact",
+            "cs_est",
+            (F.col("cs_est") - F.col("n_exact")).cast("long").alias("err"),
+            "cells_used",
+        )
+        .orderBy("hour_start")
+    )
+
+
 def _countsketch_f2_oracle() -> str:
     cell_branches = " UNION ALL ".join(
         f"SELECT {r} AS r, {_cs_bucket_sql('h', r)} AS b,"

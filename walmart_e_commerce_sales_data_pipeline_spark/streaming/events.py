@@ -209,6 +209,69 @@ def hourly_user_cms(
     )
 
 
+def hourly_user_countsketch(
+    events: DataFrame,
+    watermark: str = "25 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-hour Count-Sketch of user-activity frequency — batch or
+    streaming input (one logical plan, the module's standing design).
+
+    The EIGHTH streaming sketch family, and the one that completes the
+    frequency triangle in the stream the way ``countsketch_user_freq``
+    does in batch: the CMS twin only ever OVERestimates (collision mass
+    adds) and the Misra-Gries twin only ever UNDERestimates (bounded
+    decrement); Count-Sketch's Rademacher-signed cells cancel collision
+    mass in expectation, so the stream keeps an UNBIASED two-sided
+    frequency estimator per hour.  Emits the signed counter matrix
+    ``(window_start, r, b, c)`` with c = SUM(sign) using the identical
+    deterministic geometry as the batch ``countsketch_user_freq`` query
+    (depth 5 x width 256; buckets from hex chars 1-10 of ONE portable
+    md5, signs from chars 11-15 — ``queries.sketches._cs_bucket_sql`` /
+    ``_cs_sign_sql``), keyed by tumbling event-time windows.  Streaming
+    state is bounded at depth*width signed cells PER HOUR regardless of
+    user cardinality (the aggregation key domain is (window, r, b),
+    never user_id); a signed SUM is associative and commutative, so the
+    windowed aggregate is split-independent by construction and emitted
+    per-hour sketches merge downstream by cell ADDITION — across hours
+    for coarser windows, across shards for a fleet, exactly the CMS
+    merge law but signed.  The oracle-checked batch readout (each
+    hour's busiest user probed against that hour's cells, median-of-5
+    signed estimate, exact integer arithmetic end-to-end) is
+    ``events_hourly_countsketch``; stream == batch equality, the state
+    bound, and the two-sided-error property are pinned in
+    tests/test_streaming.py.
+    """
+    # Lazy import: streaming.* must not import the queries package at
+    # module load (queries/__init__ imports streaming-facing modules).
+    from ..queries.sketches import _CS_DEPTH, _cs_bucket_sql, _cs_sign_sql
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    hashed = src.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    cells = hashed.select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cs_bucket_sql("h", r)).alias("b"),
+                        F.expr(_cs_sign_sql("h", r)).alias("s"),
+                    )
+                    for r in range(_CS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("ts", "cell.r", "cell.b", "cell.s")
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        cells.groupBy(w.alias("w"), "r", "b")
+        .agg(F.sum("s").cast("long").alias("c"))
+        .select(F.col("w.start").alias("window_start"), "r", "b", "c")
+    )
+
+
 def hourly_user_bloom(
     events: DataFrame,
     watermark: str = "25 hours",
