@@ -564,6 +564,8 @@ HEADLINE = [
     "lang_id_precision_recall",
     # round 18: the eighth streaming sketch family's batch readout
     "events_hourly_countsketch",
+    # round 18: decile gains/lift ranking evaluation
+    "score_lift_deciles",
 ]
 
 

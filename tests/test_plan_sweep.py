@@ -135,6 +135,13 @@ BNLJ_WHITELIST = {
     # single folded output row — the scalar-broadcast class (the
     # event_dow_independence justification applies verbatim).
     "source_length_kruskal",
+    # score_lift_deciles (round 18): one cross broadcasts the 1-row
+    # (n_tot, n_pos_tot) total onto the domain-bounded distinct-score
+    # cumulative table and again onto the 10-row bin table
+    # (scalar-broadcast), and the decile-assignment range join probes
+    # with a BROADCAST 10-row k-grid build side — the revenue_gini_lorenz
+    # fixed-decile-grid class.
+    "score_lift_deciles",
     # source_psi_drift (round 17): crosses broadcast the nine decile
     # edge values onto the doc scan, the 1-row corpus total, and the
     # fixed 10-bin dimension — the scalar-broadcast / fixed-grid
@@ -301,6 +308,13 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   corpus-sized work is the two map-side-combined hash aggregates
     #   below them.
     "source_length_kruskal",
+    # - score_lift_deciles (round 18): the score-DESC cumulative window
+    #   runs over the distinct-score count table — DOMAIN-bounded at
+    #   <= ~56k cent values at any SF (the quality_score_auc bound) —
+    #   and the gains cumulative window over the 10-row decile bin
+    #   table; the corpus-sized pass is the single per-score hash
+    #   aggregate below them.
+    "score_lift_deciles",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -342,6 +356,11 @@ SINGLE_PARTITION_WHITELIST = {
     #   aggregate (one row per source) — see the unpartitioned-window
     #   entry above.
     "source_length_kruskal",
+    # - score_lift_deciles (round 18): the exchanges feed the score-DESC
+    #   cumulative window over the distinct-score aggregate
+    #   (domain-bounded) and the gains window over the 10-row bin
+    #   aggregate — see the unpartitioned-window entry above.
+    "score_lift_deciles",
     # - event_dow_independence (round 17): the exchange feeds the
     #   ordered chi-squared fold over the (event_type x weekday) cell
     #   aggregate — bounded by the type-domain x 7 at any SF (the

@@ -558,3 +558,81 @@ def test_lang_eval_consistent_with_confusion_matrix(spark):
             if r["labeled_lang"] == r["predicted_lang"]}
     for r in ev:
         assert r["tp"] == diag.get(r["lang"], 0)
+
+
+# --- score_lift_deciles pins ---------------------------------------------------
+
+
+def test_lift_deciles_planted_predictive_score(spark, tmp_path):
+    """A perfectly predictive planted score (all positives score above
+    all negatives, 20% base rate) concentrates every positive in the top
+    two deciles: lift = 5 there, 0 elsewhere, gains hit 1.0 at decile 2
+    and the decile populations are exactly even."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        score_lift_deciles,
+    )
+    from datetime import datetime
+
+    rows = []
+    for i in range(100):
+        # scores 100.00 down to 0.01; top 20 are purchases
+        rows.append(
+            (
+                i,
+                datetime(2024, 1, 1, 0, 0, i % 60),
+                i,
+                "purchase" if i < 20 else "view",
+                float(100 - i),
+                "{}",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {r["decile"]: r for r in score_lift_deciles(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(1, 11))
+    assert all(got[d]["n"] == 10 for d in got)
+    assert got[1]["n_pos"] == 10 and got[1]["lift"] == 5.0
+    assert got[2]["n_pos"] == 10 and got[2]["cum_pos_share"] == 1.0
+    for d in range(3, 11):
+        assert got[d]["n_pos"] == 0 and got[d]["lift"] == 0.0
+        assert got[d]["cum_pos_share"] == 1.0
+    # avg_score strictly decreases down the deciles (scores are cents)
+    avgs = [got[d]["avg_score"] for d in range(1, 11)]
+    assert avgs == sorted(avgs, reverse=True)
+
+
+def test_lift_deciles_conservation_and_base_rate(spark):
+    """On the real corpus: bin populations sum to the labeled corpus,
+    positives sum to the purchase count, the population-weighted mean
+    lift is exactly 1, and the gains curve is monotone to 1.0."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        score_lift_deciles,
+    )
+
+    rows = sorted(
+        score_lift_deciles(spark, SF0001).collect(), key=lambda r: r["decile"]
+    )
+    lab = (
+        table(spark, SF0001, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+        .first()
+    )
+    assert sum(r["n"] for r in rows) == lab["n"]
+    assert sum(r["n_pos"] for r in rows) == lab["p"]
+    # weighted mean lift = sum(n * lift)/N = sum(n_pos)*N/(N*P) = 1
+    wmean = sum(r["n"] * r["n_pos"] / r["n"] for r in rows) / lab["p"]
+    assert abs(wmean - 1.0) < 1e-12
+    shares = [r["cum_pos_share"] for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    # tied blocks never split: deciles within 1 of even population
+    assert max(r["n"] for r in rows) - min(r["n"] for r in rows) <= max(
+        1, lab["n"] // 50
+    )

@@ -366,6 +366,10 @@ COMMENT = {
     "rank window is hour-PARTITIONED; the probe join is a "
     "(hour, r, b)-keyed equi-join — the eighth streaming family's "
     "batch readout",
+    "score_lift_deciles": "round 18: one per-score hash aggregate, "
+    "then every window (score-DESC cumulative, decile gains) and the "
+    "10-row k-grid range join run on the DOMAIN-bounded distinct-score "
+    "table; 10-row output",
 }
 
 

@@ -323,6 +323,10 @@ HEAVY = [
     # is bounded at depth*width per hour, so shuffle must stay flat per
     # hour as event volume grows.
     "events_hourly_countsketch",
+    # round 18: the decile lift table — all post-aggregate work runs on
+    # the domain-bounded distinct-score table, so shuffle must stay
+    # flat as event volume grows.
+    "score_lift_deciles",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

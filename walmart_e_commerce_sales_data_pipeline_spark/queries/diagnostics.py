@@ -3001,3 +3001,175 @@ def source_length_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_tied"),
         )
     )
+
+
+@register(
+    "score_lift_deciles",
+    oracle="""
+    WITH lab AS (
+        SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    grp AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos_c,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lab GROUP BY score
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(pos_c) AS BIGINT) AS n_pos
+        FROM grp
+    ),
+    cum AS (
+        SELECT score, pos_c, c,
+               CAST(SUM(c) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cf
+        FROM grp
+    ),
+    dec AS (
+        SELECT cum.score, cum.pos_c, cum.c,
+               MIN(k.k) AS decile
+        FROM cum CROSS JOIN tot
+        JOIN (SELECT UNNEST(range(1, 11)) AS k) k
+             ON k.k * tot.n >= 10 * cum.cf
+        GROUP BY cum.score, cum.pos_c, cum.c
+    ),
+    bins AS (
+        SELECT decile,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+               CAST(SUM(score * c) AS BIGINT) AS sum_score
+        FROM dec GROUP BY decile
+    ),
+    gains AS (
+        SELECT bins.*,
+               CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+        FROM bins
+    )
+    SELECT g.decile, g.n, g.n_pos,
+           ROUND(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS pos_rate,
+           ROUND(CAST(g.sum_score AS DOUBLE) / g.n, 6) AS avg_score,
+           CASE WHEN tot.n_pos > 0 THEN
+               ROUND(CAST(g.cum_pos AS DOUBLE) / tot.n_pos, 6)
+           END AS cum_pos_share,
+           CASE WHEN tot.n_pos > 0 THEN
+               ROUND((CAST(g.n_pos AS DOUBLE) * tot.n)
+                     / (CAST(g.n AS DOUBLE) * tot.n_pos), 6)
+           END AS lift
+    FROM gains g CROSS JOIN tot
+    ORDER BY g.decile
+    """,
+    description="decile gains/lift table of the event value as a "
+    "purchase-vs-view classifier — the RANKING-utility evaluation "
+    "beside quality_score_auc's threshold-free AUC and "
+    "lang_id_precision_recall's per-class P/R/F1: bin the scored "
+    "population into score deciles (decile 1 = highest scores), and "
+    "per bin read the positive rate, the cumulative share of all "
+    "positives captured (the gains curve a curation pipeline uses to "
+    "pick how deep to keep), and the lift over the base rate.  Decile "
+    "assignment is the source_psi_drift edge machinery run top-down: "
+    "the per-SCORE cumulative count (score-DESC window over the "
+    "domain-bounded distinct-score table) joins a 10-row k-grid on "
+    "k*N >= 10*cf and takes MIN(k) — pure integer comparisons, no "
+    "division, so tied score blocks land in one engine-identical "
+    "decile and bins can be unequal exactly when ties straddle an "
+    "edge.  Exactness: n / n_pos / sum_score / cum_pos are BIGINT; "
+    "pos_rate, avg_score, cum_pos_share, and lift are each ONE double "
+    "expression over exact integers rounded once (lift multiplies "
+    "cross-wise — pos_c*N / (n*N_pos) — so no chained divisions); "
+    "zero-positive corpora NULL-guard share and lift.  Scale shape: "
+    "one keyed aggregate per distinct score, then every window and "
+    "join runs on the distinct-score table — DOMAIN-bounded at <= "
+    "~56k cent values at any SF (the quality_score_auc bound) — and "
+    "the 10-row bin table; never a per-event sort; one 1-row total "
+    "broadcast",
+    tags=("profiling", "ranking", "evaluation", "exact-cells"),
+)
+def score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lab = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.round(F.col("value") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("score"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+    )
+    grp = lab.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos_c"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    tot = grp.agg(
+        F.sum("c").cast("long").alias("n_tot"),
+        F.sum("pos_c").cast("long").alias("n_pos_tot"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "score", "pos_c", "c", F.sum("c").over(wdesc).cast("long").alias("cf")
+    )
+    kgrid = spark.range(1, 11).select(F.col("id").cast("long").alias("k"))
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(kgrid),
+            F.col("k") * F.col("n_tot") >= F.lit(10) * F.col("cf"),
+        )
+        .groupBy("score", "pos_c", "c")
+        .agg(F.min("k").alias("decile"))
+    )
+    bins = dec.groupBy("decile").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("pos_c").cast("long").alias("n_pos"),
+        F.sum(F.col("score") * F.col("c")).cast("long").alias("sum_score"),
+    )
+    wgain = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gains = bins.select(
+        "decile",
+        "n",
+        "n_pos",
+        "sum_score",
+        F.sum("n_pos").over(wgain).cast("long").alias("cum_pos"),
+    )
+    return (
+        gains.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(F.col("sum_score").cast("double") / F.col("n"), 6).alias(
+                "avg_score"
+            ),
+            F.when(
+                F.col("n_pos_tot") > 0,
+                F.round(
+                    F.col("cum_pos").cast("double") / F.col("n_pos_tot"), 6
+                ),
+            ).alias("cum_pos_share"),
+            F.when(
+                F.col("n_pos_tot") > 0,
+                F.round(
+                    (F.col("n_pos").cast("double") * F.col("n_tot"))
+                    / (F.col("n").cast("double") * F.col("n_pos_tot")),
+                    6,
+                ),
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
