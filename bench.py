@@ -566,6 +566,8 @@ HEADLINE = [
     "events_hourly_countsketch",
     # round 18: decile gains/lift ranking evaluation
     "score_lift_deciles",
+    # round 18: Brown-Forsythe variance-homogeneity across sources
+    "source_length_levene",
 ]
 
 

@@ -142,6 +142,11 @@ BNLJ_WHITELIST = {
     # with a BROADCAST 10-row k-grid build side — the revenue_gini_lorenz
     # fixed-decile-grid class.
     "score_lift_deciles",
+    # source_length_levene (round 18): one cross broadcasts the 1-row
+    # (n, k, s, q) total onto the single folded output row — the
+    # scalar-broadcast class (the source_length_kruskal justification
+    # applies verbatim).
+    "source_length_levene",
     # source_psi_drift (round 17): crosses broadcast the nine decile
     # edge values onto the doc scan, the 1-row corpus total, and the
     # fixed 10-bin dimension — the scalar-broadcast / fixed-grid
@@ -315,6 +320,12 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     #   table; the corpus-sized pass is the single per-score hash
     #   aggregate below them.
     "score_lift_deciles",
+    # - source_length_levene (round 18): the ordered F fold + last-row
+    #   rank run over the per-source deviation-sum table — one row per
+    #   corpus source, a config-sized set (the source_length_kruskal
+    #   class); the median scan windows are source-PARTITIONED and the
+    #   corpus-sized work is the single (source, length) hash aggregate.
+    "source_length_levene",
     "kmv_sketch_union",
     "ngram_distribution_profile",
     "bm25_doc_retrieval",
@@ -361,6 +372,10 @@ SINGLE_PARTITION_WHITELIST = {
     #   (domain-bounded) and the gains window over the 10-row bin
     #   aggregate — see the unpartitioned-window entry above.
     "score_lift_deciles",
+    # - source_length_levene (round 18): the exchange feeds the ordered
+    #   F fold over the per-source deviation-sum aggregate (one row per
+    #   source) — see the unpartitioned-window entry above.
+    "source_length_levene",
     # - event_dow_independence (round 17): the exchange feeds the
     #   ordered chi-squared fold over the (event_type x weekday) cell
     #   aggregate — bounded by the type-domain x 7 at any SF (the

@@ -155,19 +155,19 @@ def test_checked_window_composition():
     # tools/rotate_window.py, which also asserts the 5-round staleness
     # horizon).  Evidence going in: 1 never-green (source_ks_drift, the
     # r17 hash-fail — now pinned, see queries/diagnostics.py) plus the
-    # nine new round-18 queries (never-green by construction), 7 last
+    # ten new round-18 queries (never-green by construction), 7 last
     # green r13 at staleness 5 (the structural refresh horizon — the
     # suite gate in tests/test_rotation_policy.py forces them in), 50 @
-    # r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window is the ten
+    # r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window is the eleven
     # never-green queries first (standing policy), the seven
-    # staleness-5 r13 queries, then the stalest 33 of the 50 r14-green
-    # queries in registry order (train_val_test_split,
-    # embedding_dim_profile, corr_matrix_lineitem, forecast_revenue,
-    # from_json_map, asof_join_latest_order, range_join_close_events,
-    # similarity_inverted_index and kmv_set_difference spill to the r19
-    # head).
+    # staleness-5 r13 queries, then the stalest 32 of the 50 r14-green
+    # queries in registry order (mixture_sampling_plan,
+    # train_val_test_split, embedding_dim_profile, corr_matrix_lineitem,
+    # forecast_revenue, from_json_map, asof_join_latest_order,
+    # range_join_close_events, similarity_inverted_index and
+    # kmv_set_difference spill to the r19 head).
     window = set(names[:50])
-    assert _PRIORITY[:17] == [
+    assert _PRIORITY[:18] == [
         "source_ks_drift",  # never externally green (r17 hash-fail)
         "cluster_aware_split",  # new this round — never-green
         "cluster_sampling_weights",  # new this round — never-green
@@ -178,6 +178,7 @@ def test_checked_window_composition():
         "lang_id_precision_recall",  # new this round — never-green
         "events_hourly_countsketch",  # new this round — never-green
         "score_lift_deciles",  # new this round — never-green
+        "source_length_levene",  # new this round — never-green
         "rrf_hybrid_retrieval",  # the seven staleness-5 r13 greens
         "retrieve_rerank_topk",
         "embedding_top_pc",
@@ -186,8 +187,8 @@ def test_checked_window_composition():
         "kmv_jaccard_langs",
         "events_hourly_value_quantiles",
     ]
-    # The 33 stalest r14-green queries follow in registry order.
-    assert _PRIORITY[17:50] == [
+    # The 32 stalest r14-green queries follow in registry order.
+    assert _PRIORITY[18:50] == [
         "monthly_avg_value",
         "events_hourly_window",
         "events_sessionization",
@@ -220,7 +221,6 @@ def test_checked_window_composition():
         "events_cohort_retention",
         "profile_documents",
         "stratified_sample_stats",
-        "mixture_sampling_plan",
     ]
     # Nothing green in rounds 15-17 re-occupies a window slot — the
     # window is reserved for the stalest evidence.

@@ -636,3 +636,102 @@ def test_lift_deciles_conservation_and_base_rate(spark):
     assert max(r["n"] for r in rows) - min(r["n"] for r in rows) <= max(
         1, lab["n"] // 50
     )
+
+
+# --- source_length_levene pins -------------------------------------------------
+
+
+def _bf_reference(groups):
+    """First-principles Brown-Forsythe on {group: [values]}: deviations
+    from the exact group median, one-way ANOVA F (scale-invariant, so
+    computed on doubled deviations like the query)."""
+    devs = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        m2 = s[(n - 1) // 2] + s[n // 2]
+        devs[g] = [abs(2 * v - m2) for v in vs]
+    allv = [d for ds in devs.values() for d in ds]
+    n, k = len(allv), len(devs)
+    gm = sum(allv) / n
+    between = sum(len(ds) * (sum(ds) / len(ds) - gm) ** 2 for ds in devs.values())
+    within = sum((d - sum(ds) / len(ds)) ** 2 for ds in devs.values() for d in ds)
+    if k < 2 or n <= k or within <= 0:
+        return None
+    return ((n - k) * between) / ((k - 1) * within)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, "x", "en", src, v) for i, (src, v) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{path}/documents.parquet")
+
+
+def test_levene_planted_spread_and_closed_forms(spark, tmp_path):
+    """Two sources with equal medians but very different spreads drive a
+    large F that equals the first-principles scorer; the exact DOUBLED
+    deviation cells match hand arithmetic."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_levene,
+    )
+
+    groups = {
+        "tight": [100, 101, 102, 103, 104],
+        "wide": [10, 60, 102, 150, 200],
+    }
+    _write_docs(
+        spark, tmp_path, [(s, v) for s, vs in sorted(groups.items()) for v in vs]
+    )
+    r = source_length_levene(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 10 and r["n_sources"] == 2
+    assert r["df1"] == 1 and r["df2"] == 8
+    # doubled deviations: tight median 102 -> m2=204; wide median 102 -> 204
+    want_s = sum(abs(2 * v - 204) for vs in groups.values() for v in vs)
+    assert r["sum_dev2"] == want_s
+    f = _bf_reference(groups)
+    assert abs(r["f_bf"] - round(f, 6)) < 2e-6
+    # far above the F(1,8) 5% critical value (~5.32): spread detected
+    assert r["f_bf"] > 5.32
+
+
+def test_levene_degenerate_cases(spark, tmp_path):
+    """Constant deviations within every group (within_ss = 0) and a
+    single source (df1 = 0) both NULL-guard F; an even-sized group
+    exercises the two-position doubled median."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_levene,
+    )
+
+    const = tmp_path / "const"
+    const.mkdir()
+    # each group: two values equidistant from the median midpoint ->
+    # every doubled deviation identical within the group
+    _write_docs(spark, const, [("a", 10), ("a", 20), ("b", 5), ("b", 45)])
+    r = source_length_levene(spark, str(const)).collect()[0]
+    assert r["f_bf"] is None  # within_ss == 0
+    # doubled medians: a -> 30, b -> 50; deviations a: |20-30|=10,|40-30|=10
+    assert r["sum_dev2"] == 10 + 10 + 40 + 40
+
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    _write_docs(spark, solo, [("only", v) for v in (1, 5, 9, 13)])
+    r = source_length_levene(spark, str(solo)).collect()[0]
+    assert r["n_sources"] == 1 and r["df1"] == 0 and r["f_bf"] is None
+
+
+def test_levene_matches_reference_on_corpus(spark):
+    """On the real sf0.001 corpus the emitted F equals the
+    first-principles scorer over the exact per-source medians."""
+    from walmart_e_commerce_sales_data_pipeline_spark.queries.diagnostics import (
+        source_length_levene,
+    )
+
+    docs = table(spark, SF0001, "documents").select("source", "n_chars").collect()
+    groups = {}
+    for row in docs:
+        groups.setdefault(row["source"], []).append(row["n_chars"])
+    f = _bf_reference(groups)
+    r = source_length_levene(spark, SF0001).collect()[0]
+    assert r["n_docs"] == sum(len(v) for v in groups.values())
+    assert abs(r["f_bf"] - f) < 1e-6

@@ -370,6 +370,11 @@ COMMENT = {
     "then every window (score-DESC cumulative, decile gains) and the "
     "10-row k-grid range join run on the DOMAIN-bounded distinct-score "
     "table; 10-row output",
+    "source_length_levene": "round 18: one (source, length) hash "
+    "aggregate; the median scan windows are source-PARTITIONED over "
+    "the domain-bounded cell table; the per-source median frame "
+    "broadcasts back; the F fold is an ordered window over one row "
+    "per source; 1-row output",
 }
 
 

@@ -327,6 +327,10 @@ HEAVY = [
     # the domain-bounded distinct-score table, so shuffle must stay
     # flat as event volume grows.
     "score_lift_deciles",
+    # round 18: the Brown-Forsythe dispersion test — the (source x
+    # length) cell table bounds everything, so shuffle must stay flat
+    # as the corpus grows.
+    "source_length_levene",
 ]
 
 # Optional: soak only the named queries (positional args), e.g.

@@ -45,29 +45,31 @@ from . import (  # noqa: F401
 # Round-18 staleness histogram going in (CORRECTNESS_r17 went 49/50
 # green): 1 never-green (``source_ks_drift`` — the one r17 hash-fail, a
 # cross-engine EXP ulp on a ROUND(p,6) boundary, now pinned by rounding
-# lambda^2 to 9 dp in both engines) plus this round's nine new
+# lambda^2 to 9 dp in both engines) plus this round's ten new
 # registrations (never-green by construction),
 # 7 last-green r13 at staleness 5 (the structural refresh horizon),
 # 50 @ r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window, computed by
 # tools/rotate_window.py and staleness-asserted (MAX_STALE_ROUNDS=5
-# passed, worst projected staleness 4 at ``train_val_test_split``),
+# passed, worst projected staleness 4 at ``mixture_sampling_plan``),
 # is exactly the r17 VERDICT items 1+2 plus this round's additions: the
-# ten never-green queries first (``source_ks_drift`` — the one r17
-# hash-fail — and the nine new round-18 queries
+# eleven never-green queries first (``source_ks_drift`` — the one r17
+# hash-fail — and the ten new round-18 queries
 # ``cluster_aware_split``, ``cluster_sampling_weights``,
 # ``bigram_lm_quality``, ``spearman_rank_corr``, ``ngram_novelty_rate``,
 # ``source_length_kruskal``, ``lang_id_precision_recall``,
-# ``events_hourly_countsketch``, ``score_lift_deciles``; never-green
+# ``events_hourly_countsketch``, ``score_lift_deciles``,
+# ``source_length_levene``; never-green
 # heads the window, standing policy), then the seven staleness-5 r13
 # queries (``rrf_hybrid_retrieval``, ``retrieve_rerank_topk``,
 # ``embedding_top_pc``, ``histogram_quantile_sketch``,
 # ``events_hourly_cms``, ``kmv_jaccard_langs``,
-# ``events_hourly_value_quantiles``), then the stalest 33 of the 50
-# r14-green queries in registry order (``train_val_test_split``,
-# ``embedding_dim_profile``, ``corr_matrix_lineitem``,
-# ``forecast_revenue``, ``from_json_map``, ``asof_join_latest_order``,
-# ``range_join_close_events``, ``similarity_inverted_index``,
-# ``kmv_set_difference`` spill to the r19 head).
+# ``events_hourly_value_quantiles``), then the stalest 32 of the 50
+# r14-green queries in registry order (``mixture_sampling_plan``,
+# ``train_val_test_split``, ``embedding_dim_profile``,
+# ``corr_matrix_lineitem``, ``forecast_revenue``, ``from_json_map``,
+# ``asof_join_latest_order``, ``range_join_close_events``,
+# ``similarity_inverted_index``, ``kmv_set_difference`` spill to the
+# r19 head).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
@@ -83,6 +85,7 @@ _PRIORITY = [
     "lang_id_precision_recall",
     "events_hourly_countsketch",
     "score_lift_deciles",
+    "source_length_levene",
     "rrf_hybrid_retrieval",
     "retrieve_rerank_topk",
     "embedding_top_pc",
@@ -122,7 +125,6 @@ _PRIORITY = [
     "events_cohort_retention",
     "profile_documents",
     "stratified_sample_stats",
-    "mixture_sampling_plan",
 ]
 
 

@@ -3173,3 +3173,182 @@ def score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "source_length_levene",
+    oracle="""
+    WITH cells AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, v, c,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cf,
+               CAST(SUM(c) OVER (PARTITION BY source)
+                    AS BIGINT) AS n_g
+        FROM cells
+    ),
+    med AS (
+        SELECT source,
+               CAST(MIN(CASE WHEN cf >= (n_g + 1) // 2 THEN v END)
+                    + MIN(CASE WHEN cf >= (n_g + 2) // 2 THEN v END)
+                    AS BIGINT) AS m2
+        FROM cum GROUP BY source
+    ),
+    dev AS (
+        SELECT cells.source,
+               CAST(SUM(cells.c) AS BIGINT) AS n_g,
+               CAST(SUM(cells.c * ABS(2 * cells.v - med.m2))
+                    AS BIGINT) AS s_g,
+               CAST(SUM(CAST(cells.c AS DECIMAL(38,0))
+                        * ABS(2 * cells.v - med.m2)
+                        * ABS(2 * cells.v - med.m2))
+                    AS DECIMAL(38,0)) AS q_g
+        FROM cells JOIN med USING (source)
+        GROUP BY cells.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(q_g) AS DECIMAL(38,0)) AS q
+        FROM dev
+    ),
+    folded AS (
+        SELECT SUM((CAST(s_g AS DOUBLE) * s_g) / n_g)
+                   OVER (ORDER BY source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fs,
+               ROW_NUMBER() OVER (ORDER BY source DESC) AS rn
+        FROM dev
+    ),
+    stat AS (
+        SELECT tot.n, tot.k, tot.s, tot.q,
+               folded.fs - (CAST(tot.s AS DOUBLE) * tot.s)
+                           / tot.n AS between_ss,
+               CAST(tot.q AS DOUBLE) - folded.fs AS within_ss
+        FROM folded CROSS JOIN tot WHERE folded.rn = 1
+    )
+    SELECT n AS n_docs, k AS n_sources,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           s AS sum_dev2, q AS sum_dev2_sq,
+           CASE WHEN k > 1 AND n > k AND within_ss > 0 THEN
+               ROUND((CAST(n - k AS DOUBLE) * GREATEST(0.0, between_ss))
+                     / (CAST(k - 1 AS DOUBLE) * within_ss), 6)
+           END AS f_bf
+    FROM stat
+    """,
+    description="Brown-Forsythe (median-centered Levene) test of length "
+    "VARIANCE homogeneity across sources — the dispersion companion to "
+    "source_length_kruskal's location test (a pipeline that sees KW "
+    "reject wants to know whether the sources differ in center, spread, "
+    "or both; BF answers spread robustly because deviations are taken "
+    "from the MEDIAN, not the mean, so heavy-tailed length "
+    "distributions do not inflate the test).  F is scale-invariant, so "
+    "everything runs on DOUBLED deviations d2 = |2x - m2| where m2 = "
+    "v_lo + v_hi is the DOUBLED exact per-source median read from the "
+    "source-partitioned cumulative count table by integer position "
+    "comparison (cf >= (n_g+1)//2 and cf >= (n_g+2)//2 — no float "
+    "percentile anywhere): d2, the per-source deviation sums S_g, and "
+    "the corpus S are pure BIGINT; the squared-deviation sums are "
+    "DECIMAL(38,0); the one-way ANOVA F on the deviations folds the "
+    "per-source (S_g)^2/n_g terms under an ORDERED unpartitioned "
+    "window over the source table (the source_length_kruskal IEEE "
+    "pattern), clamps the epsilon-negative between-SS, NULL-guards "
+    "within_ss <= 0 (every group's deviations constant), k < 2, and "
+    "n = k, and rounds once.  Scale shape: one map-side-combined "
+    "shuffle to the (source, length) cell table — bounded by sources x "
+    "length-domain, never corpus size; the median scan, deviation "
+    "rollup, and F fold all run on that bounded table; the per-source "
+    "median frame broadcasts; 1-row output, no driver collect",
+    tags=("statistics", "drift", "exact-cells", "text"),
+)
+def source_length_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    cells = docs.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = cells.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cf"),
+        F.sum("c").over(wall).cast("long").alias("n_g"),
+    )
+    med = cum.groupBy("source").agg(
+        (
+            F.min(F.when(F.expr("cf >= (n_g + 1) div 2"), F.col("v")))
+            + F.min(F.when(F.expr("cf >= (n_g + 2) div 2"), F.col("v")))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    dec = "decimal(38,0)"
+    d2 = F.abs(F.lit(2) * F.col("v") - F.col("m2"))
+    dev = (
+        cells.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * d2).cast("long").alias("s_g"),
+            F.sum(F.col("c").cast(dec) * d2 * d2).cast(dec).alias("q_g"),
+        )
+    )
+    tot = dev.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast(dec).alias("q"),
+    )
+    wfold = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sgd = F.col("s_g").cast("double")
+    folded = (
+        dev.select(
+            F.sum((sgd * F.col("s_g")) / F.col("n_g")).over(wfold).alias("fs"),
+            F.row_number()
+            .over(Window.orderBy(F.col("source").desc()))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    sd = F.col("s").cast("double")
+    between_ss = F.col("fs") - (sd * F.col("s")) / F.col("n")
+    within_ss = F.col("q").cast("double") - F.col("fs")
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("k").alias("n_sources"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("n") - F.col("k")).cast("long").alias("df2"),
+            F.col("s").alias("sum_dev2"),
+            F.col("q").alias("sum_dev2_sq"),
+            F.when(
+                (F.col("k") > 1) & (F.col("n") > F.col("k")) & (within_ss > 0),
+                F.round(
+                    (
+                        (F.col("n") - F.col("k")).cast("double")
+                        * F.greatest(F.lit(0.0), between_ss)
+                    )
+                    / ((F.col("k") - 1).cast("double") * within_ss),
+                    6,
+                ),
+            ).alias("f_bf"),
+        )
+    )
