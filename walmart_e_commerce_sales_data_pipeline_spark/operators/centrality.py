@@ -90,8 +90,20 @@ def pagerank(
         F.col(src).alias("u"), F.col(dst).alias("v"), w
     ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"), w))
     deg = edges.groupBy("u").agg(F.sum("w").alias("deg"))
+    # Materialize the per-node degree table and the degree-annotated edge
+    # set ONCE (r18 optimization round, guide §2.4/§5): the unrolled plan
+    # otherwise re-derives BOTH subtrees inside every iteration — the
+    # caller's pair plan, the symmetrizing union, the degree aggregation
+    # and the degree join all execute `iterations` times (plus once more
+    # for the node count), which at production scale is `iterations + 1`
+    # full passes over the edge set for state that never changes across
+    # iterations.  deg is one row per node, edges_w two rows per pair;
+    # both are the bounded per-iteration state the docstring already
+    # commits to.  The node count then reads the materialized deg rows
+    # instead of re-running the aggregation from the caller's plan.
+    deg = deg.localCheckpoint(eager=True)
     n = deg.count()
-    edges_w = edges.join(deg, "u")
+    edges_w = edges.join(deg, "u").localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n
     ranks = deg.select(F.col("u").alias("id"), (F.lit(1.0) / n).alias("pr"))
     for _ in range(iterations):

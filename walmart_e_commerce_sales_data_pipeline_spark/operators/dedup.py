@@ -1238,6 +1238,7 @@ def _prefix_candidates(
     threshold_num: int,
     threshold_den: int,
     positional: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (x, y) pairs of ``prefix_filter_jaccard_pairs``'s
     generation stage: the prefix-entry equi-join, optionally pruned by
@@ -1263,11 +1264,15 @@ def _prefix_candidates(
     guarantee (hypothesis-pinned for ANY input in
     tests/test_round14_properties.py), measured candidate reduction in
     tests/test_dedup_similarity.py.  ``positional=False`` keeps the
-    plain prefix join for that measurement."""
+    plain prefix join for that measurement.  ``sizes``: caller-supplied
+    (id, n_sh) table so a caller that already aggregated per-doc sizes
+    shares ONE aggregation pass instead of re-running it here (r18
+    optimization round)."""
     from pyspark.sql import Window
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     ranked = (
         sh.join(freq, "shingle")
         .withColumn(
@@ -1366,10 +1371,24 @@ def prefix_filter_jaccard_pairs(
     verification join — every stage is keyed, nothing is all-pairs, and
     the candidate stream is the one the prefix + positional bounds
     provably minimize per set size.
+
+    The shingle stream feeds SIX consumers (df aggregate, two size
+    aggregates, the rank-window input, and both verification sides), and
+    like the shared-shingle generator's docstring notes, aliased
+    self-consumption does not canonicalize to a reusable exchange — so
+    the stream is persisted for the duration of the call (r18
+    optimization round: one shingle materialization instead of six
+    corpus re-scans at production scale) and released after the bounded,
+    thresholded pair set materializes via localCheckpoint, the
+    ``jaccard_pairs`` cache-lifetime discipline.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    cand = _prefix_candidates(sh, threshold_num, threshold_den)
+    cand = _prefix_candidates(sh, threshold_num, threshold_den, sizes=sizes)
     a = sh.select(F.col("id").alias("x"), "shingle")
     b = sh.select(F.col("id").alias("y"), "shingle")
     inter = (
@@ -1381,7 +1400,7 @@ def prefix_filter_jaccard_pairs(
     sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
     sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
     num, den = threshold_num, threshold_den
-    return (
+    out = (
         inter.join(sx, "x")
         .join(sy, "y")
         .filter(
@@ -1400,5 +1419,12 @@ def prefix_filter_jaccard_pairs(
                 4,
             ).alias("jacc_r"),
         )
-        .orderBy("x", "y")
     )
+    # try/finally: the persisted shingle stream must be released even if
+    # the eager checkpoint job fails (leaked persists pin executor
+    # memory for the rest of the session).
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out.orderBy("x", "y")

@@ -29,23 +29,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructType
 
 from ..session import ensure_utc
+
+# Schema memo (r18 optimization round): ``spark.read.parquet`` without an
+# explicit schema re-infers it on EVERY call — file listing plus a footer
+# read, measured 60-100 ms per call on this driver vs ~13 ms with the
+# schema supplied, and a real metadata round-trip per query at production
+# scale (catalog metadata is exactly what engines cache; guide §6 file
+# listing).  The memo holds table SCHEMAS only — catalog metadata, never
+# rows or results — and is keyed on ``table_fingerprint`` (path + per-file
+# size/mtime), so a rewritten or regenerated table re-infers.  The events
+# loader still adapts to whichever ``ts`` encoding the memoized schema
+# reports, same as before.
+_SCHEMA_MEMO: dict[str, StructType] = {}
+
+
+def _table_schema(spark: SparkSession, sf_dir: str, name: str) -> StructType:
+    key = table_fingerprint(sf_dir, name)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _SCHEMA_MEMO[key] = sch
+    return sch
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    sch = _table_schema(spark, sf_dir, name)
+    return spark.read.schema(sch).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     # Harmless when ts is already timestamp[us]; required to load the
-    # TIMESTAMP(NANOS) encoding at all.
+    # TIMESTAMP(NANOS) encoding at all.  Set BEFORE the schema probe:
+    # inference itself rejects TIMESTAMP(NANOS) without it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sch = _table_schema(spark, sf_dir, "events")
+    raw = spark.read.schema(sch).parquet(f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
         # Nanos-as-long encoding.  Integer `div`, never float division:
         # ts_ns ≈ 1.7e18 exceeds double's 53-bit mantissa, so `/ 1000`
