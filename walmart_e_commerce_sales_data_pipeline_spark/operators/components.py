@@ -140,7 +140,13 @@ def _star_components(
         ).first()
         return (row["n"], row["h"])
 
-    cur = oriented.localCheckpoint()
+    # Lazy checkpoints throughout the loop (r18 optimization round): the
+    # signature aggregation that immediately follows each checkpoint is
+    # what materializes it, so marking the frame lazily checkpoints it
+    # inside the signature's job instead of paying a separate eager
+    # materialization job per round — one driver barrier per round, not
+    # two, with identical lineage truncation.
+    cur = oriented.localCheckpoint(eager=False)
     prev_sig = _sig(cur)
     for it in range(1, max_iterations + 1):
         # Symmetrize for large-star: each node must see its full
@@ -171,7 +177,7 @@ def _star_components(
             )
             .distinct()
             .select("x", F.col("comp").alias("y"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = _sig(ss)
         prev = cur
