@@ -132,13 +132,21 @@ def exact_group_percentiles(
     hist = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
         F.count("*").alias("_c")
     )
+    # Per-group totals from the PRE-window histogram (r18 optimization
+    # round): max-of-running-sum over the ordered window equals the plain
+    # per-group sum of counts exactly (integer arithmetic), but the
+    # former forced the per-group histogram SORT to execute twice — once
+    # under this aggregate, once under the bracketing join below (both
+    # consumers sit above the same reused exchange, and the sort+window
+    # is post-exchange work that AQE's ReusedExchange cannot dedupe).
+    # The plain sum re-aggregates from the reused histogram exchange with
+    # no sort at all; the single remaining window sort feeds the join.
+    totals = hist.groupBy(*key_cols).agg(F.sum("_c").alias("_n"))
     w = Window.partitionBy(*key_cols).orderBy("_v")
     hist = (
         hist.withColumn("_end", F.sum("_c").over(w))
         .withColumn("_start", F.col("_end") - F.col("_c"))
     )
-
-    totals = hist.groupBy(*key_cols).agg(F.max("_end").alias("_n"))
     targets = (
         totals.select(
             *key_cols,
