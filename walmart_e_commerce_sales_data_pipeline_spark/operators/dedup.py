@@ -1372,21 +1372,17 @@ def prefix_filter_jaccard_pairs(
     the candidate stream is the one the prefix + positional bounds
     provably minimize per set size.
 
-    The shingle stream feeds SIX consumers (df aggregate, two size
-    aggregates, the rank-window input, and both verification sides), and
-    like the shared-shingle generator's docstring notes, aliased
-    self-consumption does not canonicalize to a reusable exchange — so
-    the stream is persisted for the duration of the call (r18
+    The shingle stream feeds SIX consumers (df aggregate, one shared
+    size aggregate, the rank-window input, and both verification sides)
+    behind differently-keyed exchanges, which AQE's ReusedExchange
+    cannot collapse — so the stream is eagerly checkpointed (r18
     optimization round: one shingle materialization instead of six
-    corpus re-scans at production scale) and released after the bounded,
-    thresholded pair set materializes via localCheckpoint, the
-    ``jaccard_pairs`` cache-lifetime discipline.
+    corpus re-scans at production scale).  The checkpoint keeps every
+    downstream plan shape visible to the plan sweep (no final-result
+    materialization hiding the candidate/verification joins) and its
+    state is released by the ContextCleaner with the frame.
     """
-    from pyspark import StorageLevel
-
-    sh = shingle_sets(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, threshold_num, threshold_den, sizes=sizes)
     a = sh.select(F.col("id").alias("x"), "shingle")
@@ -1400,7 +1396,7 @@ def prefix_filter_jaccard_pairs(
     sx = sizes.select(F.col("id").alias("x"), F.col("n_sh").alias("nx"))
     sy = sizes.select(F.col("id").alias("y"), F.col("n_sh").alias("ny"))
     num, den = threshold_num, threshold_den
-    out = (
+    return (
         inter.join(sx, "x")
         .join(sy, "y")
         .filter(
@@ -1419,12 +1415,5 @@ def prefix_filter_jaccard_pairs(
                 4,
             ).alias("jacc_r"),
         )
+        .orderBy("x", "y")
     )
-    # try/finally: the persisted shingle stream must be released even if
-    # the eager checkpoint job fails (leaked persists pin executor
-    # memory for the rest of the session).
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
-    return out.orderBy("x", "y")

@@ -559,39 +559,35 @@ def kmv_jaccard_langs(
     ``(lang_a, lang_b, sig_union_k, sig_in_both, kmv_jaccard_est)`` —
     the production path, which moves pairs x <= 128 signature rows
     however big the corpus.  Default off; bench.py measures both."""
-    from pyspark import StorageLevel
-
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
     # The distinct (lang, shingle) stream feeds FOUR consumers (the
     # signature ranking, the per-lang cardinalities, both sides of the
-    # exact intersection self-join) and none of their exchanges
-    # canonicalize to a shared one — persist it so the corpus is
-    # shingled and deduplicated ONCE per run instead of once per
-    # consumer (r18 optimization round, guide §2.4/§5).  The k-row
-    # signature table is then eagerly checkpointed (<= k rows per lang):
-    # it anchors three downstream consumers AND its materialization
-    # fills the shingle cache in the same job.
+    # exact intersection self-join) behind differently-keyed exchanges,
+    # so without materialization the corpus is shingled and
+    # deduplicated once PER CONSUMER (AQE's ReusedExchange only dedupes
+    # identically-keyed exchanges).  Eagerly checkpoint it (r18
+    # optimization round, guide §2.4/§5): one shingle pass per run;
+    # downstream plans — the rank window, the lang-pair nested loop the
+    # plan sweep whitelists, the exact self-join — stay fully visible
+    # to the plan sweep, and the checkpointed state is released by the
+    # ContextCleaner with the frame (no persist/unpersist lifetime to
+    # thread through the two return paths).
     sh = (
         _spread_narrow(docs)
         .select("lang", tokenize("text").alias("_t"))
         .select("lang", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     h = sh.select("lang", F.expr(_kj_hash_sql("STRING")).alias("hv")).distinct()
     wl = Window.partitionBy("lang").orderBy("hv")
-    try:
-        sig = (
-            h.withColumn("rk", F.row_number().over(wl))
-            .filter(F.col("rk") <= _KJ_K)
-            .select("lang", "hv")
-            .localCheckpoint(eager=True)
-        )
-    except Exception:
-        sh.unpersist()
-        raise
+    sig = (
+        h.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _KJ_K)
+        .select("lang", "hv")
+    )
     langs = sig.select("lang").distinct()
     pairs = langs.select(F.col("lang").alias("lang_a")).join(
         langs.select(F.col("lang").alias("lang_b")),
@@ -623,7 +619,6 @@ def kmv_jaccard_langs(
         )
     )
     if sketch_only:
-        sh.unpersist()
         return estagg.select(
             "lang_a", "lang_b", "sig_union_k", "sig_in_both",
             F.round(F.col("sig_in_both") / F.col("sig_union_k"), 6).alias(
@@ -644,7 +639,7 @@ def kmv_jaccard_langs(
     ex_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ex_raw = F.col("n_inter") / ex_union
     est_raw = F.col("sig_in_both") / F.col("sig_union_k")
-    out = (
+    return (
         pairs.join(F.broadcast(nl.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))), "lang_a")
         .join(F.broadcast(nl.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))), "lang_b")
         .join(F.broadcast(inter), ["lang_a", "lang_b"], "left")
@@ -657,15 +652,8 @@ def kmv_jaccard_langs(
             F.round(est_raw, 6).alias("kmv_jaccard_est"),
             F.round(F.abs(est_raw - ex_raw), 6).alias("abs_err"),
         )
+        .orderBy("lang_a", "lang_b")
     )
-    # |pairs|-row result: materialize it so the shingle cache can be
-    # released before returning (jaccard_pairs cache-lifetime
-    # discipline).
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
-    return out.orderBy("lang_a", "lang_b")
 
 
 _KD_SCALE = float(16**12)  # 2^48, the portable-hash value range
@@ -782,34 +770,27 @@ def kmv_set_difference(
     signature-derived difference estimates only — the production A-vs-B
     audit path (see kmv_jaccard_langs).  Default off; bench.py measures
     both tiers."""
-    from pyspark import StorageLevel
-
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
     # Same materialization discipline as kmv_jaccard_langs (r18
-    # optimization round): the distinct shingle stream is persisted
-    # (four consumers, no shared exchange) and the k-row signature table
-    # eagerly checkpointed.
+    # optimization round): eagerly checkpoint the distinct shingle
+    # stream (four differently-keyed consumers); every downstream plan
+    # shape stays visible to the plan sweep.
     sh = (
         _spread_narrow(docs)
         .select("lang", tokenize("text").alias("_t"))
         .select("lang", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     h = sh.select("lang", F.expr(_kj_hash_sql("STRING")).alias("hv")).distinct()
     wl = Window.partitionBy("lang").orderBy("hv")
-    try:
-        sig = (
-            h.withColumn("rk", F.row_number().over(wl))
-            .filter(F.col("rk") <= _KJ_K)
-            .select("lang", "hv")
-            .localCheckpoint(eager=True)
-        )
-    except Exception:
-        sh.unpersist()
-        raise
+    sig = (
+        h.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _KJ_K)
+        .select("lang", "hv")
+    )
     langs = sig.select("lang").distinct()
     pairs = langs.select(F.col("lang").alias("lang_a")).join(
         langs.select(F.col("lang").alias("lang_b")),
@@ -848,7 +829,6 @@ def kmv_set_difference(
         F.col("sig_union_k") < _KJ_K, F.col("sig_union_k").cast("double")
     ).otherwise(F.lit(float(_KJ_K - 1)) * F.lit(_KD_SCALE) / F.col("kth_u"))
     if sketch_only:
-        sh.unpersist()
         return estagg.select(
             "lang_a", "lang_b", "sig_union_k", "sig_a_only", "sig_b_only",
             F.round(est_union_s, 4).alias("est_union"),
@@ -877,7 +857,7 @@ def kmv_set_difference(
     est_b = F.col("sig_b_only") * est_union / F.col("sig_union_k")
     exact_a = F.col("n_a") - F.col("n_inter")
     exact_b = F.col("n_b") - F.col("n_inter")
-    out = (
+    return (
         pairs.join(
             F.broadcast(
                 nl.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
@@ -904,12 +884,8 @@ def kmv_set_difference(
             F.round(F.abs(est_a - exact_a), 4).alias("abs_err_a"),
             F.round(F.abs(est_b - exact_b), 4).alias("abs_err_b"),
         )
+        .orderBy("lang_a", "lang_b")
     )
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
-    return out.orderBy("lang_a", "lang_b")
 
 
 # --- per-window quantile sketch readout (streaming twin) --------------------
