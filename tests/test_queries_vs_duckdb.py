@@ -150,102 +150,130 @@ def test_checked_window_composition():
 
     assert len(_PRIORITY) == 50
     assert names[:50] == _PRIORITY
-    # Round-18 rotation policy: the checked window is the 50 queries
+    # Round-19 rotation policy: the checked window is the 50 queries
     # with the oldest external evidence (computed by
     # tools/rotate_window.py, which also asserts the 5-round staleness
-    # horizon).  Evidence going in: 1 never-green (source_ks_drift, the
-    # r17 hash-fail — now pinned, see queries/diagnostics.py) plus the
-    # ten new round-18 queries (never-green by construction), 7 last
-    # green r13 at staleness 5 (the structural refresh horizon — the
-    # suite gate in tests/test_rotation_policy.py forces them in), 50 @
-    # r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window is the eleven
-    # never-green queries first (standing policy), the seven
-    # staleness-5 r13 queries, then the stalest 32 of the 50 r14-green
-    # queries in registry order (mixture_sampling_plan,
-    # train_val_test_split, embedding_dim_profile, corr_matrix_lineitem,
-    # forecast_revenue, from_json_map, asof_join_latest_order,
-    # range_join_close_events, similarity_inverted_index and
-    # kmv_set_difference spill to the r19 head).
+    # horizon).  Evidence going in: 4 never-green (source_ks_drift,
+    # spearman_rank_corr, source_length_kruskal, source_length_levene —
+    # the four and only queries that PUBLISHED a DECIMAL(38,0) column;
+    # decimal-typed outputs went 0-for-5 on the external hash across
+    # rounds 1-18, so this round publishes those exact-integer pins as
+    # digit strings), then 18 last-green r14, 50 @ r15, 50 @ r16,
+    # 49 @ r17, 46 @ r18.  The window is the four never-green queries
+    # first (standing policy — they carry the decimal-to-string fix and
+    # must be re-checked), the 18 r14 greens in registry order, then
+    # the stalest 28 of the 50 r15 greens in registry order.
     window = set(names[:50])
-    assert _PRIORITY[:18] == [
-        "source_ks_drift",  # never externally green (r17 hash-fail)
-        "cluster_aware_split",  # new this round — never-green
-        "cluster_sampling_weights",  # new this round — never-green
-        "bigram_lm_quality",  # new this round — never-green
-        "spearman_rank_corr",  # new this round — never-green
-        "ngram_novelty_rate",  # new this round — never-green
-        "source_length_kruskal",  # new this round — never-green
-        "lang_id_precision_recall",  # new this round — never-green
-        "events_hourly_countsketch",  # new this round — never-green
-        "score_lift_deciles",  # new this round — never-green
-        "source_length_levene",  # new this round — never-green
-        "rrf_hybrid_retrieval",  # the seven staleness-5 r13 greens
-        "retrieve_rerank_topk",
-        "embedding_top_pc",
-        "histogram_quantile_sketch",
-        "events_hourly_cms",
-        "kmv_jaccard_langs",
-        "events_hourly_value_quantiles",
+    assert _PRIORITY[:22] == [
+        "source_ks_drift",  # never-green (r17+r18: published decimal)
+        "spearman_rank_corr",  # never-green (r18: published decimal)
+        "source_length_kruskal",  # never-green (r18: published decimal)
+        "source_length_levene",  # never-green (r18: published decimal)
+        "mixture_sampling_plan",  # the 18 r14-green queries
+        "train_val_test_split",
+        "embedding_dim_profile",
+        "corr_matrix_lineitem",
+        "forecast_revenue",
+        "from_json_map",
+        "asof_join_latest_order",
+        "range_join_close_events",
+        "similarity_inverted_index",
+        "kmv_set_difference",
+        "events_hourly_hll",
+        "cms_selfjoin_size",
+        "events_daily_hll_rollup",
+        "events_sliding_hll",
+        "cms_join_size_estimate",
+        "cube_distinct_hll",
+        "pareto_frontier_parts",  # the stalest 28 r15 greens start here
+        "events_session_window",
     ]
-    # The 32 stalest r14-green queries follow in registry order.
-    assert _PRIORITY[18:50] == [
-        "monthly_avg_value",
-        "events_hourly_window",
-        "events_sessionization",
-        "events_sliding_window",
-        "events_json_extract",
-        "user_event_paths",
-        "time_series_gap_fill",
-        "key_skew_profile",
-        "latest_record_compaction",
-        "events_dow_hour_heatmap",
-        "event_interarrival_profile",
-        "multi_touch_attribution",
-        "scalar_means",
-        "impute_group_avg",
-        "join_customer_orders",
-        "join_left_outer",
-        "join_semi",
-        "jaccard_prefix_filter",
-        "warc_curation_by_day",
-        "common_shingle_fraction",
-        "vocab_oov_rate",
-        "prefix_dup_groups",
-        "events_hourly_bloom_returns",
-        "revenue_theilsen_slope",
-        "bootstrap_ci_revenue",
-        "revenue_seasonality_regression",
-        "grouped_zscore_histogram",
-        "incremental_rollup_maintenance",
-        "events_funnel",
-        "events_cohort_retention",
-        "profile_documents",
-        "stratified_sample_stats",
+    assert _PRIORITY[22:50] == [
+        "concurrent_sessions_profile",
+        "time_decayed_engagement",
+        "events_forward_decay",
+        "survival_time_to_purchase",
+        "pricing_summary",
+        "join_anti",
+        "join_full_outer",
+        "regional_revenue",
+        "basket_association_rules",
+        "market_concentration_hhi",
+        "vocab_coverage_estimators",
+        "training_negative_samples",
+        "benford_digit_profile",
+        "revenue_gini_lorenz",
+        "revenue_cusum_changepoint",
+        "quality_score_auc",
+        "revenue_autocorrelation",
+        "revenue_seasonal_decomposition",
+        "priority_sample_subsetsum",
+        "shipping_priority_top10",
+        "large_quantity_orders",
+        "above_average_orders",
+        "pivot_status_by_year",
+        "price_percentiles",
+        "regex_math_functions",
+        "ship_delay_buckets",
+        "map_array_functions",
+        "join_right_outer",
     ]
-    # Nothing green in rounds 15-17 re-occupies a window slot — the
+    # Nothing green in rounds 16-18 re-occupies a window slot — the
     # window is reserved for the stalest evidence.
     recent_green_sample = {
-        # r17 greens (last round's window head)
+        # r18 greens (last round's window)
+        "cluster_aware_split", "cluster_sampling_weights",
+        "bigram_lm_quality", "ngram_novelty_rate",
+        "lang_id_precision_recall", "events_hourly_countsketch",
+        "score_lift_deciles", "rrf_hybrid_retrieval",
+        "retrieve_rerank_topk", "embedding_top_pc",
+        "histogram_quantile_sketch", "events_hourly_cms",
+        "kmv_jaccard_langs", "jaccard_prefix_filter",
+        "events_hourly_bloom_returns", "multi_touch_attribution",
+        "stratified_sample_stats", "profile_documents",
+        # r17 greens
         "conversion_ab_ztest", "events_hourly_sample_aes",
         "event_dow_independence", "source_psi_drift",
         "similarity_topk_ivf", "multimodal_features", "date_functions",
-        "agg_suite", "case_when_tiers", "union_all_monthly",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "text_stats", "doc_fingerprint", "text_bpe_tokens",
+        "dedup_exact", "dedup_minhash_lsh", "text_stats",
         "cms_heavy_hitters", "bloom_semijoin_stats",
-        "revenue_decline_streaks", "events_rolling_engagement",
         # r16 greens
         "survival_km_logrank", "zipf_slope_fit", "events_hourly_mg",
         "heaps_law_fit", "revenue_mann_kendall", "source_token_diversity",
         "window_topk_orders", "merge_upsert_orders", "similarity_lsh",
-        # r15 greens
-        "events_hourly_kmv", "mg_heavy_hitters", "countsketch_user_freq",
-        "benford_digit_profile", "pricing_summary", "regional_revenue",
-        "join_anti", "join_full_outer",
     }
     assert not (recent_green_sample & window)
     # every query everywhere carries an exact oracle
     assert all(entry.oracle for entry in q.REGISTRY.values())
+
+
+def test_no_query_publishes_decimal_columns(duck):
+    """Across rounds 1-18 every externally hash-checked query that
+    PUBLISHED a decimal-typed column failed the driver's value hash
+    (r1 stratified_sample_stats HUGEINT-vs-BIGINT; r17/r18
+    source_ks_drift, spearman_rank_corr, source_length_kruskal,
+    source_length_levene — all rows_match+schema_match green,
+    hash_match red, 0-for-5) while every non-decimal published type
+    passed; decimal128 arrow export and Decimal-object hashing vary
+    across engine builds where int64/double/varchar do not.  Exact
+    integer pins wider than BIGINT must be published as digit strings
+    (internal DECIMAL(38,0) arithmetic is fine and unchecked here).
+    DuckDB's binder types the oracle without executing it; the mirror's
+    arrow type-class assertion transfers the property to the Spark side.
+    """
+    offenders = {}
+    for name, query in q.REGISTRY.items():
+        rel = duck.sql(query.oracle)
+        decs = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "DECIMAL" in str(t).upper()
+        ]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, (
+        f"queries publishing decimal-typed columns (never driver-green): {offenders}"
+    )
 
 
 def test_bench_headline_names_are_registered():

@@ -42,89 +42,77 @@ from . import (  # noqa: F401
 # horizon: no query may project past 5 rounds without external evidence
 # under the proposed window).
 #
-# Round-18 staleness histogram going in (CORRECTNESS_r17 went 49/50
-# green): 1 never-green (``source_ks_drift`` — the one r17 hash-fail, a
-# cross-engine EXP ulp on a ROUND(p,6) boundary, now pinned by rounding
-# lambda^2 to 9 dp in both engines) plus this round's ten new
-# registrations (never-green by construction),
-# 7 last-green r13 at staleness 5 (the structural refresh horizon),
-# 50 @ r14, 50 @ r15, 50 @ r16, 49 @ r17.  The window, computed by
-# tools/rotate_window.py and staleness-asserted (MAX_STALE_ROUNDS=5
-# passed, worst projected staleness 4 at ``mixture_sampling_plan``),
-# is exactly the r17 VERDICT items 1+2 plus this round's additions: the
-# eleven never-green queries first (``source_ks_drift`` — the one r17
-# hash-fail — and the ten new round-18 queries
-# ``cluster_aware_split``, ``cluster_sampling_weights``,
-# ``bigram_lm_quality``, ``spearman_rank_corr``, ``ngram_novelty_rate``,
-# ``source_length_kruskal``, ``lang_id_precision_recall``,
-# ``events_hourly_countsketch``, ``score_lift_deciles``,
-# ``source_length_levene``; never-green
-# heads the window, standing policy), then the seven staleness-5 r13
-# queries (``rrf_hybrid_retrieval``, ``retrieve_rerank_topk``,
-# ``embedding_top_pc``, ``histogram_quantile_sketch``,
-# ``events_hourly_cms``, ``kmv_jaccard_langs``,
-# ``events_hourly_value_quantiles``), then the stalest 32 of the 50
-# r14-green queries in registry order (``mixture_sampling_plan``,
-# ``train_val_test_split``, ``embedding_dim_profile``,
-# ``corr_matrix_lineitem``, ``forecast_revenue``, ``from_json_map``,
-# ``asof_join_latest_order``, ``range_join_close_events``,
-# ``similarity_inverted_index``, ``kmv_set_difference`` spill to the
-# r19 head).
+# Round-19 staleness histogram going in (CORRECTNESS_r18 went 46/50
+# green): 4 never-green — ``source_ks_drift``, ``spearman_rank_corr``,
+# ``source_length_kruskal``, ``source_length_levene``, the four (and
+# only) queries that PUBLISHED a DECIMAL(38,0)-typed column; across
+# rounds 1-18 a decimal-typed output column went 0-for-5 on the
+# external value hash while every other published type passed, so the
+# exact-integer pins are now published as digit strings (see each
+# query's description) — then 18 last-green r14, 50 @ r15, 50 @ r16,
+# 49 @ r17, 46 @ r18.  The window, computed by tools/rotate_window.py
+# and staleness-asserted (MAX_STALE_ROUNDS=5 passed, worst projected
+# staleness 4 at ``join_cross``), is the four never-green queries first
+# (standing policy — they carry this round's decimal-to-string fix and
+# must be re-checked), then the 18 r14-green queries in registry order
+# (``mixture_sampling_plan`` ... ``cube_distinct_hll``), then the
+# stalest 28 of the 50 r15-green queries in registry order
+# (``pareto_frontier_parts`` ... ``join_right_outer``).
 # Every tail query is re-proven by the local DuckDB mirror
 # (tests/test_queries_vs_duckdb.py, driver-equivalent strictness) on
 # every pytest run.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     "source_ks_drift",
-    "cluster_aware_split",
-    "cluster_sampling_weights",
-    "bigram_lm_quality",
     "spearman_rank_corr",
-    "ngram_novelty_rate",
     "source_length_kruskal",
-    "lang_id_precision_recall",
-    "events_hourly_countsketch",
-    "score_lift_deciles",
     "source_length_levene",
-    "rrf_hybrid_retrieval",
-    "retrieve_rerank_topk",
-    "embedding_top_pc",
-    "histogram_quantile_sketch",
-    "events_hourly_cms",
-    "kmv_jaccard_langs",
-    "events_hourly_value_quantiles",
-    "monthly_avg_value",
-    "events_hourly_window",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_json_extract",
-    "user_event_paths",
-    "time_series_gap_fill",
-    "key_skew_profile",
-    "latest_record_compaction",
-    "events_dow_hour_heatmap",
-    "event_interarrival_profile",
-    "multi_touch_attribution",
-    "scalar_means",
-    "impute_group_avg",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_semi",
-    "jaccard_prefix_filter",
-    "warc_curation_by_day",
-    "common_shingle_fraction",
-    "vocab_oov_rate",
-    "prefix_dup_groups",
-    "events_hourly_bloom_returns",
-    "revenue_theilsen_slope",
-    "bootstrap_ci_revenue",
-    "revenue_seasonality_regression",
-    "grouped_zscore_histogram",
-    "incremental_rollup_maintenance",
-    "events_funnel",
-    "events_cohort_retention",
-    "profile_documents",
-    "stratified_sample_stats",
+    "mixture_sampling_plan",
+    "train_val_test_split",
+    "embedding_dim_profile",
+    "corr_matrix_lineitem",
+    "forecast_revenue",
+    "from_json_map",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "similarity_inverted_index",
+    "kmv_set_difference",
+    "events_hourly_hll",
+    "cms_selfjoin_size",
+    "events_daily_hll_rollup",
+    "events_sliding_hll",
+    "cms_join_size_estimate",
+    "cube_distinct_hll",
+    "pareto_frontier_parts",
+    "events_session_window",
+    "concurrent_sessions_profile",
+    "time_decayed_engagement",
+    "events_forward_decay",
+    "survival_time_to_purchase",
+    "pricing_summary",
+    "join_anti",
+    "join_full_outer",
+    "regional_revenue",
+    "basket_association_rules",
+    "market_concentration_hhi",
+    "vocab_coverage_estimators",
+    "training_negative_samples",
+    "benford_digit_profile",
+    "revenue_gini_lorenz",
+    "revenue_cusum_changepoint",
+    "quality_score_auc",
+    "revenue_autocorrelation",
+    "revenue_seasonal_decomposition",
+    "priority_sample_subsetsum",
+    "shipping_priority_top10",
+    "large_quantity_orders",
+    "above_average_orders",
+    "pivot_status_by_year",
+    "price_percentiles",
+    "regex_math_functions",
+    "ship_delay_buckets",
+    "map_array_functions",
+    "join_right_outer",
 ]
 
 

@@ -1521,9 +1521,9 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base JOIN ra USING (a) JOIN rb USING (b)
     )
     SELECT CAST(n AS BIGINT) AS n,
-           CAST(n * s12 - s1 * s2 AS DECIMAL(38,0)) AS cov_num,
-           CAST(n * s11 - s1 * s1 AS DECIMAL(38,0)) AS var_a_num,
-           CAST(n * s22 - s2 * s2 AS DECIMAL(38,0)) AS var_b_num,
+           CAST(CAST(n * s12 - s1 * s2 AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
+           CAST(CAST(n * s11 - s1 * s1 AS DECIMAL(38,0)) AS VARCHAR) AS var_a_num,
+           CAST(CAST(n * s22 - s2 * s2 AS DECIMAL(38,0)) AS VARCHAR) AS var_b_num,
            CASE WHEN n * s11 > s1 * s1 AND n * s22 > s2 * s2 THEN
                ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
                      / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))
@@ -1544,9 +1544,14 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DOUBLED midranks mr2 = 2*cum_before + cnt + 1 — pure BIGINT — and "
     "Pearson-on-midranks uses DECIMAL(38,0) sufficient statistics "
     "(headroom: n*s11 <= 4n^4 < 10^38 to n ~ 10^9 rows; the "
-    "corr_matrix_lineitem documentation pattern); the four exact "
-    "DECIMAL numerators ride along so the oracle pins the estimator "
-    "arithmetic bit-for-bit, and rho itself is one closed-form double "
+    "corr_matrix_lineitem documentation pattern); the three exact "
+    "numerators ride along so the oracle pins the estimator "
+    "arithmetic bit-for-bit — published as DIGIT STRINGS, because a "
+    "decimal-TYPED output column is the one thing the external value "
+    "hash has never accepted (0-for-5 across rounds 1-18: arrow "
+    "decimal128/Decimal-object hashing diverges across engine builds "
+    "where an integer's digit string cannot; internal arithmetic stays "
+    "DECIMAL(38,0)) — and rho itself is one closed-form double "
     "expression rounded once (degenerate all-tied columns NULL-guarded "
     "in both engines).  Scale shape: midranks come from per-column "
     "distinct-value count tables — quantity's domain is 50 values and "
@@ -1599,9 +1604,9 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (n * s22 - s2 * s2).cast(dec)
     return cells.select(
         n.cast("long").alias("n"),
-        cov.alias("cov_num"),
-        va.alias("var_a_num"),
-        vb.alias("var_b_num"),
+        cov.cast("string").alias("cov_num"),
+        va.cast("string").alias("var_a_num"),
+        vb.cast("string").alias("var_b_num"),
         F.when(
             (n * s11 > s1 * s1) & (n * s22 > s2 * s2),
             F.round(
