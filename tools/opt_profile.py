@@ -10,7 +10,8 @@ bench.py does (``fn(spark, SF_DIR).collect()`` under a fresh
   sf0.1 cost driver: shuffle volumes here are a few MB, so wall tracks
   the number of sequential job barriers, not bytes),
 - shuffle/spill bytes from the same accumulator delta bench records,
-- the formatted physical plan, written to ``plans/r18/<q>_<tag>.txt``.
+- the formatted physical plan, written to ``plans/<round>/<q>_<tag>.txt``
+  (round from ``$OPT_PLANS_ROUND``, default r19).
 
 Usage:
     python tools/opt_profile.py [--runs N] [--tag before|after]
@@ -37,7 +38,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
-    ap.add_argument("--runs", type=int, default=3)
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_positive, default=3)
     ap.add_argument("--tag", default=None, help="plan file suffix (before/after)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -66,7 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm codegen
 
-    plans_dir = os.path.join(REPO, "plans", "r18")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("OPT_PLANS_ROUND", "r19"))
     os.makedirs(plans_dir, exist_ok=True)
     tracker = spark.sparkContext.statusTracker()
     results = []
@@ -76,10 +83,12 @@ def main() -> None:
         jobs: list[int] = []
         rows = -1
         group = f"prof:{name}"
+        # watermark once BEFORE the run loop so shuffle/spill deltas
+        # cover every run, matching what wall/jobs aggregate over
+        mark = execution_count(spark)
         for i in range(args.runs):
             spark.catalog.clearCache()
             spark.sparkContext.setJobGroup(group + f":{i}", name)
-            mark = execution_count(spark)
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             out = df.collect()
@@ -99,8 +108,9 @@ def main() -> None:
             "runs": runs,
             "jobs": jobs,
             "rows": rows,
-            "shuffle_mb": round(m.get("shuffle_bytes", 0) / 1e6, 2),
-            "spill_mb": round(m.get("spill_bytes", 0) / 1e6, 2),
+            # per-run average: the watermark spans all runs
+            "shuffle_mb": round(m.get("shuffle_bytes", 0) / 1e6 / args.runs, 2),
+            "spill_mb": round(m.get("spill_bytes", 0) / 1e6 / args.runs, 2),
         }
         results.append(rec)
         line = json.dumps(rec)

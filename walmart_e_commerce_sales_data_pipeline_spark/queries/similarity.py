@@ -419,7 +419,9 @@ def _embedding_top_pc_float(emb: DataFrame) -> DataFrame:
     gs = cells.groupBy("i", "j").agg(
         F.sum(F.col("xi") * F.col("xj").cast("double")).alias("g")
     )
-    gs = gs.localCheckpoint(eager=True)
+    # lazy checkpoints, same barrier-halving discipline and full-scan
+    # first-action invariant as the exact path below (r19)
+    gs = gs.localCheckpoint(eager=False)
     v = gs.select("j").distinct().withColumn("v", F.lit(1.0))
     u = prev_v = None
     for _ in range(_PC_ITERS):
@@ -428,7 +430,7 @@ def _embedding_top_pc_float(emb: DataFrame) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
         )
-        u = u.localCheckpoint(eager=True)
+        u = u.localCheckpoint(eager=False)
         mk = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
         prev_v = v
         v = u.crossJoin(F.broadcast(mk)).select(
@@ -609,7 +611,18 @@ def embedding_top_pc(
     # exponentially in the iteration depth (measured 126 s -> ~15 s at
     # sf0.01).  4,096 rows of state, same bounded-materialization
     # posture as operators.components' loop checkpoints.
-    gs = gs.localCheckpoint(eager=True)
+    #
+    # LAZY checkpoints throughout (r19, the components-loop trick,
+    # VERDICT r18 item 2): each frame materializes inside the next
+    # job that consumes it — gs inside iteration 1's broadcast-scale
+    # build, u_k inside iteration k+1's — instead of paying a separate
+    # eager materialization job per step.  INVARIANT: the first action
+    # on each lazily-checkpointed frame is a full-scan aggregate (the
+    # mk/gm scale max or the mat-vec groupBy), never a
+    # partition-partial limit/first, so materialization stays
+    # one-job-whole, and the readout (mm/ray/tr) then reads stored
+    # blocks.
+    gs = gs.localCheckpoint(eager=False)
     v = gs.select("j").distinct().withColumn("v", F.lit(1).cast("long"))
     u = None
     for k in range(1, _PC_ITERS + 1):
@@ -621,7 +634,7 @@ def embedding_top_pc(
         # 64-row iterate: checkpoint BEFORE the scale aggregate so both
         # consumers (mk and the next v) read the materialized rows and
         # lineage stays linear in the iteration depth.
-        u = u.localCheckpoint(eager=True)
+        u = u.localCheckpoint(eager=False)
         mk = u.agg(
             F.greatest(
                 F.lit(1).cast("long"),

@@ -550,7 +550,10 @@ def _kj_hash_sql(str_type: str) -> str:
     tags=("sketch", "text", "distinct", "portable", "dedup"),
 )
 def kmv_jaccard_langs(
-    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    sketch_only: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """``sketch_only=True`` drops the exact-Jaccard branch (the
     shingle-distinct cardinalities and the bounded-multiplicity shingle
@@ -558,7 +561,12 @@ def kmv_jaccard_langs(
     the oracle) and returns only the signature-derived columns
     ``(lang_a, lang_b, sig_union_k, sig_in_both, kmv_jaccard_est)`` —
     the production path, which moves pairs x <= 128 signature rows
-    however big the corpus.  Default off; bench.py measures both."""
+    however big the corpus.  Default off; bench.py measures both.
+
+    ``materialize=False`` skips the shingle-stream materialization and
+    returns the fully lazy plan — plan-audit use only (the plan sweep
+    reads the interior join shapes through it); never execute it, the
+    corpus would be re-shingled once per consumer."""
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
@@ -567,20 +575,28 @@ def kmv_jaccard_langs(
     # exact intersection self-join) behind differently-keyed exchanges,
     # so without materialization the corpus is shingled and
     # deduplicated once PER CONSUMER (AQE's ReusedExchange only dedupes
-    # identically-keyed exchanges).  Eagerly checkpoint it (r18
-    # optimization round, guide §2.4/§5): one shingle pass per run;
-    # downstream plans — the rank window, the lang-pair nested loop the
-    # plan sweep whitelists, the exact self-join — stay fully visible
-    # to the plan sweep, and the checkpointed state is released by the
-    # ContextCleaner with the frame (no persist/unpersist lifetime to
-    # thread through the two return paths).
+    # identically-keyed exchanges).  Eagerly checkpointed (r18 form,
+    # re-confirmed r19): the VERDICT r18 item-4 persist+count variant —
+    # recomputable lineage, stats-bearing cache — was A/B-measured this
+    # round at 16 -> 37 jobs, 6.7 -> 15.2 MB shuffle, 1.49 -> 4.44 s at
+    # sf0.1: the InMemoryRelation's accurate stats break the exact
+    # self-join's exchange reuse and the count pays one extra full
+    # pass, so the stats-less RDD scan is the FASTER form here (the
+    # prefix filter's trade runs the other way — see
+    # prefix_filter_jaccard_pairs).  The accepted cost is the guide §5
+    # checkpoint caveat: executor-local blocks without lineage; a lost
+    # executor fails the query and it re-runs.
+    # The sketch_only tier has exactly ONE stream consumer (the hash
+    # ranking), so it skips the materialization outright (r19) — one
+    # lazy pass, no checkpoint round-trip.
     sh = (
         _spread_narrow(docs)
         .select("lang", tokenize("text").alias("_t"))
         .select("lang", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize and not sketch_only:
+        sh = sh.localCheckpoint(eager=True)
     h = sh.select("lang", F.expr(_kj_hash_sql("STRING")).alias("hv")).distinct()
     wl = Window.partitionBy("lang").orderBy("hv")
     sig = (
@@ -763,27 +779,33 @@ _KD_SCALE = float(16**12)  # 2^48, the portable-hash value range
     tags=("sketch", "text", "distinct", "portable", "dedup"),
 )
 def kmv_set_difference(
-    spark: SparkSession, sf_dir: str, sketch_only: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    sketch_only: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """``sketch_only=True`` drops the exact branch (shingle cardinalities
     + the self-join intersection, carried for the oracle) and returns the
     signature-derived difference estimates only — the production A-vs-B
     audit path (see kmv_jaccard_langs).  Default off; bench.py measures
-    both tiers."""
+    both tiers.  ``materialize=False`` is the plan-audit form (see
+    kmv_jaccard_langs) — never execute it."""
     from ..operators.dedup import _spread_narrow
 
     docs = table(spark, sf_dir, "documents")
-    # Same materialization discipline as kmv_jaccard_langs (r18
-    # optimization round): eagerly checkpoint the distinct shingle
-    # stream (four differently-keyed consumers); every downstream plan
-    # shape stays visible to the plan sweep.
+    # Same materialization discipline as kmv_jaccard_langs (eager
+    # checkpoint; the r19 persist+count A/B regressed 3x there — see
+    # that docstring): the distinct shingle stream feeds four
+    # differently-keyed consumers in the exact branch, but only ONE in
+    # the sketch_only tier, which therefore skips the materialization.
     sh = (
         _spread_narrow(docs)
         .select("lang", tokenize("text").alias("_t"))
         .select("lang", F.explode(word_shingles(F.col("_t"), 3)).alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize and not sketch_only:
+        sh = sh.localCheckpoint(eager=True)
     h = sh.select("lang", F.expr(_kj_hash_sql("STRING")).alias("hv")).distinct()
     wl = Window.partitionBy("lang").orderBy("hv")
     sig = (
