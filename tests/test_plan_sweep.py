@@ -469,6 +469,7 @@ AUDIT_FORMS = (
     "survival_time_to_purchase",
     "survival_km_logrank",
     "survival_logrank_stratified",
+    "events_hourly_bloom_returns",
 )
 
 

@@ -43,6 +43,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+        # every post-shuffle partition's map output fits the threshold
+        # (guide §3.1; default 0 = off).  Scale-adaptive by construction —
+        # the decision is made per join from ACTUAL partition sizes, so a
+        # 100 TB shuffle whose partitions exceed the threshold keeps the
+        # spill-safe sort-merge plan, while the many small-partition joins
+        # this engine plans skip both sorts.  Measured (r19, sf1 replica
+        # set, min of 3): join-bound set 42.3 -> 34.2 s total
+        # (jaccard_prefix_filter 14.5 -> 9.4 s, dedup_minhash_lsh
+        # 4.25 -> 2.98 s, dedup_ngram_jaccard 4.66 -> 3.46 s), sf0.1
+        # bench-neutral (12.30 vs 12.36 s).  64 MB per-task hash build is
+        # comfortably inside executor memory at default task counts;
+        # override via SPARK_GRAFT_SHJ_THRESHOLD (set 0 to disable).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         # Arrow for any pandas UDF / toPandas boundary (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
