@@ -43,6 +43,15 @@ from ..session import ensure_utc
 # size/mtime), so a rewritten or regenerated table re-infers.  The events
 # loader still adapts to whichever ``ts`` encoding the memoized schema
 # reports, same as before.
+# Fingerprint-keyed schema memo: catalog METADATA only, never rows.
+# Known blind spot (ADVICE r18): the fingerprint is path+size+mtime_ns,
+# so a rewrite that preserves both size and mtime (cp -p, rsync -a,
+# archive extraction with timestamps) would serve a stale schema and the
+# explicit .read.schema() would misread data where plain inference would
+# have re-read the footer.  Accepted trade: such rewrites do not occur in
+# the read-only driver testdata, and folding a footer hash into the key
+# would re-pay the footer read the memo exists to avoid.  If the data
+# source ever becomes mutable-in-place, clear the memo or key on content.
 _SCHEMA_MEMO: dict[str, StructType] = {}
 
 
