@@ -990,6 +990,33 @@ def _winnow_fingerprints_arrow(
         import numpy as np
         import pandas as pd
 
+        # Per-gram fast path (r19, guide §4.2 — the kernel IS the corpus
+        # pass, so per-gram Python overhead is the scan cost at 100 TB):
+        # value-identical to int(md5(gram).hexdigest()[:12], 16) — the
+        # first 12 hex chars ARE the first 6 digest bytes big-endian —
+        # while skipping the hex rendering, and ASCII docs (the common
+        # case) encode ONCE and slice bytes instead of encoding every
+        # gram (byte slices == char slices when every char is 1 byte).
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+
+        def _gram_hashes(text: str, n_grams: int) -> "np.ndarray":
+            if text.isascii():
+                tb = text.encode("utf-8")
+                vals = (
+                    from_bytes(md5(tb[i : i + kk]).digest()[:6], "big")
+                    for i in range(n_grams)
+                )
+            else:
+                vals = (
+                    from_bytes(
+                        md5(text[i : i + kk].encode("utf-8")).digest()[:6],
+                        "big",
+                    )
+                    for i in range(n_grams)
+                )
+            return np.fromiter(vals, dtype=np.int64, count=n_grams)
+
         for pdf in it:
             ids, carries, n_fps, poss, hvs = [], [], [], [], []
             for row in pdf.itertuples(index=False):
@@ -998,19 +1025,7 @@ def _winnow_fingerprints_arrow(
                 if text is None or len(text) < min_len:
                     continue
                 n_grams = len(text) - kk + 1
-                hs = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(
-                                text[i : i + kk].encode("utf-8")
-                            ).hexdigest()[:12],
-                            16,
-                        )
-                        for i in range(n_grams)
-                    ),
-                    dtype=np.int64,
-                    count=n_grams,
-                )
+                hs = _gram_hashes(text, n_grams)
                 sw = np.lib.stride_tricks.sliding_window_view(hs, ww)
                 # rightmost min per window: argmin of the reversed axis
                 rev_arg = sw[:, ::-1].argmin(axis=1)
