@@ -103,9 +103,14 @@ def pagerank(
     # both are the bounded per-iteration state the docstring already
     # commits to.  The node count then reads the materialized deg rows
     # instead of re-running the aggregation from the caller's plan.
-    deg = deg.localCheckpoint(eager=True)
+    # Lazy checkpoints (r19, the components-loop trick): deg
+    # materializes inside the node-count job that immediately follows
+    # (count is a full scan — the first-action invariant), and edges_w
+    # inside the first iteration's contribution join at the next action
+    # on the result — one barrier saved each vs the r18 eager form.
+    deg = deg.localCheckpoint(eager=False)
     n = deg.count()
-    edges_w = edges.join(deg, "u").localCheckpoint(eager=True)
+    edges_w = edges.join(deg, "u").localCheckpoint(eager=False)
     teleport = (1.0 - damping) / n
     ranks = deg.select(F.col("u").alias("id"), (F.lit(1.0) / n).alias("pr"))
     for _ in range(iterations):
